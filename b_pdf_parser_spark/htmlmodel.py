@@ -1,0 +1,235 @@
+"""Byte-level HTML tokenizer + boilerplate classifier (no lxml available).
+
+Covers the north-rule HTML path (``BASELINE.json.north_star``: "lxml-free
+byte-level HTML tokenizer with text-density/link-density boilerplate
+classification (boilerpipe-style block features)"). There is no reference
+analog — the reference is PDF-only — so the semantics here are pinned by our
+own golden fixtures (FIXTURES.md §3).
+
+Pipeline: bytes → tag/text token stream → text blocks (split at block-level
+tags, script/style/head content dropped, entities decoded, whitespace
+collapsed) → per-block features (word count, link density, enclosing
+semantic container) → densitometric classification (the published boilerpipe
+``NumWordsRulesClassifier`` decision tree, Kohlschütter et al., WSDM 2010)
+with a DOM-heuristic override for ``nav/header/footer/aside/form`` — →
+main-content text = classified blocks joined with ``"\\n"``.
+
+Pure ``bytes -> str``; safe for Arrow-batched ``mapInPandas`` (one Python
+dispatch per document).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, NamedTuple, Optional
+
+__all__ = ["Block", "extract_html_blocks", "extract_html_text"]
+
+
+class Block(NamedTuple):
+    text: str
+    n_words: int
+    n_chars: int
+    link_chars: int
+    container: str  # innermost semantic ancestor: article/main/nav/header/...
+    is_content: bool
+
+
+# tags whose open OR close terminates the current text block
+_BLOCK_TAGS = frozenset(
+    """address article aside blockquote body br caption dd div dl dt fieldset
+    figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr html li main
+    nav ol option p pre section select table tbody td tfoot th thead tr ul
+    title""".split()
+)
+# raw-text elements: content is dropped wholesale
+_RAW_TEXT_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "textarea"})
+# containers that bias classification
+_BOILER_CONTAINERS = frozenset({"nav", "header", "footer", "aside", "form", "head", "title"})
+_CONTENT_CONTAINERS = frozenset({"article", "main"})
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+    "copy": "©",
+    "reg": "®",
+    "trade": "™",
+    "hellip": "…",
+    "mdash": "—",
+    "ndash": "–",
+    "lsquo": "‘",
+    "rsquo": "’",
+    "ldquo": "“",
+    "rdquo": "”",
+}
+
+_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});")
+_WS_RUN_RE = re.compile(r"[ \t\r\n\f\v ]+")
+_TAG_NAME_RE = re.compile(rb"^/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+
+
+def _decode_entity(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#"):
+        try:
+            cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+            if 0 < cp <= 0x10FFFF:
+                return chr(cp)
+        except ValueError:
+            pass
+        return m.group(0)
+    return _ENTITIES.get(body.lower(), m.group(0))
+
+
+def _clean_text(raw: str) -> str:
+    return _WS_RUN_RE.sub(" ", _ENTITY_RE.sub(_decode_entity, raw))
+
+
+class _BlockBuilder:
+    __slots__ = ("pieces", "link_chars", "container")
+
+    def __init__(self, container: str):
+        self.pieces: List[str] = []
+        self.link_chars = 0
+        self.container = container
+
+    def add(self, text: str, in_link: bool) -> None:
+        self.pieces.append(text)
+        if in_link:
+            self.link_chars += len(text.strip())
+
+
+def _classify(blocks: List[Block]) -> List[Block]:
+    """Boilerpipe NumWordsRulesClassifier + semantic-container overrides."""
+    out: List[Block] = []
+    n = len(blocks)
+    for i, b in enumerate(blocks):
+        prev = blocks[i - 1] if i > 0 else None
+        nxt = blocks[i + 1] if i + 1 < n else None
+        if b.container in _BOILER_CONTAINERS:
+            content = False
+        elif b.container in _CONTENT_CONTAINERS and b.n_words >= 2:
+            content = True
+        else:
+            ld = b.link_chars / b.n_chars if b.n_chars else 0.0
+            prev_ld = (prev.link_chars / prev.n_chars) if (prev and prev.n_chars) else 0.0
+            if ld > 0.333333:
+                content = False
+            elif prev_ld <= 0.555556:
+                content = (
+                    b.n_words > 16
+                    or (nxt is not None and nxt.n_words > 15)
+                    or (prev is not None and prev.n_words > 4 and b.n_words > 3)
+                )
+            else:
+                content = b.n_words > 40 or (nxt is not None and nxt.n_words > 17)
+        out.append(b._replace(is_content=content))
+    return out
+
+
+def extract_html_blocks(data: bytes) -> List[Block]:
+    """Tokenize HTML bytes into classified text blocks."""
+    try:
+        html = data.decode("utf-8")
+    except UnicodeDecodeError:
+        html = data.decode("latin-1")
+
+    blocks: List[Block] = []
+    cur = _BlockBuilder("body")
+    container_stack: List[str] = []
+    link_depth = 0
+    skip_until: Optional[str] = None  # inside a raw-text element
+    lower = html.lower()
+
+    def flush() -> None:
+        nonlocal cur
+        text = _clean_text("".join(cur.pieces)).strip()
+        if text:
+            words = len(text.split())
+            blocks.append(
+                Block(text, words, len(text), min(cur.link_chars, len(text)),
+                      cur.container, False)
+            )
+        cur = _BlockBuilder(container_stack[-1] if container_stack else "body")
+
+    i = 0
+    n = len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if skip_until is None:
+                cur.add(html[i:], link_depth > 0)
+            break
+        if lt > i and skip_until is None:
+            cur.add(html[i:lt], link_depth > 0)
+        i = lt
+        # comment
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end < 0 else end + 3
+            continue
+        # doctype / processing instruction
+        if html.startswith("<!", i) or html.startswith("<?", i):
+            end = html.find(">", i)
+            i = n if end < 0 else end + 1
+            continue
+        gt = html.find(">", i + 1)
+        if gt < 0:
+            break  # truncated tag: drop the rest
+        tag_body = html[i + 1 : gt]
+        i = gt + 1
+        m = _TAG_NAME_RE.match(tag_body.encode("utf-8", "replace"))
+        if not m:
+            continue  # stray '<' treated as markup noise
+        name = m.group(1).decode("ascii").lower()
+        closing = tag_body.startswith("/")
+        self_closing = tag_body.rstrip().endswith("/") or name in _VOID_TAGS
+
+        if skip_until is not None:
+            if closing and name == skip_until:
+                skip_until = None
+            continue
+
+        if not closing and name in _RAW_TEXT_TAGS and not self_closing:
+            # raw-text content: skip to the matching close tag
+            end = lower.find("</" + name, i)
+            if end < 0:
+                break
+            i = lower.find(">", end)
+            i = n if i < 0 else i + 1
+            continue
+
+        if name == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            elif not self_closing:
+                link_depth += 1
+            continue
+
+        if name in _BLOCK_TAGS:
+            flush()
+            semantic = name if name in (_BOILER_CONTAINERS | _CONTENT_CONTAINERS) else None
+            if semantic:
+                if closing:
+                    if name in container_stack:
+                        while container_stack and container_stack[-1] != name:
+                            container_stack.pop()
+                        if container_stack:
+                            container_stack.pop()
+                elif not self_closing:
+                    container_stack.append(name)
+                cur.container = container_stack[-1] if container_stack else "body"
+    flush()
+    return _classify(blocks)
+
+
+def extract_html_text(data: bytes) -> str:
+    """Main-content text: classified content blocks joined with ``"\\n"``."""
+    return "\n".join(b.text for b in extract_html_blocks(data) if b.is_content)

@@ -1,0 +1,209 @@
+"""The extraction operator: ``pages`` → ``extracted`` (one row per url).
+
+Spark-first design (SURVEY §3.2, §4.3):
+
+* **Pure DataFrame + Arrow**: the document walk runs inside ``mapInPandas``
+  (iterator form, so per-worker init happens once — the idiomatic analog of
+  the reference's ``init_strategy='per-worker'``, batch.py:59,277). One
+  Python dispatch per *document*, zero per-row Python anywhere else.
+* **Partitioning**: a stable logical ``partition_id = pmod(xxhash64(url), P)``
+  column is the checkpoint/lineage unit (resume-safe, independent of the
+  physical layout). Physically, oversized payloads (> ``skew_threshold``
+  bytes) are split off and round-robin rebalanced so multi-MB documents
+  never serialize into one straggler task (north_rule salt-split; the
+  indivisible-row analog of key salting).
+* **Error capture**: a corrupt document sets the ``error`` column; the job
+  never throws (reference semantics batch.py:134-190, S10).
+* **Column pruning**: only ``url, html`` (+passthrough ``warc_ts``) are
+  touched; Catalyst prunes ``text/lang`` out of the scan when the caller
+  doesn't select them.
+
+Reference parity for the per-document logic: pymupdf_parser.py:50-91
+(page-0 metadata, filename account fallback, all-pages text, summary merge),
+__init__.py:154-161 (verification attach).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .. import fields
+from ..htmlmodel import extract_html_text
+from ..pdfmodel import PdfError, extract_pdf_pages
+
+__all__ = ["EXTRACTED_SCHEMA", "extract_pages", "DEFAULT_SKEW_THRESHOLD"]
+
+DEFAULT_SKEW_THRESHOLD = 512 * 1024  # bytes; > p99 of the synthetic corpus
+
+_META_FIELDS = [StructField(k, StringType()) for k in fields.METADATA_KEYS]
+_TXN_FIELDS = [StructField(k, StringType()) for k in fields.TXN_KEYS]
+_VERIFY_FIELDS = [
+    StructField("passed", BooleanType()),
+    StructField("debit_match", BooleanType()),
+    StructField("credit_match", BooleanType()),
+    StructField("total_debit_extracted", StringType()),
+    StructField("total_debit_calculated", DoubleType()),
+    StructField("debit_discrepancy", DoubleType()),
+    StructField("total_credit_extracted", StringType()),
+    StructField("total_credit_calculated", DoubleType()),
+    StructField("credit_discrepancy", DoubleType()),
+    StructField("status", StringType()),
+    StructField("message", StringType()),
+]
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("kind", StringType()),  # 'pdf' | 'html' | 'empty' | 'error'
+        StructField("text", StringType()),
+        StructField("metadata", StructType(_META_FIELDS)),
+        StructField("transactions", ArrayType(StructType(_TXN_FIELDS))),
+        StructField("n_transactions", IntegerType()),
+        StructField("valid", BooleanType()),
+        StructField("verification", StructType(_VERIFY_FIELDS)),
+        StructField("n_pages", IntegerType()),
+        StructField("payload_bytes", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("error", StringType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _extract_one(url: str, payload: Optional[bytes]) -> dict:
+    """Per-document walk → dict of EXTRACTED columns (metadata deferred)."""
+    row = {
+        "kind": None,
+        "text": None,
+        "first_page": "",
+        "n_pages": 0,
+        "payload_bytes": len(payload) if payload is not None else 0,
+        "error": None,
+    }
+    if payload is None or len(payload) == 0:
+        row["kind"] = "empty"
+        row["error"] = "empty payload"
+        return row
+    try:
+        if payload[:1024].lstrip()[:5] == b"%PDF-":
+            pages = extract_pdf_pages(payload)
+            row["kind"] = "pdf"
+            row["text"] = "".join(p + "\n" for p in pages)
+            row["first_page"] = pages[0]
+            row["n_pages"] = len(pages)
+        else:
+            row["kind"] = "html"
+            row["text"] = extract_html_text(payload)
+            row["first_page"] = row["text"]
+            row["n_pages"] = 1
+    except PdfError as e:
+        row["kind"] = "error"
+        row["error"] = f"pdf: {e}"
+    except Exception as e:  # never fail the batch (S10)
+        row["kind"] = "error"
+        row["error"] = f"{type(e).__name__}: {e}"
+    return row
+
+
+def _url_stem(url: str) -> str:
+    tail = url.rsplit("/", 1)[-1]
+    dot = tail.rfind(".")
+    return tail[:dot] if dot > 0 else tail
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Expects columns: url, warc_ts, html, partition_id."""
+    for b in batches:
+        per_doc = [_extract_one(u, p) for u, p in zip(b["url"], b["html"])]
+        texts = pd.Series([d["text"] or "" for d in per_doc])
+        firsts = pd.Series([d["first_page"] or "" for d in per_doc])
+
+        # vectorized header metadata over the whole Arrow batch (page-0 text)
+        meta_df = fields.extract_metadata_batch(firsts)
+
+        out_rows = []
+        for idx, d in enumerate(per_doc):
+            meta = {k: meta_df[k].iloc[idx] for k in meta_df.columns}
+            full_text = texts.iloc[idx]
+            url = b["url"].iloc[idx]
+            meta["account_no"] = fields.account_no_from_url(_url_stem(url), meta["account_no"])
+            txns = fields.extract_transactions(full_text) if full_text else []
+            summary = fields.extract_summary_totals(full_text) if full_text else {}
+            for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+                meta[k] = summary.get(k) or ""  # merge rule: only truthy values
+            ver = fields.verify_turnover(txns, 0.01, full_text or "")
+            out_rows.append(
+                {
+                    "url": url,
+                    "warc_ts": b["warc_ts"].iloc[idx],
+                    "kind": d["kind"],
+                    "text": d["text"],
+                    "metadata": meta,
+                    "transactions": txns,
+                    "n_transactions": len(txns),
+                    "valid": fields.is_valid_parse(meta, txns),
+                    "verification": ver,
+                    "n_pages": d["n_pages"],
+                    "payload_bytes": d["payload_bytes"],
+                    "n_tokens": len(full_text.split()) if full_text else 0,
+                    "error": d["error"],
+                    "partition_id": int(b["partition_id"].iloc[idx]),
+                }
+            )
+        yield pd.DataFrame(out_rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+
+def extract_pages(
+    pages: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    checkpoint_partitions: int = 64,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+) -> DataFrame:
+    """Build the extraction plan over a ``pages`` DataFrame.
+
+    ``checkpoint_partitions`` fixes the *logical* partition_id space (stable
+    across cluster sizes → resume works after rescale); ``num_partitions``
+    sizes the physical shuffle (defaults to 2× parallelism).
+    """
+    spark = pages.sparkSession
+    p_phys = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    tagged = pages.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.pmod(F.xxhash64("url"), F.lit(checkpoint_partitions))
+        .cast("int")
+        .alias("partition_id"),
+        (F.length("html") > skew_threshold).alias("_oversized"),
+    )
+    small = (
+        tagged.filter(~F.coalesce("_oversized", F.lit(False)))
+        .drop("_oversized")
+        .repartition(p_phys, F.xxhash64("url"))
+    )
+    # indivisible big rows: round-robin spread so none of them pile up in one
+    # task (the salt-split of north_rule; AQE skew-join handles the join side)
+    big = (
+        tagged.filter(F.coalesce("_oversized", F.lit(False)))
+        .drop("_oversized")
+        .repartition(max(p_phys // 4, 8))
+    )
+    return small.unionByName(big).mapInPandas(extract_batch, schema=EXTRACTED_SCHEMA)

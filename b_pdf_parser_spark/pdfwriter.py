@@ -1,0 +1,230 @@
+"""Minimal from-scratch PDF writer for deterministic synthetic fixtures.
+
+Mirrors the *feature set* of the reference corpus (verified byte-level in
+SURVEY §7.1 against ``/root/reference/source-pdf/``): PDF 1.3 with classic
+``xref`` tables AND PDF 1.7 with cross-reference streams (PNG Up predictor,
+``/Columns 5``) + object streams; FlateDecode content streams; text drawn
+with ``Tm/Td/TD/TL/T*/Tj/TJ/'`` operators; literal strings with escapes;
+single-byte standard fonts. The synthetic-statement *content* mirrors
+``/root/reference/generate_test_pdfs.py:167-213`` (header + transaction
+rows) without porting its code (reportlab is unavailable here anyway).
+
+Used by ``tools/genfixtures.py`` (golden corpus), the synthetic ``pages``
+table source (``b_pdf_parser_spark/sources/pages.py``) and the benchmark.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Sequence, Tuple
+
+__all__ = ["build_pdf", "pdf_from_lines"]
+
+Span = Tuple[float, float, str]  # (x, y, text)
+
+_FONT_DICT = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+
+
+def _esc(text: str) -> bytes:
+    raw = text.encode("latin-1", "replace")
+    out = bytearray()
+    for b in raw:
+        if b in (0x5C, 0x28, 0x29):
+            out.append(0x5C)
+            out.append(b)
+        elif b < 0x20 or b > 0x7E:
+            out += ("\\%03o" % b).encode("ascii")
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def _num(v: float) -> bytes:
+    if float(v) == int(v):
+        return str(int(v)).encode("ascii")
+    return (f"{v:.2f}").encode("ascii")
+
+
+def _content_tm(spans: Sequence[Span]) -> bytes:
+    """One absolute Tm + Tj per span (the dominant pattern in the corpus)."""
+    parts = [b"BT /F1 10 Tf"]
+    for x, y, text in spans:
+        parts.append(b"1 0 0 1 " + _num(x) + b" " + _num(y) + b" Tm (" + _esc(text) + b") Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def _content_td(spans: Sequence[Span]) -> bytes:
+    """Td/TL/'/TJ variant: exercises relative line motion operators."""
+    parts = [b"q 1 0 0 1 0 0 cm", b"BT /F1 10 Tf 14 TL"]
+    prev_x = prev_y = 0.0
+    for idx, (x, y, text) in enumerate(spans):
+        if idx == 0:
+            parts.append(_num(x) + b" " + _num(y) + b" Td")
+            parts.append(b"[(" + _esc(text) + b")] TJ")
+        elif abs((prev_y - y) - 14.0) < 0.01 and x == prev_x:
+            parts.append(b"(" + _esc(text) + b") '")
+        else:
+            parts.append(_num(x - prev_x) + b" " + _num(y - prev_y) + b" Td")
+            parts.append(b"(" + _esc(text) + b") Tj")
+        prev_x, prev_y = x, y
+    parts.append(b"ET Q")
+    return b"\n".join(parts)
+
+
+def _stream_obj(d: bytes, payload: bytes, compress: bool) -> bytes:
+    if compress:
+        data = zlib.compress(payload)
+        head = d[:-2].rstrip() + b" /Filter /FlateDecode /Length %d >>" % len(data)
+    else:
+        data = payload
+        head = d[:-2].rstrip() + b" /Length %d >>" % len(data)
+    return head + b"\nstream\n" + data + b"\nendstream"
+
+
+def build_pdf(
+    pages: Sequence[Sequence[Span]],
+    *,
+    xref_stream: bool = False,
+    compress: bool = True,
+    td_ops: bool = False,
+) -> bytes:
+    """Serialize positioned text spans into a complete PDF file.
+
+    ``xref_stream=False`` → PDF-1.3-style classic xref table;
+    ``xref_stream=True``  → PDF-1.7 cross-reference stream (``/W [1 2 2]``,
+    ``/Predictor 12 /Columns 5``) with the catalog/pages/page/font
+    dictionaries packed into an object stream (``/Type /ObjStm``).
+    """
+    n_pages = len(pages)
+    make_content = _content_td if td_ops else _content_tm
+
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page (dict, content)
+    page_obj = lambda i: 4 + 2 * i  # noqa: E731
+    content_obj = lambda i: 5 + 2 * i  # noqa: E731
+    kids = b"[" + b" ".join(b"%d 0 R" % page_obj(i) for i in range(n_pages)) + b"]"
+
+    dicts: Dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
+        3: _FONT_DICT,
+    }
+    for i in range(n_pages):
+        dicts[page_obj(i)] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % content_obj(i)
+        )
+    contents: Dict[int, bytes] = {
+        content_obj(i): _stream_obj(b"<< >>", make_content(pages[i]), compress)
+        for i in range(n_pages)
+    }
+
+    if not xref_stream:
+        return _emit_classic(dicts, contents)
+    return _emit_xref_stream(dicts, contents, compress)
+
+
+def _emit_classic(dicts: Dict[int, bytes], contents: Dict[int, bytes]) -> bytes:
+    buf = bytearray(b"%PDF-1.3\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
+    offsets: Dict[int, int] = {}
+    for num in sorted(set(dicts) | set(contents)):
+        body = dicts.get(num) if num in dicts else contents[num]
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    size = max(offsets) + 1
+    xref_pos = len(buf)
+    buf += b"xref\n0 %d\n" % size
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        buf += b"%010d 00000 n \n" % offsets.get(num, 0)
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (size, xref_pos)
+    )
+    return bytes(buf)
+
+
+def _emit_xref_stream(
+    dicts: Dict[int, bytes], contents: Dict[int, bytes], compress: bool
+) -> bytes:
+    # pack all plain dictionaries into one ObjStm; streams stay top-level
+    packed = sorted(dicts)
+    objstm_num = max(max(dicts), max(contents)) + 1
+    xref_num = objstm_num + 1
+
+    header_parts: List[bytes] = []
+    body_parts: List[bytes] = []
+    off = 0
+    for num in packed:
+        body = dicts[num] + b"\n"
+        header_parts.append(b"%d %d" % (num, off))
+        body_parts.append(body)
+        off += len(body)
+    header = b" ".join(header_parts) + b"\n"
+    objstm_payload = header + b"".join(body_parts)
+    objstm = _stream_obj(
+        b"<< /Type /ObjStm /N %d /First %d >>" % (len(packed), len(header)),
+        objstm_payload,
+        compress,
+    )
+
+    buf = bytearray(b"%PDF-1.7\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
+    offsets: Dict[int, int] = {}
+    for num in sorted(contents):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + contents[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(buf)
+    buf += b"%d 0 obj\n" % objstm_num + objstm + b"\nendobj\n"
+
+    # xref stream rows: /W [1 w 2], PNG Up predictor (Predictor 12); w=2
+    # (/Columns 5, matching the reference corpus) unless offsets need 4 bytes
+    size = xref_num + 1
+    xref_pos = len(buf)
+    w = 2 if xref_pos <= 0xFFFF else 4
+    cols = 3 + w
+    rows: List[bytes] = []
+    for num in range(size):
+        if num == 0:
+            rows.append(bytes([0]) + (0).to_bytes(w, "big") + (65535).to_bytes(2, "big"))
+        elif num in offsets:
+            rows.append(bytes([1]) + offsets[num].to_bytes(w, "big") + (0).to_bytes(2, "big"))
+        elif num in dicts:
+            idx = packed.index(num)
+            rows.append(bytes([2]) + objstm_num.to_bytes(w, "big") + idx.to_bytes(2, "big"))
+        elif num == xref_num:
+            rows.append(bytes([1]) + xref_pos.to_bytes(w, "big") + (0).to_bytes(2, "big"))
+        else:
+            rows.append(bytes([0]) + (0).to_bytes(w, "big") + (0).to_bytes(2, "big"))
+    # apply PNG Up filter (type byte 2 per row)
+    filtered = bytearray()
+    prev = bytes(cols)
+    for row in rows:
+        filtered.append(2)
+        filtered += bytes((row[k] - prev[k]) & 0xFF for k in range(cols))
+        prev = row
+    xref_payload = zlib.compress(bytes(filtered))
+    xref_obj = (
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 %d 2] /Index [0 %d] "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> /Length %d >>"
+        % (size, w, size, cols, len(xref_payload))
+    )
+    buf += b"%d 0 obj\n" % xref_num + xref_obj + b"\nstream\n" + xref_payload + b"\nendstream\nendobj\n"
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(buf)
+
+
+def pdf_from_lines(
+    page_lines: Sequence[Sequence[str]],
+    *,
+    xref_stream: bool = False,
+    compress: bool = True,
+    td_ops: bool = False,
+    x: float = 72.0,
+    top: float = 760.0,
+    leading: float = 14.0,
+) -> bytes:
+    """Lay text lines top-down on each page and serialize (fixture shortcut)."""
+    pages: List[List[Span]] = []
+    for lines in page_lines:
+        spans = [(x, top - i * leading, ln) for i, ln in enumerate(lines)]
+        pages.append(spans)
+    return build_pdf(pages, xref_stream=xref_stream, compress=compress, td_ops=td_ops)

@@ -1,0 +1,279 @@
+"""Deterministic synthetic ``pages`` corpus (Common-Crawl-style input table).
+
+Schema per ``BASELINE.json.input_hint``:
+``pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)``.
+
+Payload mix (FIXTURES.md §1): ~48% synthetic bank-statement PDFs (feature mix
+mirrors the reference corpus: classic xref / xref-stream+ObjStm, Tm vs
+Td/TL/T*/TJ/' operators, FlateDecode on/off), ~46% HTML pages with known
+main content + boilerplate, ~3% corrupt/truncated payloads (must land in the
+``error`` column, never fail the job — reference semantics
+``/root/reference/pdfparser/batch.py:183-189``), ~2% null/empty, ~1%
+oversized (10× pages — exercises the salt-split skew path).
+
+Everything is keyed on ``(seed, doc index)`` only, so generation is
+embarrassingly parallel: the Spark builder generates partitions independently
+with ``mapInPandas`` over ``spark.range`` — no driver-side loop, scales to
+10^9 rows.
+
+Statement content mirrors the shapes in the reference's corpus/generator
+(``/root/reference/generate_test_pdfs.py:99-146``, label layouts of
+``/root/reference/pdfparser/utils.py:23-93``) without porting code.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from datetime import datetime, timedelta
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+from ..pdfwriter import pdf_from_lines
+
+__all__ = [
+    "PAGES_SCHEMA_DDL",
+    "statement_lines",
+    "html_page",
+    "make_page_row",
+    "synth_pages_df",
+]
+
+PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+
+_CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
+_PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
+_DESCS = [
+    "TRANSFER MASUK", "PEMBAYARAN LISTRIK", "SETORAN TUNAI", "TARIK TUNAI ATM",
+    "BIAYA ADMINISTRASI", "PEMBAYARAN TELEPON", "TRANSFER KELUAR", "BUNGA DEPOSITO",
+    "PEMBELIAN PULSA", "GAJI KARYAWAN",
+]
+_EN_WORDS = (
+    "the quick brown fox jumps over a lazy dog while many readers scan long "
+    "paragraphs of plain body text that carry most of the page meaning and "
+    "should survive boilerplate removal intact for downstream training data"
+).split()
+_LANGS = ["id", "en", "de", "fr", "es", "zh"]
+
+
+def _fmt_us(x: float) -> str:
+    return f"{x:,.2f}"
+
+
+def _fmt_id(x: float) -> str:
+    """Indonesian separators: 1.234.567,89 (thousands '.', decimal ',')."""
+    return f"{x:,.2f}".replace(",", "\0").replace(".", ",").replace("\0", ".")
+
+
+def statement_lines(
+    rng: random.Random,
+    *,
+    n_pages: int = 1,
+    rows_per_page: int = 8,
+    with_user: bool = True,
+    summary: str = "match",  # 'match' | 'mismatch' | 'none'
+    amount_format: str = "id",  # 'id' | 'us'
+) -> Tuple[List[List[str]], Dict[str, Any]]:
+    """Generate column-layout statement text lines + ground truth.
+
+    Returns (per-page line lists, truth dict with account_no, n_txns,
+    total_debit, total_credit, verify_status).
+
+    Amount-format semantics (quirk of the reference's single number parser,
+    utils.py:527-548): only Indonesian-format amounts survive
+    ``parse_indonesian_number`` round-trips, so docs meant to exercise
+    *meaningful* turnover verification use 'id'. US-format amounts are only
+    classifiable in the no-user layout (amount regex ``^[\\d,]+\\.\\d{2}$``,
+    utils.py:74) and parse degenerately — those docs carry no summary.
+    """
+    fmt = _fmt_id if amount_format == "id" else _fmt_us
+    zero = "0,00" if amount_format == "id" else "0.00"
+    account_no = "".join(str(rng.randint(0, 9)) for _ in range(13))
+    city = rng.choice(_CITIES)
+    product = rng.choice(_PRODUCTS)
+
+    header = [
+        "No. Rekening",
+        "Account No",
+        f": {account_no}",
+        "Unit Kerja",
+        "Business Unit",
+        ":",
+        city,
+        "Nama Produk",
+        "Product Name",
+        ":",
+        product,
+        "Statement Date : 31/01/2024",
+        "Valuta",
+        "Currency",
+        ": IDR",
+        "Alamat Unit Kerja",
+        ":",
+        f"Jl. Sudirman No. {rng.randint(1, 99)} {city}",
+        "Periode Transaksi",
+        "Transaction Period",
+        ":",
+        "01/01/2024 - 31/01/2024",
+        "Tanggal Transaksi",
+        "Uraian Transaksi",
+        "Teller",
+        "Debet",
+        "Kredit",
+        "Saldo",
+    ]
+
+    total_debit = total_credit = 0.0
+    balance = rng.randint(1_000_000, 50_000_000) / 1.0
+    pages: List[List[str]] = []
+    n_txns = 0
+    for p in range(n_pages):
+        lines: List[str] = header[:] if p == 0 else []
+        for r in range(rows_per_page):
+            n_txns += 1
+            day = min(28, 1 + n_txns % 28)
+            ts = f"{day:02d}/01/24 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}"
+            desc = rng.choice(_DESCS)
+            amount = rng.randint(10_000, 5_000_000) / 1.0
+            is_credit = rng.random() > 0.4
+            if is_credit:
+                total_credit += amount
+                balance += amount
+                debit_s, credit_s = zero, fmt(amount)
+            else:
+                total_debit += amount
+                balance -= amount
+                debit_s, credit_s = fmt(amount), zero
+            lines.append(ts)
+            lines.append(desc)
+            if rng.random() < 0.3:
+                lines.append("REF " + "".join(str(rng.randint(0, 9)) for _ in range(6)))
+            if with_user:
+                lines.append("".join(str(rng.randint(1, 9)) for _ in range(rng.choice([6, 7, 8]))))
+            lines.append(debit_s)
+            lines.append(credit_s)
+            lines.append(fmt(abs(balance)))
+        pages.append(lines)
+
+    status = "not_available"
+    if summary != "none":
+        sd, sc = total_debit, total_credit
+        if summary == "mismatch":
+            sd += 777.77
+            status = "failed"
+        else:
+            status = "passed"
+        pages[-1] += [
+            "Saldo Awal",
+            "Total Transaksi Debet",
+            "Total Transaksi Kredit",
+            "Saldo Akhir",
+            fmt(rng.randint(1_000_000, 9_000_000)),
+            fmt(sd),
+            fmt(sc),
+            fmt(abs(balance)),
+        ]
+
+    truth = {
+        "account_no": account_no,
+        "n_txns": n_txns,
+        "total_debit": round(total_debit, 2),
+        "total_credit": round(total_credit, 2),
+        "verify_status": status,
+        "product_name": product.split("-")[0],
+        "business_unit": city,
+    }
+    return pages, truth
+
+
+def html_page(rng: random.Random) -> Tuple[bytes, str]:
+    """Boilerplate-wrapped article; returns (html bytes, golden main text)."""
+    n_paras = rng.randint(2, 5)
+    paras = []
+    for _ in range(n_paras):
+        k = rng.randint(18, 40)
+        paras.append(" ".join(rng.choice(_EN_WORDS) for _ in range(k)))
+    nav = " ".join(f'<a href="/{w}">{w}</a>' for w in rng.sample(_EN_WORDS, 5))
+    body = "".join(f"<p>{p}</p>\n" for p in paras)
+    html = (
+        "<!DOCTYPE html><html><head><title>Synth Page</title>"
+        "<script>var boiler = '<p>never extracted</p>';</script>"
+        "<style>.x{color:red}</style></head><body>\n"
+        f"<nav>{nav}</nav>\n<header><h1>Site {rng.randint(1, 999)}</h1></header>\n"
+        f"<article>\n{body}</article>\n"
+        f'<div>{" ".join(f"<a href=#{i}>tag{i}</a>" for i in range(6))}</div>\n'
+        "<footer>Copyright 2026 Synth Corp <a href='/tos'>Terms</a></footer>\n"
+        "</body></html>"
+    )
+    return html.encode("utf-8"), "\n".join(paras)
+
+
+_EPOCH = datetime(2024, 1, 1)
+
+
+def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
+    """One deterministic row of the ``pages`` table for global index ``i``."""
+    rng = random.Random((seed << 32) ^ i)
+    url = f"https://synth.example/{seed}/{i:08d}"
+    ts = _EPOCH + timedelta(seconds=i % 31_536_000)
+    roll = rng.random()
+    text: Optional[str] = None
+    lang = rng.choice(_LANGS)
+    if roll < 0.48:  # PDF statement
+        oversized = rng.random() < 0.02
+        n_pages = rng.randint(6, 10) if oversized else rng.randint(1, 3)
+        with_user = rng.random() < 0.7
+        pages, truth = statement_lines(
+            rng,
+            n_pages=n_pages,
+            rows_per_page=rng.randint(4, 12),
+            with_user=with_user,
+            summary=rng.choice(["match", "match", "match", "mismatch", "none"]) if with_user else "none",
+            amount_format="id" if with_user else "us",
+        )
+        payload = pdf_from_lines(
+            pages,
+            xref_stream=rng.random() < 0.5,
+            td_ops=rng.random() < 0.3,
+            compress=rng.random() < 0.9,
+        )
+        # some urls embed the account number (filename-fallback path,
+        # reference: pymupdf_parser.py:62-71)
+        if rng.random() < 0.3:
+            url = f"https://synth.example/{seed}/stmt_{truth['account_no']}.pdf"
+        lang = "id"
+    elif roll < 0.94:  # HTML page
+        payload, golden = html_page(rng)
+        text = golden  # crawler-provided text column ~ main content
+        lang = "en"
+    elif roll < 0.97:  # corrupt / truncated payloads → error column
+        kind = rng.random()
+        if kind < 0.4:
+            payload = b"%PDF-1.4 mock PDF content"  # test_batch.py:127-129 shape
+        elif kind < 0.7:
+            good = pdf_from_lines([["01/01/24 01:02:03", "x", "1.00"]])
+            payload = good[: len(good) // 3]
+        else:
+            payload = bytes(rng.getrandbits(8) for _ in range(64))
+    else:  # empty / null payload
+        payload = b"" if rng.random() < 0.5 else None
+    return {"url": url, "warc_ts": ts, "html": payload, "text": text, "lang": lang}
+
+
+def synth_pages_df(spark, n: int, seed: int = 42, num_partitions: Optional[int] = None):
+    """Distributed deterministic corpus: one row per index in [0, n).
+
+    Generation happens executor-side via ``mapInPandas`` over ``spark.range``
+    (keyed only on (seed, i)); no driver loop, no broadcast of payloads —
+    the same code path scales from 10^3 test rows to 10^9 bench rows.
+    """
+    import pandas as pd
+
+    parts = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = [make_page_row(int(i), seed) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
