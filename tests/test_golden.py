@@ -1,0 +1,72 @@
+"""Golden-fixture byte-identity tests (J2 golden diff; FIXTURES.md §4).
+
+The correctness gate of the north rule: extracted text per document must be
+byte-identical to the frozen fixture corpus. Any engine change that shifts a
+byte here is a breaking change by definition.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from b_pdf_parser_spark import fields
+from b_pdf_parser_spark.htmlmodel import extract_html_text
+from b_pdf_parser_spark.pdfmodel import extract_pdf_pages
+
+from tools.genfixtures import metadata_csv, transactions_csv
+
+PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td", "d4_multipage_raw"]
+HTML_DOCS = ["d5_article", "d6_entities"]
+
+
+@pytest.mark.parametrize("name", PDF_DOCS)
+def test_pdf_text_byte_identical(name, fixtures_dir):
+    payload = (fixtures_dir / f"{name}.pdf").read_bytes()
+    pages = extract_pdf_pages(payload)
+    full = "".join(p + "\n" for p in pages)
+    expected = (fixtures_dir / f"{name}.expected_text.txt").read_bytes()
+    assert full.encode("utf-8") == expected
+
+
+@pytest.mark.parametrize("name", HTML_DOCS)
+def test_html_text_byte_identical(name, fixtures_dir):
+    payload = (fixtures_dir / f"{name}.html").read_bytes()
+    expected = (fixtures_dir / f"{name}.expected_text.txt").read_bytes()
+    assert extract_html_text(payload).encode("utf-8") == expected
+
+
+@pytest.mark.parametrize("name", PDF_DOCS)
+def test_pdf_csv_contracts(name, fixtures_dir):
+    payload = (fixtures_dir / f"{name}.pdf").read_bytes()
+    pages = extract_pdf_pages(payload)
+    full = "".join(p + "\n" for p in pages)
+    meta = fields.extract_metadata(pages[0])
+    meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
+    txns = fields.extract_transactions(full)
+    summary = fields.extract_summary_totals(full)
+    for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+        meta[k] = summary.get(k) or ""
+    assert metadata_csv(meta).encode() == (fixtures_dir / f"{name}.expected_meta.csv").read_bytes()
+    assert transactions_csv(txns).encode() == (fixtures_dir / f"{name}.expected_txns.csv").read_bytes()
+
+
+@pytest.mark.parametrize("name", PDF_DOCS)
+def test_pdf_verification_golden(name, fixtures_dir):
+    payload = (fixtures_dir / f"{name}.pdf").read_bytes()
+    pages = extract_pdf_pages(payload)
+    full = "".join(p + "\n" for p in pages)
+    txns = fields.extract_transactions(full)
+    got = fields.verify_turnover(txns, 0.01, full)
+    expected = json.loads((fixtures_dir / f"{name}.expected_verify.json").read_text())
+    assert got == expected
+
+
+def test_golden_counts_stable(fixtures_dir):
+    """Anchor counts, like the reference's 47/14/15 CHANGELOG anchors."""
+    expected_counts = {"d1_classic_match": 6, "d2_xrefstm_mismatch": 10,
+                       "d3_nouser_td": 7, "d4_multipage_raw": 12}
+    for name, n in expected_counts.items():
+        payload = (fixtures_dir / f"{name}.pdf").read_bytes()
+        full = "".join(p + "\n" for p in extract_pdf_pages(payload))
+        assert len(fields.extract_transactions(full)) == n, name

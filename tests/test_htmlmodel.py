@@ -1,0 +1,69 @@
+"""HTML tokenizer/classifier tests (north-rule HTML path; FIXTURES.md §3)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from b_pdf_parser_spark.htmlmodel import extract_html_blocks, extract_html_text
+
+
+def test_article_kept_boilerplate_dropped():
+    html = (
+        b"<html><head><title>T</title><script>x='<p>no</p>'</script></head><body>"
+        b"<nav><a href='/'>a</a> <a href='/b'>b</a> <a href='/c'>c</a></nav>"
+        b"<article><p>" + b"word " * 20 + b"</p></article>"
+        b"<footer>copy <a href='/t'>terms</a></footer></body></html>"
+    )
+    text = extract_html_text(html)
+    assert text == ("word " * 20).strip()
+    blocks = extract_html_blocks(html)
+    by_container = {b.container for b in blocks if not b.is_content}
+    assert "nav" in by_container and "footer" in by_container
+
+
+def test_entities_decoded():
+    html = b"<article><p>A &amp; B &#39;q&#39; &lt;x&gt; &#x41; ok</p></article>"
+    assert extract_html_text(html) == "A & B 'q' <x> A ok"
+
+
+def test_script_style_comment_dropped():
+    html = (
+        b"<body><!-- <p>comment</p> --><style>p{}</style>"
+        b"<script>if(a<b){'</div>'}</script>"
+        b"<article><p>only this survives the sweep of raw text elements in "
+        b"the final output of the extractor today</p></article></body>"
+    )
+    assert "comment" not in extract_html_text(html)
+    assert "survives" in extract_html_text(html)
+
+
+def test_link_density_rejects_link_farm():
+    farm = b"<div>" + b" ".join(b'<a href="#%d">link%d</a>' % (i, i) for i in range(12)) + b"</div>"
+    html = b"<body>" + farm + b"<article><p>" + b"real " * 18 + b"</p></article></body>"
+    text = extract_html_text(html)
+    assert "link1" not in text and "real" in text
+
+
+def test_malformed_and_empty():
+    assert extract_html_text(b"") == ""
+    assert extract_html_text(b"<div><<p>broken") == ""  # short fragment, no content block
+    # truncated tag at EOF must not raise
+    extract_html_text(b"<article><p>x</p><div cla")
+
+
+def test_word_counts_and_link_chars():
+    html = b'<p>five words in this block</p><p><a href="x">linked text</a></p>'
+    blocks = extract_html_blocks(html)
+    assert blocks[0].n_words == 5 and blocks[0].link_chars == 0
+    assert blocks[1].link_chars == len("linked text")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_never_raises(data):
+    extract_html_text(data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=500))
+def test_never_raises_text(data):
+    extract_html_text(data.encode("utf-8", "replace"))

@@ -1,0 +1,146 @@
+"""PDF object-model unit + property tests (mirror of the reference's
+fuzz/unit layers, SURVEY §5; reference analog tests/test_utils.py:165-197
+no-crash invariants)."""
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from b_pdf_parser_spark import pdfmodel as pm
+from b_pdf_parser_spark.pdfwriter import build_pdf, pdf_from_lines
+
+
+# ---- lexer ----------------------------------------------------------------
+
+def test_parse_basic_values():
+    assert pm.parse_value(b" 42 ", 0)[0] == 42
+    assert pm.parse_value(b"-3.5", 0)[0] == -3.5
+    assert pm.parse_value(b"true", 0)[0] is True
+    assert pm.parse_value(b"false", 0)[0] is False
+    assert pm.parse_value(b"null", 0)[0] is None
+    assert pm.parse_value(b"/Name#20x", 0)[0] == "Name x"
+    assert pm.parse_value(b"(abc)", 0)[0] == b"abc"
+    assert pm.parse_value(b"<414243>", 0)[0] == b"ABC"
+    assert pm.parse_value(b"<41424>", 0)[0] == b"AB@"  # odd digit → pad 0
+    assert pm.parse_value(b"[1 2 (x)]", 0)[0] == [1, 2, b"x"]
+    assert pm.parse_value(b"<< /A 1 /B [2] >>", 0)[0] == {"A": 1, "B": [2]}
+    assert pm.parse_value(b"7 0 R", 0)[0] == pm.Ref(7, 0)
+    assert pm.parse_value(b"% comment\n9", 0)[0] == 9
+
+
+def test_literal_string_escapes():
+    assert pm.parse_value(rb"(a\(b\)c)", 0)[0] == b"a(b)c"
+    assert pm.parse_value(rb"(a\nb\tc)", 0)[0] == b"a\nb\tc"
+    assert pm.parse_value(rb"(\101\102)", 0)[0] == b"AB"
+    assert pm.parse_value(rb"(\8)", 0)[0] == b"8"  # unknown escape passthrough
+    assert pm.parse_value(b"(nest(ed))", 0)[0] == b"nest(ed)"
+    with pytest.raises(pm.PdfError):
+        pm.parse_value(b"(unterminated", 0)
+
+
+def test_number_vs_ref_disambiguation():
+    # "1 2" alone is a number then another number, not a ref
+    v, i = pm.parse_value(b"1 2 obj", 0)
+    assert v == 1
+    v, _ = pm.parse_value(b"[1 0 R 2]", 0)
+    assert v == [pm.Ref(1, 0), 2]
+
+
+# ---- filters ----------------------------------------------------------------
+
+def test_png_up_predictor_roundtrip():
+    rows = [bytes([i, i + 1, i + 2, i + 3, i + 4]) for i in range(0, 40, 5)]
+    filt = bytearray()
+    prev = bytes(5)
+    for r in rows:
+        filt.append(2)
+        filt += bytes((r[k] - prev[k]) & 0xFF for k in range(5))
+        prev = r
+    out = pm._apply_png_predictor(bytes(filt), columns=5, colors=1, bpc=8)
+    assert out == b"".join(rows)
+
+
+def test_all_png_filter_types():
+    # filter type 0 (None) and 1 (Sub)
+    data = bytes([0, 10, 20, 30]) + bytes([1, 5, 5, 5])
+    out = pm._apply_png_predictor(data, columns=3, colors=1, bpc=8)
+    assert out == bytes([10, 20, 30, 5, 10, 15])  # Sub adds the left byte
+
+
+def test_flate_robustness():
+    assert pm._flate(zlib.compress(b"hello")) == b"hello"
+    with pytest.raises(pm.PdfError):
+        pm._flate(b"not zlib data")
+
+
+# ---- document structure -----------------------------------------------------
+
+@pytest.mark.parametrize("xref_stream", [False, True])
+@pytest.mark.parametrize("td_ops", [False, True])
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip_all_variants(xref_stream, td_ops, compress):
+    lines = [["alpha beta", "gamma (delta)", "1.234.567,89"], ["page two"]]
+    pdf = pdf_from_lines(lines, xref_stream=xref_stream, td_ops=td_ops, compress=compress)
+    pages = pm.extract_pdf_pages(pdf)
+    assert pages == ["alpha beta\ngamma (delta)\n1.234.567,89\n", "page two\n"]
+    assert pm.extract_pdf_text(pdf) == (
+        "alpha beta\ngamma (delta)\n1.234.567,89\n\npage two\n\n"
+    )
+
+
+def test_xref_recovery_from_corrupt_table():
+    pdf = pdf_from_lines([["recovered text"]])
+    # smash the startxref offset → forces brute-force object scan
+    broken = pdf.replace(b"startxref", b"startxrEF", 1)
+    assert pm.extract_pdf_text(broken) == "recovered text\n\n"
+
+
+def test_same_line_spans_sorted_by_x():
+    pdf = build_pdf([[(200.0, 700.0, "right"), (72.0, 700.0, "left")]])
+    assert pm.extract_pdf_text(pdf) == "left right\n\n"
+
+
+def test_line_y_clustering():
+    pdf = build_pdf([[(72.0, 700.0, "a"), (120.0, 699.0, "b"), (72.0, 680.0, "c")]])
+    assert pm.extract_pdf_text(pdf) == "a b\nc\n\n"
+
+
+def test_errors_raise_pdferror():
+    for payload in (b"", b"%PDF-1.4 mock PDF content", b"\x00" * 64,
+                    pdf_from_lines([["x"]])[:150]):
+        with pytest.raises(pm.PdfError):
+            pm.extract_pdf_text(payload)
+
+
+# ---- property tests ---------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_never_raises_anything_but_pdferror(data):
+    try:
+        pm.extract_pdf_text(b"%PDF-" + data)
+    except pm.PdfError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=40),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=3,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_writer_parser_roundtrip_property(pagelines, xs, td):
+    # strip() because layout join collapses leading/trailing whitespace
+    pdf = pdf_from_lines(pagelines, xref_stream=xs, td_ops=td)
+    got = pm.extract_pdf_pages(pdf)
+    expected = [
+        "".join(" ".join(ln.split()) + "\n" for ln in page if ln.split()) for page in pagelines
+    ]
+    got_norm = ["".join(" ".join(l.split()) + "\n" for l in p.splitlines() if l.split()) for p in got]
+    assert got_norm == expected

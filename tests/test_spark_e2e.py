@@ -1,0 +1,96 @@
+"""Local-Spark end-to-end tests of the extraction pipeline (SURVEY §5 mirror
+layer 4): synthetic pages corpus → extract → relational cross-checks."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from b_pdf_parser_spark.operators.extract import extract_pages
+from b_pdf_parser_spark.plans.verify import (
+    parse_id_number_col,
+    transactions_table,
+    verify_turnover_plan,
+)
+from b_pdf_parser_spark.sources.pages import synth_pages_df
+
+N = 200
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pages = synth_pages_df(spark, N, seed=SEED, num_partitions=4)
+    df = extract_pages(pages, num_partitions=8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_row_count_and_kinds(extracted):
+    assert extracted.count() == N
+    kinds = {r["kind"]: r["n"] for r in
+             extracted.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert kinds.get("pdf", 0) > 50 and kinds.get("html", 0) > 50
+    assert set(kinds) <= {"pdf", "html", "empty", "error"}
+
+
+def test_errors_never_fail_job(extracted):
+    errs = extracted.filter(F.col("error").isNotNull())
+    assert errs.count() > 0  # corpus contains corrupt payloads by design
+    assert errs.filter(F.col("kind") == "pdf").count() == 0
+
+
+def test_pdf_docs_parse_and_validate(extracted):
+    pdfs = extracted.filter(F.col("kind") == "pdf")
+    n = pdfs.count()
+    assert pdfs.filter(F.col("valid")).count() == n  # synthetic corpus is clean
+    assert pdfs.filter(F.col("n_transactions") > 0).count() == n
+    assert pdfs.filter(F.col("metadata.valuta") == "IDR").count() == n
+    assert pdfs.filter(F.col("metadata.account_no") == "").count() == 0
+
+
+def test_relational_verify_matches_udf_verify(extracted):
+    pdfs = extracted.filter(F.col("kind") == "pdf")
+    rel = verify_turnover_plan(pdfs)
+    joined = pdfs.select(
+        "url", F.col("verification.status").alias("udf_status")
+    ).join(rel, "url")
+    assert joined.filter(F.col("udf_status") != F.col("status")).count() == 0
+    statuses = {r["status"] for r in rel.select("status").distinct().collect()}
+    assert "passed" in statuses
+
+
+def test_transactions_explode_shape(extracted):
+    txn = transactions_table(extracted)
+    total = extracted.agg(F.sum("n_transactions")).collect()[0][0]
+    assert txn.count() == total
+    # seq is dense per url starting at 0
+    mx = txn.groupBy("url").agg(F.max("seq").alias("m"), F.count("*").alias("c"))
+    assert mx.filter(F.col("m") != F.col("c") - 1).count() == 0
+
+
+def test_partition_id_stable_and_bounded(extracted):
+    pids = extracted.select("partition_id").distinct().collect()
+    assert all(0 <= r["partition_id"] < 64 for r in pids)
+    # recomputing yields identical assignment (resume safety)
+    again = extracted.select(
+        "url",
+        F.pmod(F.xxhash64("url"), F.lit(64)).cast("int").alias("pid2"),
+    )
+    j = extracted.select("url", "partition_id").join(again, "url")
+    assert j.filter(F.col("partition_id") != F.col("pid2")).count() == 0
+
+
+def test_parse_id_number_col_semantics(spark):
+    rows = [("1.000.000,00", 1000000.0), ("123,45", 123.45), ("", 0.0),
+            ("abc", 0.0), ("1,000,000.00", 0.0), ("100,000.00", 100.0)]
+    df = spark.createDataFrame(rows, "v string, expected double")
+    bad = df.filter(parse_id_number_col(F.col("v")) != F.col("expected"))
+    assert bad.count() == 0
+
+
+def test_determinism_same_seed_same_output(spark, extracted):
+    pages2 = synth_pages_df(spark, N, seed=SEED, num_partitions=2)  # different layout
+    ext2 = extract_pages(pages2, num_partitions=4)
+    a = extracted.select("url", "text", "n_transactions")
+    b = ext2.select("url", "text", "n_transactions")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

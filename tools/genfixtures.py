@@ -1,0 +1,131 @@
+"""Generate the frozen golden-fixture corpus (FIXTURES.md §4).
+
+Writes, per document ``k``: input bytes (``k.pdf`` / ``k.html``),
+``k.expected_text.txt`` (byte-identical extracted text),
+``k.expected_meta.csv`` (``Field;Value`` contract of utils.py:428-444),
+``k.expected_txns.csv`` (``Date;Description;User;Debit;Credit;Balance``
+contract of utils.py:447-481), ``k.expected_verify.json``
+(verify_turnover dict, utils.py:763-775).
+
+Run once (``python tools/genfixtures.py``), hand-audit, commit. Goldens are
+produced by OUR stack and frozen — every later engine change is diffed
+byte-wise against them (SURVEY §7.4 risk 1). Deterministic: fixed seeds.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from b_pdf_parser_spark import fields  # noqa: E402
+from b_pdf_parser_spark.htmlmodel import extract_html_text  # noqa: E402
+from b_pdf_parser_spark.pdfmodel import extract_pdf_pages  # noqa: E402
+from b_pdf_parser_spark.pdfwriter import pdf_from_lines  # noqa: E402
+from b_pdf_parser_spark.sources.pages import html_page, statement_lines  # noqa: E402
+
+FIXDIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+
+
+def metadata_csv(meta: dict) -> str:
+    """Field;Value CSV, numbers normalized (S7 sink contract)."""
+    buf = io.StringIO(newline="")
+    w = csv.writer(buf, delimiter=";")
+    w.writerow(["Field", "Value"])
+    for k in fields.METADATA_KEYS:
+        v = meta.get(k, "")
+        w.writerow([k, fields.normalize_number(v) if v else ""])
+    return buf.getvalue()
+
+
+def transactions_csv(txns: list) -> str:
+    """6-column CSV with headers even when empty (S8 sink contract)."""
+    buf = io.StringIO(newline="")
+    w = csv.writer(buf, delimiter=";")
+    w.writerow(["Date", "Description", "User", "Debit", "Credit", "Balance"])
+    for t in txns:
+        w.writerow(
+            [
+                t.get("date", ""),
+                t.get("description", ""),
+                t.get("user", ""),
+                fields.normalize_number(t.get("debit", "")),
+                fields.normalize_number(t.get("credit", "")),
+                fields.normalize_number(t.get("balance", "")),
+            ]
+        )
+    return buf.getvalue()
+
+
+def freeze_pdf(name: str, payload: bytes) -> None:
+    (FIXDIR / f"{name}.pdf").write_bytes(payload)
+    pages = extract_pdf_pages(payload)
+    full = "".join(p + "\n" for p in pages)
+    meta = fields.extract_metadata(pages[0])
+    meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
+    txns = fields.extract_transactions(full)
+    summary = fields.extract_summary_totals(full)
+    for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+        meta[k] = summary.get(k) or ""
+    ver = fields.verify_turnover(txns, 0.01, full)
+    (FIXDIR / f"{name}.expected_text.txt").write_bytes(full.encode("utf-8"))
+    (FIXDIR / f"{name}.expected_meta.csv").write_text(metadata_csv(meta), newline="")
+    (FIXDIR / f"{name}.expected_txns.csv").write_text(transactions_csv(txns), newline="")
+    (FIXDIR / f"{name}.expected_verify.json").write_text(json.dumps(ver, indent=1, sort_keys=True))
+    print(f"{name}: {len(payload)}B pdf, {len(txns)} txns, verify={ver['status']}")
+
+
+def freeze_html(name: str, payload: bytes) -> None:
+    (FIXDIR / f"{name}.html").write_bytes(payload)
+    text = extract_html_text(payload)
+    (FIXDIR / f"{name}.expected_text.txt").write_bytes(text.encode("utf-8"))
+    print(f"{name}: {len(payload)}B html, {len(text)} chars")
+
+
+def main() -> None:
+    FIXDIR.mkdir(parents=True, exist_ok=True)
+
+    # d1: classic xref, user layout, Indonesian amounts, summary matches
+    pages, _ = statement_lines(random.Random(101), n_pages=1, rows_per_page=6,
+                               with_user=True, summary="match", amount_format="id")
+    freeze_pdf("d1_classic_match", pdf_from_lines(pages))
+
+    # d2: xref stream + ObjStm, deliberately mismatched summary → failed
+    pages, _ = statement_lines(random.Random(202), n_pages=2, rows_per_page=5,
+                               with_user=True, summary="mismatch", amount_format="id")
+    freeze_pdf("d2_xrefstm_mismatch", pdf_from_lines(pages, xref_stream=True))
+
+    # d3: no-user layout, US amounts, no summary → not_available; Td/TL/'/TJ ops
+    pages, _ = statement_lines(random.Random(303), n_pages=1, rows_per_page=7,
+                               with_user=False, summary="none", amount_format="us")
+    freeze_pdf("d3_nouser_td", pdf_from_lines(pages, td_ops=True))
+
+    # d4: 3 pages, xref stream, td ops, uncompressed
+    pages, _ = statement_lines(random.Random(404), n_pages=3, rows_per_page=4,
+                               with_user=True, summary="match", amount_format="id")
+    freeze_pdf("d4_multipage_raw", pdf_from_lines(pages, xref_stream=True, td_ops=True,
+                                                  compress=False))
+
+    # d5/d6: html pages (template + adversarial)
+    payload, _ = html_page(random.Random(505))
+    freeze_html("d5_article", payload)
+    freeze_html(
+        "d6_entities",
+        (
+            "<html><head><title>T</title><script>if(a<b){x='</div>'}</script></head><body>"
+            "<nav><a href='/'>home</a><a href='/x'>x</a><a href='/y'>y</a></nav>"
+            "<article><p>Entity soup &amp; &#39;quotes&#39; &lt;tags&gt; &#x41;BC plus "
+            "enough plain words to be kept as the single main content block here "
+            "for the golden file test of the tokenizer</p></article>"
+            "<footer><a href='/tos'>terms</a> &copy; corp</footer></body></html>"
+        ).encode("utf-8"),
+    )
+
+
+if __name__ == "__main__":
+    main()
