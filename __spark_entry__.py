@@ -1,38 +1,677 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction query on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+the training-data pack (dedup / similarity / text analysis / multimodal).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Determinism rules used throughout so the order-insensitive value-hash
+matches between engines:
+
+* money aggregates go through ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS
+  DOUBLE)`` — decimal addition is exact and order-independent, and the final
+  double conversion is identical in both engines;
+* float ratios are ``ROUND(int/int, 4)`` (integer inputs → identical IEEE
+  division);
+* embedding dot products are sequential float64 left folds in both engines
+  (Spark ``aggregate``/``zip_with`` ≡ DuckDB ``list_reduce``/``list_zip``);
+* ranked outputs return ids + rank, never raw float scores;
+* hashes are md5 hex strings; min/order over them is lexicographic in both.
+
+Extraction-pipeline queries (PDF/HTML walk, media decode) are not
+SQL-expressible — they run on a deterministic synthetic corpus and take the
+driver's rows-only check (no ``oracle_sql`` entry, as allowed).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
+
+_T = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(c) -> F.Column:
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# relational pack (reference operators re-derived on the provided tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):  # A1/A2/A6: grouped sums + manual avg
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+             / F.count("*")).alias("avg_qty"),
+        )
+    )
+
+
+def q_top_customers(spark, sf):  # J1 broadcast join + O2 deterministic top-k
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dec_sum(F.col("o_totalprice")).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_order_totals_check(spark, sf):  # A3 tolerance verification
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    sums = li.groupBy("l_orderkey").agg(_dec_sum(F.col("l_extendedprice")).alias("calc_total"))
+    j = orders.join(sums, orders.o_orderkey == sums.l_orderkey, "left")
+    status = (
+        F.when(F.col("calc_total").isNull(), F.lit("not_available"))
+        .when(F.abs(F.col("o_totalprice") - F.col("calc_total")) <= 0.01, F.lit("passed"))
+        .otherwise(F.lit("failed"))
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(F.count("*").alias("n"))
+
+
+def q_regional_revenue(spark, sf):  # multi-join star query
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), _dec_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+def q_sessionize_events(spark, sf):  # W1 sessionization window
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731 (parquet ts is NTZ)
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.select("user_id", "event_id", F.sum(is_new).over(run).alias("session_id"))
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+def q_first_purchase_after_signup(spark, sf):  # W2 first-value-after-label
+    ev = _t(spark, sf, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    j = pur.join(signup, "user_id").filter(F.col("ts") > F.col("signup_ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_purchase_event"))
+    )
+
+
+def q_daily_event_stats(spark, sf):  # date agg (A4/A5 metrics analog)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("value")).alias("total_value"))
+    )
+
+
+def q_top_parts(spark, sf):  # O1/O2 deterministic order+limit
+    p = _t(spark, sf, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(15)
+    )
+
+
+def q_valid_orders(spark, sf):  # P14 validity predicate + left-semi join
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    valid = (
+        o.filter((F.col("o_totalprice") > 0) & F.col("o_orderstatus").isin("O", "F", "P"))
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+    )
+    return valid.groupBy("o_orderstatus").agg(F.count("*").alias("n_valid"))
+
+
+def q_golden_diff(spark, sf):  # J2 golden-diff set op (expect 0 mismatches)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)).alias("n_mismatch"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_keyword_extract(spark, sf):  # P1-P7: regexp_extract + rlike predicates
+    d = _t(spark, sf, "documents")
+    kw = F.regexp_extract(F.col("text"), r"(spark|hash|join|merge)", 1)
+    return (
+        d.select(F.col("lang"), kw.alias("keyword"))
+        .filter(F.col("keyword") != "")
+        .groupBy("lang", "keyword")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_props_rlike(spark, sf):  # P6 anchor predicate analog on events.props
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("props").rlike(r'"k": \d{2}\}'))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis pack (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf):
+    from b_pdf_parser_spark.operators import textstats as ts
+
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(c).alias("n_tokens"),
+        ts.bpe_ish_count(c).alias("n_bpe_tokens"),
+        ts.mean_word_len(c).alias("mean_word_len"),
+        ts.quality_score(c).alias("quality"),
+        ts.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def q_langid(spark, sf):
+    from b_pdf_parser_spark.operators import textstats as ts
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", ts.langid(F.col("text")).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# dedup pack (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf):
+    from b_pdf_parser_spark.operators.dedup import exact_dup_stats
+
+    d = _t(spark, sf, "documents")
+    g = exact_dup_stats(d, "doc_id", "text")
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_dups").alias("n_docs"),
+        F.sum(F.when(F.col("n_dups") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def q_minhash_signatures(spark, sf):
+    from b_pdf_parser_spark.operators.dedup import minhash_signature_string
+
+    d = _t(spark, sf, "documents")
+    return minhash_signature_string(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+def q_lsh_candidates(spark, sf):
+    from b_pdf_parser_spark.operators.dedup import lsh_candidate_pairs
+
+    d = _t(spark, sf, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text")
+
+
+def q_shingle_overlap_jaccard(spark, sf):
+    """Top-20 doc pairs by shared 3-gram count, with exact n-gram Jaccard."""
+    from b_pdf_parser_spark.operators.dedup import shingles
+
+    d = _t(spark, sf, "documents")
+    sh = shingles(d, "doc_id", "text", 3)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_inter",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4)
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("n_inter"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+def q_simhash(spark, sf):
+    from b_pdf_parser_spark.operators.dedup import simhash
+
+    d = _t(spark, sf, "documents")
+    return simhash(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity pack (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(spark, sf):
+    from b_pdf_parser_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    return cosine_topk(e, query_pred=F.col("vec_id") % 50 == 0, k=3)
+
+
+def q_embedding_neardup(spark, sf):
+    from b_pdf_parser_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def q_lsh_ann_topk(spark, sf):  # rows-only: hyperplanes not SQL-portable
+    from b_pdf_parser_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    return lsh_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3)
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (rows-only: the whole point is non-SQL byte walking)
+# ---------------------------------------------------------------------------
+
+_CORPUS_N = 150
+_CORPUS_SEED = 7
+
+
+def _corpus_extracted(spark):
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.extract import extract_pages
+    from b_pdf_parser_spark.sources.pages import synth_pages_df
+
+    b_pdf_parser_spark.ship_package(spark)  # --py-files equivalent for workers
+    pages = synth_pages_df(spark, _CORPUS_N, seed=_CORPUS_SEED, num_partitions=8)
+    return extract_pages(pages, num_partitions=16)
+
+
+def q_extract_kinds(spark, sf):
+    ext = _corpus_extracted(spark)
+    return ext.select(
+        "url", "kind", "n_transactions", "valid",
+        F.col("verification.status").alias("status"),
+        "n_pages", "payload_bytes", "n_tokens",
+        F.col("metadata.account_no").alias("account_no"),
+        F.col("metadata.valuta").alias("valuta"),
+    )
+
+
+def q_extract_transactions(spark, sf):
+    from b_pdf_parser_spark.plans.verify import transactions_table
+
+    return transactions_table(_corpus_extracted(spark))
+
+
+def q_extract_verify_relational(spark, sf):
+    from b_pdf_parser_spark.plans.verify import verify_turnover_plan
+
+    ext = _corpus_extracted(spark)
+    return verify_turnover_plan(ext.filter(F.col("kind") == "pdf")).select(
+        "url", "status", "passed", "debit_match", "credit_match"
+    )
+
+
+def q_media_features(spark, sf):
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import decode_features, synth_media_df
+
+    b_pdf_parser_spark.ship_package(spark)
+    return decode_features(synth_media_df(spark, 200))
+
+
+def q_media_frame_sample(spark, sf):
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import frame_sample, synth_media_df
+
+    b_pdf_parser_spark.ship_package(spark)
+    return frame_sample(synth_media_df(spark, 200), every=2)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction + per-url turnover verification on sf0.001 scale."""
+    return q_extract_kinds(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def queries() -> dict[str, _T]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "order_totals_check": q_order_totals_check,
+        "regional_revenue": q_regional_revenue,
+        "sessionize_events": q_sessionize_events,
+        "first_purchase_after_signup": q_first_purchase_after_signup,
+        "daily_event_stats": q_daily_event_stats,
+        "top_parts": q_top_parts,
+        "valid_orders": q_valid_orders,
+        "golden_diff": q_golden_diff,
+        "keyword_extract": q_keyword_extract,
+        "props_rlike": q_props_rlike,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "shingle_overlap_jaccard": q_shingle_overlap_jaccard,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "extract_kinds": q_extract_kinds,
+        "extract_transactions": q_extract_transactions,
+        "extract_verify_relational": q_extract_verify_relational,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "string_split(lower(trim(text)), ' ')"
+_SHINGLES_CTE = f"""
+toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS w, generate_subscripts({_TOKS}, 1) AS pos
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS shingle,
+           lead(w, 2) OVER win AS last2
+    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE last2 IS NOT NULL)
+"""
+
+_EN_STOP = "('the','and','of','to','a')"
+_Q_STOP = {
+    "en": "('the','and','of','to','a')",
+    "de": "('der','die','und','das','ein')",
+    "fr": "('le','la','et','les','des')",
+    "es": "('el','los','y','las','por')",
+    "id": "('yang','dan','di','ke','itu')",
+}
+_VOTE = {
+    lang: f"len(list_filter({_TOKS}, t -> t IN {words}))" for lang, words in _Q_STOP.items()
+}
+
+_DOT64 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT64.format(a=a, b=b)} / "
+        f"(sqrt({_DOT64.format(a=a, b=a)}) * sqrt({_DOT64.format(a=b, b=b)}))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+        """,
+        "order_totals_check": """
+            WITH sums AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS calc_total
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT CASE WHEN calc_total IS NULL THEN 'not_available'
+                        WHEN abs(o_totalprice - calc_total) <= 0.01 THEN 'passed'
+                        ELSE 'failed' END AS status,
+                   COUNT(*) AS n
+            FROM orders LEFT JOIN sums ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
+        "regional_revenue": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, event_id,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g)
+            SELECT user_id, session_id, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "first_purchase_after_signup": """
+            WITH signup AS (
+                SELECT user_id, MIN(ts) AS signup_ts FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+            j AS (
+                SELECT e.user_id, e.event_id,
+                       row_number() OVER (PARTITION BY e.user_id
+                                          ORDER BY e.ts, e.event_id) AS rn
+                FROM events e JOIN signup s ON e.user_id = s.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts)
+            SELECT user_id, event_id AS first_purchase_event FROM j WHERE rn = 1
+        """,
+        "daily_event_stats": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 15
+        """,
+        "valid_orders": """
+            SELECT o_orderstatus, COUNT(*) AS n_valid FROM orders
+            WHERE o_totalprice > 0 AND o_orderstatus IN ('O','F','P')
+              AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            GROUP BY o_orderstatus
+        """,
+        "golden_diff": """
+            SELECT SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_mismatch,
+                   COUNT(*) AS n_docs
+            FROM documents
+        """,
+        "keyword_extract": """
+            SELECT lang, keyword, COUNT(*) AS n FROM (
+                SELECT lang, regexp_extract(text, '(spark|hash|join|merge)', 1) AS keyword
+                FROM documents) t
+            WHERE keyword <> '' GROUP BY lang, keyword
+        """,
+        "props_rlike": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE regexp_matches(props, '"k": \\d{2}\\}')
+            GROUP BY event_type
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS n_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+                   CASE WHEN length(trim(text)) = 0 OR len({_TOKS}) = 0 THEN 0.0
+                        ELSE round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                                   / len({_TOKS}), 4) END AS mean_word_len,
+                   round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_EN_STOP})) AS DOUBLE)
+                                     / len({_TOKS}) END)
+                       + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                                     / len({_TOKS}) END) / 8.0, 1.0)
+                       + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                                ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                     / length(text) END)), 4) AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "langid": f"""
+            SELECT doc_id,
+                   CASE WHEN {_VOTE['en']} > 0 AND {_VOTE['en']} >= {_VOTE['de']}
+                             AND {_VOTE['en']} >= {_VOTE['fr']} AND {_VOTE['en']} >= {_VOTE['es']}
+                             AND {_VOTE['en']} >= {_VOTE['id']} THEN 'en'
+                        WHEN {_VOTE['de']} > 0 AND {_VOTE['de']} >= {_VOTE['fr']}
+                             AND {_VOTE['de']} >= {_VOTE['es']} AND {_VOTE['de']} >= {_VOTE['id']} THEN 'de'
+                        WHEN {_VOTE['fr']} > 0 AND {_VOTE['fr']} >= {_VOTE['es']}
+                             AND {_VOTE['fr']} >= {_VOTE['id']} THEN 'fr'
+                        WHEN {_VOTE['es']} > 0 AND {_VOTE['es']} >= {_VOTE['id']} THEN 'es'
+                        WHEN {_VOTE['id']} > 0 THEN 'id'
+                        ELSE 'und' END AS lang_guess
+            FROM documents
+        """,
+        "exact_dedup": """
+            WITH g AS (
+                SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+                FROM documents GROUP BY md5(text))
+            SELECT COUNT(*) AS n_groups, SUM(n_dups) AS n_docs,
+                   SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+            FROM g
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLES_CTE},
+            seeded AS (
+                SELECT doc_id, g AS seed, shingle
+                FROM sh CROSS JOIN generate_series(0, 7) t(g)),
+            mh AS (
+                SELECT doc_id, seed,
+                       MIN(substr(md5(seed || ':' || shingle), 1, 16)) AS minhash
+                FROM seeded GROUP BY doc_id, seed)
+            SELECT doc_id, string_agg(seed || '=' || minhash, ',' ORDER BY seed) AS signature
+            FROM mh GROUP BY doc_id
+        """,
+        "lsh_candidates": f"""
+            WITH {_SHINGLES_CTE},
+            seeded AS (
+                SELECT doc_id, g AS seed, shingle
+                FROM sh CROSS JOIN generate_series(0, 7) t(g)),
+            mh AS (
+                SELECT doc_id, seed,
+                       MIN(substr(md5(seed || ':' || shingle), 1, 16)) AS minhash
+                FROM seeded GROUP BY doc_id, seed),
+            keys AS (
+                SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                       string_agg(seed || '=' || minhash, ',' ORDER BY seed || '=' || minhash) AS band_key
+                FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM keys a JOIN keys b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "shingle_overlap_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b, n_inter,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            ORDER BY n_inter DESC, id_a ASC, id_b ASC LIMIT 20
+        """,
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+                FROM documents),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN substr(md5(w), b.bit + 1, 1)
+                                     IN ('1','3','5','7','9','b','d','f')
+                                THEN 1 ELSE -1 END) AS v
+                FROM toks CROSS JOIN generate_series(0, 15) b(bit)
+                WHERE w <> ''
+                GROUP BY doc_id, b.bit)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       {_cos('q.qvec', 'e.embedding')} AS score
+                FROM q CROSS JOIN embeddings e
+                WHERE q.query_id <> e.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+        """,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND {_cos('a.embedding', 'b.embedding')} >= 0.4
+        """,
+    }

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* **Brute-force cosine top-k** — correctness baseline. Queries are a small
+  subset → ``broadcast()`` them; the scan side never shuffles. Dot products
+  are a native ``zip_with``/``aggregate`` left fold **in float64** (cast
+  before multiply), which matches a sequential Python/DuckDB fold bit-for-bit
+  — that's what makes the DuckDB oracle hash-stable.
+* **LSH-bucketed ANN** — the scale path: sign-bit signatures against
+  deterministic pseudo-random hyperplanes (seeded, derived from md5 so
+  executors need no shared state), bucket join, re-rank within bucket.
+  At 10^12 vectors the bucket join replaces the quadratic cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+__all__ = ["dot64", "cosine", "cosine_topk", "lsh_ann_topk"]
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot64(a: Column, b: Column) -> Column:
+    """Sequential float64 left-fold dot product (oracle-exact)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot64(a, b) / (F.sqrt(dot64(a, a)) * F.sqrt(dot64(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column,
+    k: int = 3,
+) -> DataFrame:
+    """For every row matching ``query_pred``: top-k nearest neighbors by
+    cosine (self excluded). Returns (query_id, rank, neighbor_id).
+
+    Scores are kept out of the output on purpose (rank is float-stable for
+    random data; raw float scores are not hash-portable across engines).
+    """
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 7) -> list:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — no RNG
+    state to ship to executors, same values everywhere."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{plane}:{d}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ≈ U(-1, 1)
+    return vals
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column,
+    k: int = 3,
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket by sign bits, re-rank in-bucket.
+
+    Recall < 1 by construction (a candidate must share the full signature);
+    n_planes trades bucket size against recall. The bucket join shuffles on
+    the signature key only — linear-ish at scale.
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
+
+    def sig(vec: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane_col = F.array(*[F.lit(v) for v in planes[p]])
+            bits.append(F.when(dot64(vec, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    with_sig = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        q.join(with_sig, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("nvec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

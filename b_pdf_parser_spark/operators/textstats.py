@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines (driver pack).
+
+All pure column expressions (JVM-side, whole-stage codegen — zero Python).
+Each formula is written to be *portably* re-expressible in ANSI/DuckDB SQL
+so every operator has a DuckDB oracle in ``__spark_entry__.py``:
+
+* token counting   — whitespace tokens + a BPE-ish word/punct regex count
+* quality scoring  — stopword ratio, mean word length, punctuation ratio
+* language ID      — stopword-vote heuristic with a fixed tie-break order
+* fingerprinting   — md5 of whitespace-normalized text
+
+Scale: all of these are map-only (no shuffle); they pipeline into the same
+stage as the scan, and columnar parquet scans prune to ``text`` only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "STOPWORDS",
+    "token_count",
+    "bpe_ish_count",
+    "mean_word_len",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "fingerprint",
+    "langid",
+    "with_text_stats",
+]
+
+# small fixed stopword sets; the langid vote is a heuristic, not a model
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "por"),
+    "id": ("yang", "dan", "di", "ke", "itu"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es", "id")  # deterministic tie-break
+
+
+def _toks(c: Column) -> Column:
+    return F.split(F.trim(c), " ")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(_toks(c)))
+
+
+def bpe_ish_count(c: Column) -> Column:
+    """BPE-ish token estimate: count of word-runs and single punctuation
+    marks (``\\w+|[^\\w\\s]`` occurrences)."""
+    return F.regexp_count(c, F.lit(r"\w+|[^\w\s]"))
+
+
+def mean_word_len(c: Column) -> Column:
+    nt = token_count(c)
+    return F.when(nt == 0, F.lit(0.0)).otherwise(
+        F.round(F.length(F.replace(F.trim(c), F.lit(" "), F.lit(""))) / nt, 4)
+    )
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(n_punct / n, 4))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    nt = token_count(c)
+    hits = F.size(F.filter(_toks(c), lambda t: t.isin(*STOPWORDS[lang])))
+    return F.when(nt == 0, F.lit(0.0)).otherwise(F.round(hits / nt, 4))
+
+
+def quality_score(c: Column) -> Column:
+    """Length/punct/stopword composite in [0,1] — the usual cheap pre-filter
+    for web text. Formula mirrored verbatim in the DuckDB oracle."""
+    nt = token_count(c)
+    swr = F.when(nt == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(_toks(c), lambda t: t.isin(*STOPWORDS["en"]))) / nt
+    )
+    mwl = F.when(nt == 0, F.lit(0.0)).otherwise(
+        F.length(F.replace(F.trim(c), F.lit(" "), F.lit(""))) / nt
+    )
+    n = F.length(c)
+    pr = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / n
+    )
+    return F.round(
+        F.lit(0.4) * swr + F.lit(0.4) * F.least(mwl / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - pr),
+        4,
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def langid(c: Column) -> Column:
+    """Stopword-vote language guess; max votes, ties broken by the fixed
+    priority order en > de > fr > es > id; zero votes everywhere → 'und'."""
+    def hits(words):
+        ws = tuple(words)
+        return F.size(F.filter(_toks(c), lambda t: t.isin(*ws)))
+
+    votes = {lang: hits(words) for lang, words in STOPWORDS.items()}
+    expr = F.lit("und")
+    # build the nested CASE back-to-front: a lang wins if its vote is > 0 and
+    # >= every lower-priority lang's vote (earlier langs checked first)
+    for i in range(len(_LANG_ORDER) - 1, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = votes[lang] > 0
+        for later in _LANG_ORDER[i + 1:]:
+            cond = cond & (votes[lang] >= votes[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_count(c).alias("n_bpe_tokens"),
+        F.length(c).alias("n_chars_calc"),
+        mean_word_len(c).alias("mean_word_len"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+        langid(c).alias("lang_guess"),
+    )

@@ -1,0 +1,73 @@
+"""Mirror of the driver's correctness gate: every ``queries()`` entry with an
+``oracle_sql()`` twin must match DuckDB on row count, schema width and
+(order-insensitive) values. Runs at sf0.001 to stay fast; the driver runs
+the same comparison at sf0.01."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return f"{val:.9g}"
+    if hasattr(val, "isoformat"):
+        return val.isoformat()
+    return str(val)
+
+
+def _rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return sorted(tuple(_canon(r[c]) for c in cols) for _, r in df_pandas.iterrows())
+
+
+ORACLES = entry.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(entry.queries())
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    q = entry.queries()[name]
+    got = q(spark, SF_DIR).toPandas()
+    exp = duck.execute(ORACLES[name]).df()
+    assert sorted(got.columns) == sorted(c.lower() for c in exp.columns), (
+        f"{name}: column mismatch {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    exp.columns = [c.lower() for c in exp.columns]
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    g, e = _rows(got), _rows(exp)
+    mism = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:5]
+    assert g == e, f"{name}: first diffs {[(g[i], e[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(entry.queries()) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = entry.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
