@@ -208,8 +208,8 @@ def q_text_stats(spark, sf):
 def q_langid(spark, sf):
     from b_pdf_parser_spark.operators import textstats as ts
 
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", ts.langid(F.col("text")).alias("lang_guess"))
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return ts.with_langid(d).select("doc_id", "lang_guess")
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +350,10 @@ def q_extract_transactions(spark, sf):
 def q_extract_verify_relational(spark, sf):
     from b_pdf_parser_spark.plans.verify import verify_turnover_plan
 
-    ext = _corpus_extracted(spark)
-    return verify_turnover_plan(ext.filter(F.col("kind") == "pdf")).select(
+    # the verify plan references the extraction twice (doc side + sums side);
+    # localCheckpoint materializes the mapInPandas subtree once
+    ext = _corpus_extracted(spark).filter(F.col("kind") == "pdf").localCheckpoint()
+    return verify_turnover_plan(ext).select(
         "url", "status", "passed", "debit_match", "credit_match"
     )
 

@@ -103,6 +103,9 @@ def lsh_candidate_pairs(
         F.array_join(F.array_sort(F.collect_list(F.concat_ws("=", "seed", "minhash"))), ",")
         .alias("band_key")
     )
+    # the self-join references `keys` twice; checkpoint so the whole
+    # shingle→minhash subtree (4 shuffles) is computed once, not twice
+    keys = keys.localCheckpoint(eager=False)
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -119,7 +122,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidate pairs: (id_a, id_b, jaccard)."""
     cands = lsh_candidate_pairs(df, id_col, text_col, n=n)
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)  # used 3×
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -122,6 +122,28 @@ def langid(c: Column) -> Column:
     return expr
 
 
+def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
+    """Two-phase langid: vote columns materialized once, then the CASE reads
+    them — avoids the single-Column form's O(langs²) re-evaluation of the
+    token filters inside the nested CASE."""
+    c = F.col(text_col)
+
+    def hits(words):  # single-arg lambda: PySpark binds extra params to the index
+        ws = tuple(words)
+        return F.size(F.filter(_toks(c), lambda t: t.isin(*ws)))
+
+    votes = [hits(words).alias(f"_v_{lang}") for lang, words in STOPWORDS.items()]
+    tmp = df.select("*", *votes)
+    expr = F.lit("und")
+    for i in range(len(_LANG_ORDER) - 1, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = F.col(f"_v_{lang}") > 0
+        for later in _LANG_ORDER[i + 1:]:
+            cond = cond & (F.col(f"_v_{lang}") >= F.col(f"_v_{later}"))
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return tmp.select(*df.columns, expr.alias(out_col))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

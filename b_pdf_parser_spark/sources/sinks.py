@@ -1,0 +1,70 @@
+"""CSV sink contracts (S7–S9) — executor-side distributed writes.
+
+The reference writes per-file CSVs from the driver process
+(batch.py:374-377, its scaling ceiling — SURVEY §7.5); here the same output
+contracts are DataFrame writes that scale with the cluster:
+
+* metadata  — ``Field;Value`` long form, numbers normalized (utils.py:428-444)
+* transactions — ``Date;Description;User;Debit;Credit;Balance``
+  (utils.py:447-481)
+* metrics  — the per-partition manifest table (benchmark.py:254-289 analog)
+
+All ';'-delimited with headers, numbers through the native P11 expression.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..fields import METADATA_KEYS
+from ..functions.numbers import normalize_number_col
+
+__all__ = ["metadata_kv_table", "transactions_csv_table", "write_csv"]
+
+
+def metadata_kv_table(extracted: DataFrame) -> DataFrame:
+    """url → (Field, Value) rows in the reference's metadata CSV shape."""
+    pairs = []
+    for k in METADATA_KEYS:
+        pairs.append(F.lit(k))
+        pairs.append(F.col(f"metadata.{k}"))
+    stacked = extracted.select(
+        "url",
+        F.expr(
+            "stack({n}, {args}) as (Field, RawValue)".format(
+                n=len(METADATA_KEYS),
+                args=", ".join(
+                    f"'{k}', metadata.{k}" for k in METADATA_KEYS
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "url",
+        "Field",
+        F.when(
+            F.col("RawValue").isNull() | (F.col("RawValue") == ""), F.lit("")
+        ).otherwise(normalize_number_col(F.col("RawValue"))).alias("Value"),
+    )
+
+
+def transactions_csv_table(txns: DataFrame) -> DataFrame:
+    """Exploded transactions → the 6-column CSV contract (numbers normalized)."""
+    return txns.select(
+        "url",
+        "seq",
+        F.col("date").alias("Date"),
+        F.col("description").alias("Description"),
+        F.col("user").alias("User"),
+        normalize_number_col(F.col("debit")).alias("Debit"),
+        normalize_number_col(F.col("credit")).alias("Credit"),
+        normalize_number_col(F.col("balance")).alias("Balance"),
+    )
+
+
+def write_csv(df: DataFrame, path: str, *, order_by: str = "url") -> None:
+    """';'-delimited CSV with headers, deterministically ordered (O1)."""
+    df.orderBy(order_by).write.option("sep", ";").option("header", True).mode(
+        "overwrite"
+    ).csv(path)

@@ -1,0 +1,60 @@
+"""Kill/resume semantics of the extraction job (SURVEY §7.2 step 7): a
+resumed run must process exactly the partitions the killed run didn't,
+without duplicating any output row."""
+
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jobs.extract import load_manifest, load_metrics, run_extract_job  # noqa: E402
+from b_pdf_parser_spark.sources.pages import synth_pages_df  # noqa: E402
+
+N = 120
+P = 16
+
+
+def test_kill_and_resume(spark, tmp_path):
+    out = str(tmp_path / "job_out")
+    pages = synth_pages_df(spark, N, seed=9, num_partitions=4)
+
+    # simulate a kill: only 2 of 4 waves run
+    first = run_extract_job(spark, pages, out, checkpoint_partitions=P,
+                            waves=4, max_waves=2, num_partitions=8)
+    assert not first["complete"]
+    done_after_kill = set(load_manifest(out))
+    assert 0 < len(done_after_kill) < P
+    assert set(first["processed_partitions"]) == done_after_kill
+
+    # resume: must process exactly the complement, reprocess nothing
+    second = run_extract_job(spark, pages, out, checkpoint_partitions=P,
+                             waves=4, num_partitions=8)
+    assert second["complete"]
+    assert set(second["skipped_partitions"]) == done_after_kill
+    assert set(second["processed_partitions"]).isdisjoint(done_after_kill)
+    assert set(second["processed_partitions"]) | done_after_kill == set(range(P))
+
+    # output is exactly one row per url, nothing duplicated or lost
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == N
+    assert ext.select("url").distinct().count() == N
+
+    # metrics table sums agree with the data
+    m = load_metrics(spark, out)
+    assert m.count() == P
+    assert m.agg(F.sum("docs")).collect()[0][0] == N
+    errs = ext.filter(F.col("error").isNotNull()).count()
+    assert m.agg(F.sum("errors")).collect()[0][0] == errs
+    assert all(r["lineage"] for r in m.select("lineage").collect())
+
+
+def test_rerun_of_complete_job_is_noop(spark, tmp_path):
+    out = str(tmp_path / "job_out2")
+    pages = synth_pages_df(spark, 40, seed=11, num_partitions=2)
+    run_extract_job(spark, pages, out, checkpoint_partitions=8, waves=2, num_partitions=4)
+    again = run_extract_job(spark, pages, out, checkpoint_partitions=8, waves=2, num_partitions=4)
+    assert again["processed_partitions"] == []
+    assert len(again["skipped_partitions"]) == 8
+    assert spark.read.parquet(f"{out}/extracted").count() == 40
