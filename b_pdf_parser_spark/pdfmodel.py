@@ -735,37 +735,101 @@ def _translate(tx: float, ty: float) -> Matrix:
     return (1.0, 0.0, 0.0, 1.0, tx, ty)
 
 
+def _pre_translate(m: Matrix, tx: float, ty: float) -> Matrix:
+    """translate(tx,ty) · m — the hot Td/TD/T* case, without a full matmul."""
+    return (m[0], m[1], m[2], m[3],
+            tx * m[0] + ty * m[2] + m[4],
+            tx * m[1] + ty * m[3] + m[5])
+
+
 class _Op(bytes):
     """Marker type distinguishing operator tokens from bytes string values."""
 
     __slots__ = ()
 
 
+# master tokenizer for content streams. Unlike the object lexer, content
+# streams cannot contain indirect references, so numbers need no "N G R"
+# lookahead — this regex loop is ~3× faster than the general parse_value
+# path on operator-dense streams (the extraction hot loop).
+_CTOK_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*"  # leading whitespace folded into every token
+    rb"(?:%[^\r\n]*"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[A-Za-z'\"*][A-Za-z0-9'\"*]*)"
+    rb"|(?P<arr>[\[\]])"
+    rb"|(?P<dct><<)"
+    rb"|(?P<lit>\()"
+    rb"|(?P<hex><)"
+    rb"|.|$)",
+    re.S,
+)
+
+# fast path for literal strings with no escapes and no nested parens —
+# the overwhelmingly common case in text-operator streams
+_SIMPLE_STR_RE = re.compile(rb"([^()\\]*)\)")
+
+
 def _content_tokens(buf: bytes) -> Iterator[Any]:
-    """Yield values and operator tokens (as ``_Op``) from a content stream."""
-    i = 0
+    """Yield values and operator tokens (as ``_Op``) from a content stream.
+
+    Arrays (TJ operands) are assembled inline; dictionaries (BDC/gs property
+    lists) fall back to the general parser. Unknown bytes are skipped.
+    """
+    pos = 0
     n = len(buf)
-    while True:
-        i = _skip_ws(buf, i)
-        if i >= n:
-            return
-        c = buf[i]
-        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or c in b"+-.0123456789":
+    arr: Optional[List[Any]] = None
+    scan = _CTOK_RE.match
+    while pos < n:
+        m = scan(buf, pos)
+        end = m.end()
+        if end == pos:  # lone '$' match at EOF guard
+            break
+        pos = end
+        kind = m.lastgroup
+        if kind is None:  # whitespace / comment / stray byte
+            continue
+        if kind == "num":
+            tok = m.group("num")
+            v: Any = float(tok) if b"." in tok else int(tok)
+        elif kind == "op":
+            yield _Op(m.group("op"))
+            continue
+        elif kind == "name":
+            raw = m.group("name")[1:]
+            if b"#" in raw:
+                v, _ = _parse_name(buf, m.start("name") + 1)
+            else:
+                v = Name(raw.decode("latin-1"))
+        elif kind == "lit":
+            sm = _SIMPLE_STR_RE.match(buf, pos)
+            if sm:
+                v, pos = sm.group(1), sm.end()
+            else:
+                try:
+                    v, pos = _parse_literal_string(buf, pos)
+                except PdfError:
+                    continue
+        elif kind == "arr":
+            if m.group("arr") == b"[":
+                arr = []
+                continue
+            v, arr = (arr if arr is not None else []), None
+        elif kind == "hex":
             try:
-                v, i = parse_value(buf, i)
+                v, pos = _parse_hex_string(buf, pos)
             except PdfError:
-                i += 1
                 continue
-            yield v
-        elif c == 0x5D or c == 0x3E or c == 0x7B or c == 0x7D:
-            i += 1  # stray delimiter; skip
+        else:  # '<<' dictionary
+            try:
+                v, pos = _parse_dict(buf, pos)
+            except PdfError:
+                continue
+        if arr is not None:
+            arr.append(v)
         else:
-            tok, j = _read_token(buf, i)
-            if j == i:
-                i += 1
-                continue
-            i = j
-            yield _Op(tok)
+            yield v
 
 
 class _Span:
@@ -799,10 +863,10 @@ def _extract_spans(content: bytes) -> List[_Span]:
         nonlocal seq
         if not isinstance(raw, (bytes, bytearray)):
             return
-        text = _decode_text(bytes(raw))
+        text = bytes(raw).decode("latin-1")
         if text == "":
             return
-        m = _mat_mul(tm, ctm)
+        m = tm if ctm is _IDENTITY else _mat_mul(tm, ctm)
         spans.append(_Span(m[4], m[5], text, seq))
         seq += 1
 
@@ -815,36 +879,31 @@ def _extract_spans(content: bytes) -> List[_Span]:
             continue
         op = tok
         try:
-            if op == b"BT":
-                in_text = True
-                tm = tlm = _IDENTITY
-            elif op == b"ET":
-                in_text = False
+            if op == b"Tj":
+                if in_text and stack:
+                    emit(stack[-1])
             elif op == b"Tm" and len(stack) >= 6:
                 a, b, c, d, e, f = (num(v) for v in stack[-6:])
                 tm = tlm = (a, b, c, d, e, f)
             elif op == b"Td" and len(stack) >= 2:
-                tlm = _mat_mul(_translate(num(stack[-2]), num(stack[-1])), tlm)
+                tlm = _pre_translate(tlm, num(stack[-2]), num(stack[-1]))
                 tm = tlm
             elif op == b"TD" and len(stack) >= 2:
                 leading = -num(stack[-1])
-                tlm = _mat_mul(_translate(num(stack[-2]), num(stack[-1])), tlm)
+                tlm = _pre_translate(tlm, num(stack[-2]), num(stack[-1]))
                 tm = tlm
             elif op == b"TL" and len(stack) >= 1:
                 leading = num(stack[-1])
             elif op == b"T*":
-                tlm = _mat_mul(_translate(0.0, -leading), tlm)
+                tlm = _pre_translate(tlm, 0.0, -leading)
                 tm = tlm
-            elif op == b"Tj" and len(stack) >= 1:
-                if in_text:
-                    emit(stack[-1])
             elif op == b"'" and len(stack) >= 1:
-                tlm = _mat_mul(_translate(0.0, -leading), tlm)
+                tlm = _pre_translate(tlm, 0.0, -leading)
                 tm = tlm
                 if in_text:
                     emit(stack[-1])
             elif op == b'"' and len(stack) >= 3:
-                tlm = _mat_mul(_translate(0.0, -leading), tlm)
+                tlm = _pre_translate(tlm, 0.0, -leading)
                 tm = tlm
                 if in_text:
                     emit(stack[-1])
@@ -852,6 +911,11 @@ def _extract_spans(content: bytes) -> List[_Span]:
                 if in_text and isinstance(stack[-1], list):
                     parts = [bytes(e) for e in stack[-1] if isinstance(e, (bytes, bytearray))]
                     emit(b"".join(parts))
+            elif op == b"BT":
+                in_text = True
+                tm = tlm = _IDENTITY
+            elif op == b"ET":
+                in_text = False
             elif op == b"q":
                 gstack.append(ctm)
             elif op == b"Q":
