@@ -185,6 +185,48 @@ def q_props_rlike(spark, sf):  # P6 anchor predicate analog on events.props
     )
 
 
+def q_rollup_revenue(spark, sf):  # grouping-sets capability (free in Spark)
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.rollup("r_name", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"), _dec_sum(F.col("o_totalprice")).alias("revenue")
+    )
+
+
+def q_part_rank_in_brand(spark, sf):  # W3 ranking window
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey")
+    )
+
+
+def q_orders_without_lineitems(spark, sf):  # O4 set op: EXCEPT
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.exceptAll(li.distinct()).distinct()
+
+
+def q_union_activity(spark, sf):  # O4 set op: UNION ALL + re-aggregate
+    ev = _t(spark, sf, "events")
+    big = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        F.lit("big_purchase").alias("kind"), "event_id"
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error").alias("kind"), "event_id"
+    )
+    return big.unionByName(errs).groupBy("kind").agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # text-analysis pack (documents)
 # ---------------------------------------------------------------------------
@@ -398,6 +440,10 @@ def queries() -> dict[str, _T]:
         "golden_diff": q_golden_diff,
         "keyword_extract": q_keyword_extract,
         "props_rlike": q_props_rlike,
+        "rollup_revenue": q_rollup_revenue,
+        "part_rank_in_brand": q_part_rank_in_brand,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "union_activity": q_union_activity,
         "text_stats": q_text_stats,
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
@@ -552,6 +598,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n FROM events
             WHERE regexp_matches(props, '"k": \\d{2}\\}')
             GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT r_name, o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, o_orderstatus)
+        """,
+        "part_rank_in_brand": """
+            SELECT p_brand, rank, p_partkey FROM (
+                SELECT p_brand, p_partkey,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+                FROM part) t
+            WHERE rank <= 3
+        """,
+        "orders_without_lineitems": """
+            SELECT o_orderkey FROM orders
+            EXCEPT
+            SELECT l_orderkey AS o_orderkey FROM lineitem
+        """,
+        "union_activity": """
+            SELECT kind, COUNT(*) AS n FROM (
+                SELECT 'big_purchase' AS kind, event_id FROM events
+                WHERE event_type = 'purchase' AND value > 100
+                UNION ALL
+                SELECT 'error' AS kind, event_id FROM events WHERE event_type = 'error'
+            ) t GROUP BY kind
         """,
         "text_stats": f"""
             SELECT doc_id,
