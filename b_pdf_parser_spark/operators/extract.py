@@ -9,9 +9,10 @@ Spark-first design (SURVEY §3.2, §4.3):
 * **Partitioning**: a stable logical ``partition_id = pmod(xxhash64(url), P)``
   column is the checkpoint/lineage unit (resume-safe, independent of the
   physical layout). Physically, oversized payloads (> ``skew_threshold``
-  bytes) are split off and round-robin rebalanced so multi-MB documents
-  never serialize into one straggler task (north_rule salt-split; the
-  indivisible-row analog of key salting).
+  bytes) take an independently salted hash key in the same single shuffle,
+  so multi-MB documents never pile into one straggler task (north_rule
+  salt-split; the indivisible-row analog of key salting) and the source is
+  scanned exactly once.
 * **Error capture**: a corrupt document sets the ``error`` column; the job
   never throws (reference semantics batch.py:134-190, S10).
 * **Column pruning**: only ``url, html`` (+passthrough ``warc_ts``) are
@@ -185,6 +186,15 @@ def extract_pages(
     spark = pages.sparkSession
     p_phys = num_partitions or spark.sparkContext.defaultParallelism * 2
 
+    # salt-split of oversized payloads in a SINGLE scan + shuffle: rows above
+    # the skew threshold are keyed by an independent salted hash, so multi-MB
+    # documents decorrelate from the url-hash placement of small rows and
+    # spread uniformly (the indivisible-row analog of key salting; a
+    # two-branch filter+union would scan the 100 TB source twice)
+    oversized = F.coalesce(F.length("html") > skew_threshold, F.lit(False))
+    part_key = F.when(
+        oversized, F.xxhash64("url", F.lit("skew-salt"))
+    ).otherwise(F.xxhash64("url"))
     tagged = pages.select(
         "url",
         "warc_ts",
@@ -192,18 +202,10 @@ def extract_pages(
         F.pmod(F.xxhash64("url"), F.lit(checkpoint_partitions))
         .cast("int")
         .alias("partition_id"),
-        (F.length("html") > skew_threshold).alias("_oversized"),
+        part_key.alias("_pkey"),
     )
-    small = (
-        tagged.filter(~F.coalesce("_oversized", F.lit(False)))
-        .drop("_oversized")
-        .repartition(p_phys, F.xxhash64("url"))
+    return (
+        tagged.repartition(p_phys, F.col("_pkey"))
+        .drop("_pkey")
+        .mapInPandas(extract_batch, schema=EXTRACTED_SCHEMA)
     )
-    # indivisible big rows: round-robin spread so none of them pile up in one
-    # task (the salt-split of north_rule; AQE skew-join handles the join side)
-    big = (
-        tagged.filter(F.coalesce("_oversized", F.lit(False)))
-        .drop("_oversized")
-        .repartition(max(p_phys // 4, 8))
-    )
-    return small.unionByName(big).mapInPandas(extract_batch, schema=EXTRACTED_SCHEMA)

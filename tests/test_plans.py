@@ -41,13 +41,15 @@ def test_extraction_scan_prunes_columns(spark, pages_parquet):
     assert "text:string" not in read_schema.replace(" ", "")
 
 
-def test_extraction_has_exactly_two_exchanges(spark, pages_parquet):
+def test_extraction_has_exactly_one_exchange(spark, pages_parquet):
     from b_pdf_parser_spark.operators.extract import extract_pages
 
     pages = spark.read.parquet(pages_parquet)
     plan = _plan(extract_pages(pages, num_partitions=4))
-    assert plan.count("Exchange") == 2  # hashpartitioning + roundrobin
-    assert "hashpartitioning" in plan and "RoundRobinPartitioning" in plan
+    # single scan, single salted-hash shuffle — no double read of the source
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning" in plan
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_filter_pushdown_on_pages(spark, pages_parquet):
