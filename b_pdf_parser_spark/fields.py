@@ -36,6 +36,8 @@ __all__ = [
     "extract_metadata",
     "extract_metadata_batch",
     "extract_transactions",
+    "extract_transactions_inline",
+    "transactions_from_table_rows",
     "extract_summary_totals",
     "parse_id_number",
     "normalize_number",
@@ -227,6 +229,79 @@ def extract_transactions(text: str) -> List[Dict[str, str]]:
             }
         )
     return txns
+
+
+_INLINE_ROW_RE = re.compile(
+    r"^(\d{2}/\d{2}/\d{2})\s+(.+?)\s+(\w+)\s+([\d,.]+)?\s+([\d,.]+)?\s+([\d,.]+)"
+)
+# substring header guards of the inline parser (pdfplumber_parser.py:111-125);
+# a line containing any of these is skipped before the row regex runs
+_INLINE_SKIP_SUBSTRINGS = (
+    "Tanggal Transaksi", "Transaction Date", "Uraian Transaksi",
+    "Transaction Description", "Teller", "User ID", "Debet", "Debit",
+    "Kredit", "Credit", "Saldo", "Balance", "Total Transaksi",
+    "Opening Balance",
+)
+
+
+def extract_transactions_inline(text: str) -> List[Dict[str, str]]:
+    """One-line transaction rows (P9); contract of pdfplumber_parser.py:85-142.
+
+    Quirks preserved: the date keeps only ``DD/MM/YY`` (no time), the
+    description capture is leftmost-shortest so multi-word descriptions can
+    shift fields (single-token descriptions parse cleanly), header lines are
+    skipped by substring containment.
+    """
+    out: List[Dict[str, str]] = []
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line or any(s in line for s in _INLINE_SKIP_SUBSTRINGS):
+            continue
+        m = _INLINE_ROW_RE.match(line)
+        if not m:
+            continue
+        date, desc, user, debit, credit, balance = m.groups()
+        out.append(
+            {
+                "date": date.strip(),
+                "description": desc.strip(),
+                "user": user.strip(),
+                "debit": debit.strip() if debit else "",
+                "credit": credit.strip() if credit else "",
+                "balance": balance.strip(),
+            }
+        )
+    return out
+
+
+def transactions_from_table_rows(tables: List[List[List[Optional[str]]]]) -> List[Dict[str, str]]:
+    """Table-cell rows → transactions (P10); contract of
+    pdfplumber_parser.py:145-178: header row skipped, ≥6 cells, date-anchored.
+
+    Spark-native form: ``filter(size(row) >= 6 AND row[0] rlike anchor)`` +
+    struct projection over an ``array<array<string>>`` column.
+    """
+    out: List[Dict[str, str]] = []
+    for table in tables:
+        if not table or len(table) < 2:
+            continue
+        for row in table[1:]:
+            if len(row) < 6:
+                continue
+            cells = [c or "" for c in row]
+            if not _ANCHOR_RE.match(cells[0]):
+                continue
+            out.append(
+                {
+                    "date": cells[0].strip(),
+                    "description": cells[1].strip(),
+                    "user": cells[2].strip(),
+                    "debit": cells[3].strip(),
+                    "credit": cells[4].strip(),
+                    "balance": cells[5].strip(),
+                }
+            )
+    return out
 
 
 def extract_summary_totals(text: str) -> Dict[str, Optional[str]]:

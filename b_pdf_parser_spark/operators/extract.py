@@ -144,7 +144,11 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             full_text = texts.iloc[idx]
             url = b["url"].iloc[idx]
             meta["account_no"] = fields.account_no_from_url(_url_stem(url), meta["account_no"])
+            # strategy fallback chain (S2 semantics, pdfplumber_parser.py:241-250):
+            # column-layout walk first, inline one-line rows if it found nothing
             txns = fields.extract_transactions(full_text) if full_text else []
+            if not txns and d["kind"] == "pdf" and full_text:
+                txns = fields.extract_transactions_inline(full_text)
             summary = fields.extract_summary_totals(full_text) if full_text else {}
             for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
                 meta[k] = summary.get(k) or ""  # merge rule: only truthy values

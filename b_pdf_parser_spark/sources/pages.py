@@ -72,6 +72,7 @@ def statement_lines(
     with_user: bool = True,
     summary: str = "match",  # 'match' | 'mismatch' | 'none'
     amount_format: str = "id",  # 'id' | 'us'
+    layout: str = "column",  # 'column' (per-field lines) | 'inline' (one-line rows, P9)
 ) -> Tuple[List[List[str]], Dict[str, Any]]:
     """Generate column-layout statement text lines + ground truth.
 
@@ -143,6 +144,18 @@ def statement_lines(
                 total_debit += amount
                 balance -= amount
                 debit_s, credit_s = fmt(amount), zero
+            if layout == "inline":
+                # one-line rows (P9): date WITHOUT time (so the column-walk
+                # anchor never fires and the inline fallback takes over) and a
+                # single-token description (the reference's leftmost-shortest
+                # description capture shifts fields on multi-word text)
+                date_only = ts.split(" ")[0]
+                user = "".join(str(rng.randint(1, 9)) for _ in range(7))
+                lines.append(
+                    f"{date_only} {desc.replace(' ', '_')} {user} "
+                    f"{debit_s} {credit_s} {fmt(abs(balance))}"
+                )
+                continue
             lines.append(ts)
             lines.append(desc)
             if rng.random() < 0.3:
@@ -221,14 +234,20 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
     if roll < 0.48:  # PDF statement
         oversized = rng.random() < 0.02
         n_pages = rng.randint(6, 10) if oversized else rng.randint(1, 3)
+        layout_roll = rng.random()
+        layout = "inline" if layout_roll < 0.15 else "column"
         with_user = rng.random() < 0.7
         pages, truth = statement_lines(
             rng,
             n_pages=n_pages,
             rows_per_page=rng.randint(4, 12),
             with_user=with_user,
-            summary=rng.choice(["match", "match", "match", "mismatch", "none"]) if with_user else "none",
-            amount_format="id" if with_user else "us",
+            summary=(
+                rng.choice(["match", "match", "match", "mismatch", "none"])
+                if (with_user or layout == "inline") else "none"
+            ),
+            amount_format="id" if (with_user or layout == "inline") else "us",
+            layout=layout,
         )
         payload = pdf_from_lines(
             pages,

@@ -211,3 +211,36 @@ def test_account_no_from_url():
     assert fields.account_no_from_url("stmt_0419010015483", "keep") == "keep"
     assert fields.account_no_from_url("report-2024", "") == ""
     assert fields.account_no_from_url("x123", "") == ""  # <10 digits
+
+
+def test_extract_transactions_inline():
+    text = (
+        "Tanggal Transaksi Uraian\n"
+        "01/02/24 TRANSFER_MASUK 1234567 0,00 1.000,00 5.000,00\n"
+        "not a row\n"
+        "02/02/24 TARIK_TUNAI 7654321 2.500,00 0,00 2.500,00\n"
+        "Total Transaksi Debet : 99,00\n"  # header-skip substring
+    )
+    txns = fields.extract_transactions_inline(text)
+    assert len(txns) == 2
+    assert txns[0] == {"date": "01/02/24", "description": "TRANSFER_MASUK",
+                       "user": "1234567", "debit": "0,00", "credit": "1.000,00",
+                       "balance": "5.000,00"}
+    # quirk preserved: multi-word descriptions shift the field capture
+    shifted = fields.extract_transactions_inline("01/02/24 TWO WORDS 111 2,00 3,00 4,00\n")
+    assert shifted[0]["description"] == "TWO" and shifted[0]["user"] == "WORDS"
+
+
+def test_transactions_from_table_rows():
+    tables = [
+        [  # header + 2 data rows, one not date-anchored
+            ["Date", "Desc", "User", "D", "C", "B"],
+            ["01/02/24 10:11:12", "PAY", "123", "1,00", None, "5,00"],
+            ["not a date", "x", "y", "1", "2", "3"],
+            ["02/02/24 11:12:13", "RCV", "456", "", "2,00", "7,00", "extra"],
+        ],
+        [["only-header"]],  # too short → skipped
+    ]
+    txns = fields.transactions_from_table_rows(tables)
+    assert [t["description"] for t in txns] == ["PAY", "RCV"]
+    assert txns[0]["credit"] == "" and txns[1]["debit"] == ""

@@ -16,7 +16,8 @@ from b_pdf_parser_spark.pdfmodel import extract_pdf_pages
 
 from tools.genfixtures import metadata_csv, transactions_csv
 
-PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td", "d4_multipage_raw"]
+PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
+            "d4_multipage_raw", "d7_inline_rows"]
 HTML_DOCS = ["d5_article", "d6_entities"]
 
 
@@ -43,7 +44,7 @@ def test_pdf_csv_contracts(name, fixtures_dir):
     full = "".join(p + "\n" for p in pages)
     meta = fields.extract_metadata(pages[0])
     meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
-    txns = fields.extract_transactions(full)
+    txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
     summary = fields.extract_summary_totals(full)
     for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
         meta[k] = summary.get(k) or ""
@@ -56,7 +57,7 @@ def test_pdf_verification_golden(name, fixtures_dir):
     payload = (fixtures_dir / f"{name}.pdf").read_bytes()
     pages = extract_pdf_pages(payload)
     full = "".join(p + "\n" for p in pages)
-    txns = fields.extract_transactions(full)
+    txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
     got = fields.verify_turnover(txns, 0.01, full)
     expected = json.loads((fixtures_dir / f"{name}.expected_verify.json").read_text())
     assert got == expected
@@ -65,8 +66,10 @@ def test_pdf_verification_golden(name, fixtures_dir):
 def test_golden_counts_stable(fixtures_dir):
     """Anchor counts, like the reference's 47/14/15 CHANGELOG anchors."""
     expected_counts = {"d1_classic_match": 6, "d2_xrefstm_mismatch": 10,
-                       "d3_nouser_td": 7, "d4_multipage_raw": 12}
+                       "d3_nouser_td": 7, "d4_multipage_raw": 12,
+                       "d7_inline_rows": 6}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
         full = "".join(p + "\n" for p in extract_pdf_pages(payload))
-        assert len(fields.extract_transactions(full)) == n, name
+        txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
+        assert len(txns) == n, name

@@ -69,6 +69,8 @@ def freeze_pdf(name: str, payload: bytes) -> None:
     meta = fields.extract_metadata(pages[0])
     meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
     txns = fields.extract_transactions(full)
+    if not txns:  # inline fallback, same chain as the extraction operator
+        txns = fields.extract_transactions_inline(full)
     summary = fields.extract_summary_totals(full)
     for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
         meta[k] = summary.get(k) or ""
@@ -110,6 +112,11 @@ def main() -> None:
                                with_user=True, summary="match", amount_format="id")
     freeze_pdf("d4_multipage_raw", pdf_from_lines(pages, xref_stream=True, td_ops=True,
                                                   compress=False))
+
+    # d7: inline one-line rows (P9 fallback path)
+    pages, _ = statement_lines(random.Random(707), n_pages=1, rows_per_page=6,
+                               summary="match", amount_format="id", layout="inline")
+    freeze_pdf("d7_inline_rows", pdf_from_lines(pages))
 
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
