@@ -136,10 +136,18 @@ def _classify(blocks: List[Block]) -> List[Block]:
 
 def extract_html_blocks(data: bytes) -> List[Block]:
     """Tokenize HTML bytes into classified text blocks."""
-    try:
-        html = data.decode("utf-8")
-    except UnicodeDecodeError:
-        html = data.decode("latin-1")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):  # UTF-16 BOM sniff
+        try:
+            html = data.decode("utf-16")
+        except UnicodeDecodeError:
+            html = data.decode("latin-1")
+    else:
+        if data[:3] == b"\xef\xbb\xbf":
+            data = data[3:]
+        try:
+            html = data.decode("utf-8")
+        except UnicodeDecodeError:
+            html = data.decode("latin-1")
 
     blocks: List[Block] = []
     cur = _BlockBuilder("body")

@@ -412,6 +412,10 @@ class PdfDocument:
             self._rebuild_xref()
         if "Root" not in self.trailer:
             raise PdfError("no document catalog (/Root)")
+        if "Encrypt" in self.trailer:
+            # corpus is unencrypted (SURVEY §7.1); fail loud + early so the
+            # error column says why instead of emitting garbage text
+            raise PdfError("encrypted PDF (no /Encrypt support)")
 
     # -- xref loading -------------------------------------------------------
 
@@ -863,7 +867,14 @@ def _extract_spans(content: bytes) -> List[_Span]:
         nonlocal seq
         if not isinstance(raw, (bytes, bytearray)):
             return
-        text = bytes(raw).decode("latin-1")
+        raw = bytes(raw)
+        if raw[:2] == b"\xfe\xff":  # UTF-16BE text string (PDF 1.7 §7.9.2.2)
+            try:
+                text = raw[2:].decode("utf-16-be")
+            except UnicodeDecodeError:
+                text = raw.decode("latin-1")
+        else:
+            text = raw.decode("latin-1")
         if text == "":
             return
         m = tm if ctm is _IDENTITY else _mat_mul(tm, ctm)

@@ -67,3 +67,11 @@ def test_never_raises(data):
 @given(st.text(max_size=500))
 def test_never_raises_text(data):
     extract_html_text(data.encode("utf-8", "replace"))
+
+
+def test_bom_handling():
+    text = "<article><p>" + "words " * 20 + "</p></article>"
+    utf16 = text.encode("utf-16")  # includes BOM
+    assert "words" in extract_html_text(utf16)
+    utf8_bom = b"\xef\xbb\xbf" + text.encode("utf-8")
+    assert "words" in extract_html_text(utf8_bom)

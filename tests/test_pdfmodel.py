@@ -144,3 +144,18 @@ def test_writer_parser_roundtrip_property(pagelines, xs, td):
     ]
     got_norm = ["".join(" ".join(l.split()) + "\n" for l in p.splitlines() if l.split()) for p in got]
     assert got_norm == expected
+
+
+def test_utf16be_text_string():
+    from b_pdf_parser_spark.pdfwriter import build_pdf
+    # hand-assemble a hex UTF-16BE string payload through the hex-string path
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <FEFF0048006900210020D83DDE00> Tj ET"
+    spans = pm._extract_spans(content)
+    assert spans[0].text == "Hi! \U0001f600"  # surrogate pair decoded
+
+
+def test_encrypted_pdf_rejected():
+    pdf = pdf_from_lines([["secret"]])
+    broken = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(pm.PdfError, match="encrypted"):
+        pm.extract_pdf_text(broken)
