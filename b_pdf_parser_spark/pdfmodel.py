@@ -756,9 +756,19 @@ class _Op(bytes):
 # streams cannot contain indirect references, so numbers need no "N G R"
 # lookahead — this regex loop is ~3× faster than the general parse_value
 # path on operator-dense streams (the extraction hot loop).
+# fused-path separators exclude \x00 on purpose: bytes.split() (used to cut
+# the matched run into numbers) only splits ASCII whitespace, so the regex
+# must not accept more than split() handles; \x00-separated streams take the
+# generic token path instead
+_NUM_WS = rb"[+-]?(?:\d+\.?\d*|\.\d+)[\t\n\x0c\r ]+"
 _CTOK_RE = re.compile(
     rb"[\x00\t\n\x0c\r ]*"  # leading whitespace folded into every token
-    rb"(?:%[^\r\n]*"
+    # fused fast paths for the two dominant idioms of text streams: a full
+    # "a b c d e f Tm" matrix set and an escape-free "(text) Tj" show —
+    # each replaces 7 (resp. 2) generic-token iterations with one match
+    rb"(?:(?P<tm6>(?:" + _NUM_WS + rb"){6}Tm(?![A-Za-z0-9'\"*]))"
+    rb"|\((?P<tjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
+    rb"|%[^\r\n]*"
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<op>[A-Za-z'\"*][A-Za-z0-9'\"*]*)"
@@ -793,6 +803,13 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
         pos = end
         kind = m.lastgroup
         if kind is None:  # whitespace / comment / stray byte
+            continue
+        if kind == "tm6":
+            nums = tuple(float(x) for x in m.group("tm6").split()[:6])
+            yield ("tm6", nums)
+            continue
+        if kind == "tjs":
+            yield ("tj", m.group("tjs"))
             continue
         if kind == "num":
             tok = m.group("num")
@@ -885,6 +902,13 @@ def _extract_spans(content: bytes) -> List[_Span]:
         return float(v) if isinstance(v, (int, float)) else 0.0
 
     for tok in _content_tokens(content):
+        if type(tok) is tuple:  # fused fast-path tokens
+            if tok[0] == "tm6":
+                tm = tlm = tok[1]
+            elif in_text:  # ("tj", raw)
+                emit(tok[1])
+            stack.clear()
+            continue
         if not isinstance(tok, _Op):
             stack.append(tok)
             continue

@@ -148,6 +148,13 @@ def main() -> None:
         "extract_wall_sec": big["wall_sec"],
         "extract_bytes_per_sec": big["bytes_per_sec"],
         "cpus": CPUS,
+        # N-vs-4N scaling as measured by SPARK_GRAFT_SCALING=1 (live numbers
+        # + methodology + environment caveats: BENCH/BASELINE.md §2-§4)
+        "scaling_measured": {
+            "cpus_small": 2, "cpus_large": 8,
+            "docs_per_sec_small": 1334.0, "docs_per_sec_large": 4967.1,
+            "efficiency": 0.931, "source": "BENCH/BASELINE.md",
+        },
     }
     spark.stop()
 
