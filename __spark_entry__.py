@@ -107,9 +107,10 @@ def q_regional_revenue(spark, sf):  # multi-join star query
 def q_sessionize_events(spark, sf):  # W1 sessionization window
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731 (parquet ts is NTZ)
-    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
-    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    # NTZ-minus-NTZ yields a day-time interval: timezone-free, so the gap is
+    # identical to DuckDB's naive arithmetic regardless of driver TZ/DST
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     sess = ev.select("user_id", "event_id", F.sum(is_new).over(run).alias("session_id"))
     return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
@@ -545,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
                 SELECT user_id, event_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS is_new
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (

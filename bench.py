@@ -72,12 +72,19 @@ def _ensure_corpus(spark) -> str:
     from b_pdf_parser_spark.sources.pages import synth_pages_df
 
     cache = REPO / ".bench_cache" / f"pages_{N_DOCS}_{SEED}.parquet"
-    if not cache.exists():
+    if not (cache / "_SUCCESS").exists():  # missing OR interrupted generation
         b_pdf_parser_spark.ship_package(spark)
         synth_pages_df(spark, N_DOCS, seed=SEED, num_partitions=CPUS).write.mode(
             "overwrite"
         ).parquet(str(cache))
     return str(cache)
+
+
+def _sf_label():
+    try:
+        return float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return SF_DIR
 
 
 def _noop(df) -> None:
@@ -143,17 +150,18 @@ def main() -> None:
         "value": big["docs_per_sec"],
         "unit": "docs/sec",
         "queries": timings,
-        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": _sf_label(),
         "extract_docs": big["docs"],
         "extract_wall_sec": big["wall_sec"],
         "extract_bytes_per_sec": big["bytes_per_sec"],
         "cpus": CPUS,
-        # N-vs-4N scaling as measured by SPARK_GRAFT_SCALING=1 (live numbers
-        # + methodology + environment caveats: BENCH/BASELINE.md §2-§4)
-        "scaling_measured": {
+        # static copy of the round-1 SPARK_GRAFT_SCALING=1 measurement so
+        # the JSON is self-contained; run with SPARK_GRAFT_SCALING=1 for
+        # live numbers (methodology + caveats: BENCH/BASELINE.md §2-§4)
+        "scaling_reference": {
             "cpus_small": 2, "cpus_large": 8,
             "docs_per_sec_small": 1334.0, "docs_per_sec_large": 4967.1,
-            "efficiency": 0.931, "source": "BENCH/BASELINE.md",
+            "efficiency": 0.931, "static_copy_of": "BENCH/BASELINE.md round-1 run",
         },
     }
     spark.stop()

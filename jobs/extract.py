@@ -90,6 +90,7 @@ def run_extract_job(
     which partition ids were processed by THIS invocation (resume tests use
     it to prove nothing is reprocessed)."""
     b_pdf_parser_spark.ship_package(spark)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     done = set(load_manifest(out_dir))
@@ -115,9 +116,13 @@ def run_extract_job(
             checkpoint_partitions=checkpoint_partitions,
         )
         ext.write.partitionBy("partition_id").mode("overwrite").parquet(out_data)
-        # metrics for the wave, keyed by the stable partition id
+        # metrics for the wave, keyed by the stable partition id. Explicit
+        # schema: a wave whose pids matched no urls writes zero files, and
+        # schema inference on an empty directory would throw.
+        from b_pdf_parser_spark.operators.extract import EXTRACTED_SCHEMA
+
         stats = (
-            spark.read.parquet(out_data)
+            spark.read.schema(EXTRACTED_SCHEMA).parquet(out_data)
             .filter(F.col("partition_id").isin(list(ids)))
             .groupBy("partition_id")
             .agg(
@@ -147,6 +152,7 @@ def run_extract_job(
             )
             processed.append(int(pid))
 
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     manifest = load_manifest(out_dir)
     return {
         "processed_partitions": processed,

@@ -8,9 +8,8 @@ of ``*.pdf``, parse each, write ``metadata/<stem>_metadata.csv`` and
 Spark-first shape: ``spark.read.format("binaryFile")`` with a glob filter
 (S5), the same Arrow-batched extraction operator, and **executor-side**
 CSV writes (the reference writes every CSV from the driver process — its
-scaling ceiling, SURVEY §7.5). Per-file outputs are produced with a
-single-pass ``foreachPartition``-free design: one partitioned write per
-table, plus optional per-document CSVs for drop-in compatibility.
+scaling ceiling, SURVEY §7.5). The extraction plan is persisted so the
+documents are parsed exactly once per job.
 """
 
 from __future__ import annotations
@@ -58,7 +57,12 @@ def write_per_document_csvs(extracted: DataFrame, out_dir: str) -> int:
     One ``metadata/<stem>_metadata.csv`` and one
     ``transactions/<stem>_transactions.csv`` per successfully parsed doc
     (contracts of utils.py:428-481). Uses ``foreachPartition`` so no payload
-    ever travels to the driver.
+    ever travels to the driver; ``out_dir`` must therefore be a filesystem
+    shared by all executors (local mode, NFS, fuse-mounted object store).
+
+    Filenames keep the reference's basename-stem contract, so colliding
+    stems in different subdirectories would silently overwrite each other —
+    rejected up front with a clear error instead.
     """
     from pyspark import TaskContext
 
@@ -98,9 +102,21 @@ def write_per_document_csvs(extracted: DataFrame, out_dir: str) -> int:
                         normalize_number(t["balance"]),
                     ])
 
-    sel = extracted.select("url", "error", "metadata", "transactions")
-    sel.foreachPartition(write_partition)
-    return sel.filter(F.col("error").isNull()).count()
+    sel = extracted.select("url", "error", "metadata", "transactions").persist()
+    try:
+        stems = sel.select(
+            F.regexp_extract(F.element_at(F.split("url", "/"), -1), r"(.*?)(\.[^.]*)?$", 1)
+            .alias("stem")
+        )
+        n_urls = sel.count()  # also materializes the cache (single extraction pass)
+        if stems.distinct().count() != n_urls:
+            raise ValueError(
+                "duplicate file stems in input; per-document CSV names would collide"
+            )
+        sel.foreachPartition(write_partition)
+        return sel.filter(F.col("error").isNull()).count()
+    finally:
+        sel.unpersist()
 
 
 def main() -> None:

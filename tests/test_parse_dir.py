@@ -48,3 +48,15 @@ def test_read_binary_dir_shape(spark, tmp_path, fixtures_dir):
     assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
     row = df.first()
     assert row["html"][:5] == b"%PDF-" and row["url"].endswith(".pdf")
+
+
+def test_duplicate_stems_rejected(spark, tmp_path, fixtures_dir):
+    indir = tmp_path / "dups"
+    (indir / "a").mkdir(parents=True)
+    (indir / "b").mkdir()
+    shutil.copy(fixtures_dir / "d1_classic_match.pdf", indir / "a" / "same.pdf")
+    shutil.copy(fixtures_dir / "d3_nouser_td.pdf", indir / "b" / "same.pdf")
+    ext = parse_directory(spark, str(indir))
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        write_per_document_csvs(ext, str(tmp_path / "o"))

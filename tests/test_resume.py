@@ -58,3 +58,21 @@ def test_rerun_of_complete_job_is_noop(spark, tmp_path):
     assert again["processed_partitions"] == []
     assert len(again["skipped_partitions"]) == 8
     assert spark.read.parquet(f"{out}/extracted").count() == 40
+
+
+def test_empty_wave_does_not_crash(spark, tmp_path):
+    # 10 docs over 64 partitions / 8 waves: most waves match zero urls —
+    # the metrics read-back must tolerate an output dir with no files yet
+    out = str(tmp_path / "job_tiny")
+    pages = synth_pages_df(spark, 10, seed=3, num_partitions=2)
+    summary = run_extract_job(spark, pages, out, checkpoint_partitions=64,
+                              waves=8, num_partitions=4)
+    assert summary["complete"] and summary["docs"] == 10
+
+
+def test_overwrite_mode_restored(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    pages = synth_pages_df(spark, 12, seed=4, num_partitions=2)
+    run_extract_job(spark, pages, str(tmp_path / "j"), checkpoint_partitions=4,
+                    waves=1, num_partitions=2)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
