@@ -401,6 +401,18 @@ def q_extract_verify_relational(spark, sf):
     )
 
 
+def q_url_audit(spark, sf):  # rows-only: HLL sketch is engine-specific
+    """Unique-key audit at 10^12 scale: exact distinct is a full shuffle,
+    approx_count_distinct is one pass — the metrics-table audit SURVEY §2.4
+    calls out. rsd=0.01 keeps the sketch within 1% of exact."""
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_exact_distinct"),
+        F.approx_count_distinct("doc_id", rsd=0.01).alias("n_approx_distinct"),
+    )
+
+
 def q_media_features(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import decode_features, synth_media_df
@@ -455,6 +467,7 @@ def queries() -> dict[str, _T]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "url_audit": q_url_audit,
         "extract_kinds": q_extract_kinds,
         "extract_transactions": q_extract_transactions,
         "extract_verify_relational": q_extract_verify_relational,
