@@ -315,6 +315,16 @@ def q_shingle_overlap_jaccard(spark, sf):
     )
 
 
+def q_dup_clusters(spark, sf):
+    """Connected components over the top-20 shingle-overlap edges: the
+    pairs→groups step of near-dup dedup. Oracle = DuckDB recursive CTE
+    (both converge to min-id-of-component, which is path-independent)."""
+    from b_pdf_parser_spark.operators.dedup import connected_components
+
+    edges = q_shingle_overlap_jaccard(spark, sf).select("id_a", "id_b")
+    return connected_components(edges).withColumnRenamed("id", "doc_id")
+
+
 def q_simhash(spark, sf):
     from b_pdf_parser_spark.operators.dedup import simhash
 
@@ -463,6 +473,7 @@ def queries() -> dict[str, _T]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "shingle_overlap_jaccard": q_shingle_overlap_jaccard,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -727,6 +738,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             ORDER BY n_inter DESC, id_a ASC, id_b ASC LIMIT 20
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            top20 AS (
+                SELECT id_a, id_b FROM inter
+                ORDER BY n_inter DESC, id_a ASC, id_b ASC LIMIT 20),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM top20
+                UNION SELECT id_b, id_a FROM top20),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            cc AS (
+                SELECT id, id AS label FROM verts
+                UNION
+                SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src)
+            SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
         """,
         "simhash": """
             WITH toks AS (

@@ -150,6 +150,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (id, cluster_id = min id of
+    the connected component). Iterative min-label propagation — the standard
+    shape for turning near-dup PAIRS into dedup GROUPS at scale (keep one
+    doc per cluster). Each iteration is one join + one aggregate, label
+    state is localCheckpoint'ed to cut lineage; converges in O(diameter)
+    iterations (components from near-dup edges are shallow in practice).
+
+    Deterministic: the fixpoint (min id reachable) is order-independent, so
+    a DuckDB recursive CTE computes the identical result (the oracle).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """16-bit SimHash by bit voting over token md5s (portable hex-digit bits).
 
