@@ -45,7 +45,8 @@ SEED = 42
 
 # quadratic all-pairs demos: timed on the small tables to keep bench honest
 # about what the scale path is (LSH), not to hide their cost
-_SMALL_SF_QUERIES = {"embedding_neardup", "shingle_overlap_jaccard", "lsh_candidates"}
+_SMALL_SF_QUERIES = {"embedding_neardup", "shingle_overlap_jaccard", "lsh_candidates",
+                     "dup_clusters"}
 _SMALL_SF_DIR = "/root/testdata/sf0.01"
 
 
