@@ -117,8 +117,14 @@ def _read_token(buf: bytes, i: int) -> Tuple[bytes, int]:
     return buf[i:j], j
 
 
+_NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
 def _parse_name(buf: bytes, i: int) -> Tuple[Name, int]:
     # caller consumed '/'
+    m = _NAME_RUN_RE.match(buf, i)
+    if m and b"#" not in m.group():  # fast path: no hex escapes
+        return Name(m.group().decode("latin-1")), m.end()
     n = len(buf)
     out = bytearray()
     while i < n:
@@ -805,8 +811,9 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
         if kind is None:  # whitespace / comment / stray byte
             continue
         if kind == "tm6":
-            nums = tuple(float(x) for x in m.group("tm6").split()[:6])
-            yield ("tm6", nums)
+            parts = m.group("tm6").split()
+            yield ("tm6", (float(parts[0]), float(parts[1]), float(parts[2]),
+                           float(parts[3]), float(parts[4]), float(parts[5])))
             continue
         if kind == "tjs":
             yield ("tj", m.group("tjs"))
@@ -989,6 +996,8 @@ def _assemble_lines(spans: List[_Span]) -> List[str]:
 
 
 def _join_line(spans: List[_Span]) -> str:
+    if len(spans) == 1:
+        return spans[0].text
     spans = sorted(spans, key=lambda s: (s.x, s.seq))
     return " ".join(s.text for s in spans)
 

@@ -161,8 +161,8 @@ def main() -> None:
         # live numbers (methodology + caveats: BENCH/BASELINE.md §2-§4)
         "scaling_reference": {
             "cpus_small": 2, "cpus_large": 8,
-            "docs_per_sec_small": 1334.0, "docs_per_sec_large": 4967.1,
-            "efficiency": 0.931, "static_copy_of": "BENCH/BASELINE.md round-1 run",
+            "docs_per_sec_small": 1492.0, "docs_per_sec_large": 5534.0,
+            "efficiency": 0.927, "static_copy_of": "BENCH/BASELINE.md round-1 run",
         },
     }
     spark.stop()
