@@ -411,6 +411,27 @@ def q_extract_verify_relational(spark, sf):
     )
 
 
+def q_quality_filter(spark, sf):
+    """The training-data pre-filter: keep docs above a quality score with a
+    confident language guess — the composed form of the textstats pack."""
+    from b_pdf_parser_spark.operators import textstats as ts
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    c = F.col("text")
+    scored = d.select(
+        "doc_id", "lang",
+        ts.quality_score(c).alias("quality"),
+        ts.token_count(c).alias("n_tokens"),
+    )
+    return (
+        scored.filter((F.col("quality") >= 0.45) & (F.col("n_tokens") >= 40))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"),
+             (F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+              / F.count("*")).alias("avg_quality"))
+    )
+
+
 def q_url_audit(spark, sf):  # rows-only: HLL sketch is engine-specific
     """Unique-key audit at 10^12 scale: exact distinct is a full shuffle,
     approx_count_distinct is one pass — the metrics-table audit SURVEY §2.4
@@ -478,6 +499,7 @@ def queries() -> dict[str, _T]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "quality_filter": q_quality_filter,
         "url_audit": q_url_audit,
         "extract_kinds": q_extract_kinds,
         "extract_transactions": q_extract_transactions,
@@ -673,6 +695,26 @@ def oracle_sql() -> dict[str, str]:
                                      / length(text) END)), 4) AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "quality_filter": f"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_TOKS}) END AS n_tokens,
+                       round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                    ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_EN_STOP})) AS DOUBLE)
+                                         / len({_TOKS}) END)
+                           + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                    ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                                         / len({_TOKS}) END) / 8.0, 1.0)
+                           + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                                    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                         / length(text) END)), 4) AS quality
+                FROM documents)
+            SELECT lang, COUNT(*) AS n_kept,
+                   CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality
+            FROM scored WHERE quality >= 0.45 AND n_tokens >= 40
+            GROUP BY lang
         """,
         "langid": f"""
             SELECT doc_id,
