@@ -53,6 +53,8 @@ _SMALL_SF_DIR = "/root/testdata/sf0.01"
 def _session(cpus: int):
     from pyspark.sql import SparkSession
 
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"bench-{cpus}")
