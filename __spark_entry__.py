@@ -597,8 +597,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
                 SELECT user_id, event_id,
-                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                       -- CAST: DuckDB SUM(INTEGER) is HUGEINT; Spark is BIGINT
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
                 FROM g)
             SELECT user_id, session_id, COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_id
@@ -631,7 +633,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderstatus
         """,
         "golden_diff": """
-            SELECT SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_mismatch,
+            SELECT CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch,
                    COUNT(*) AS n_docs
             FROM documents
         """,
@@ -734,8 +737,9 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
                 SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
                 FROM documents GROUP BY md5(text))
-            SELECT COUNT(*) AS n_groups, SUM(n_dups) AS n_docs,
-                   SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+            SELECT COUNT(*) AS n_groups,
+                   CAST(SUM(n_dups) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
             FROM g
         """,
         "minhash_signatures": f"""

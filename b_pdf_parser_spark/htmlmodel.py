@@ -21,7 +21,7 @@ dispatch per document).
 from __future__ import annotations
 
 import re
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 __all__ = ["Block", "extract_html_blocks", "extract_html_text"]
 
@@ -153,7 +153,6 @@ def extract_html_blocks(data: bytes) -> List[Block]:
     cur = _BlockBuilder("body")
     container_stack: List[str] = []
     link_depth = 0
-    skip_until: Optional[str] = None  # inside a raw-text element
     lower = html.lower()
 
     def flush() -> None:
@@ -172,10 +171,9 @@ def extract_html_blocks(data: bytes) -> List[Block]:
     while i < n:
         lt = html.find("<", i)
         if lt < 0:
-            if skip_until is None:
-                cur.add(html[i:], link_depth > 0)
+            cur.add(html[i:], link_depth > 0)
             break
-        if lt > i and skip_until is None:
+        if lt > i:
             cur.add(html[i:lt], link_depth > 0)
         i = lt
         # comment
@@ -199,11 +197,6 @@ def extract_html_blocks(data: bytes) -> List[Block]:
         name = m.group(1).decode("ascii").lower()
         closing = tag_body.startswith("/")
         self_closing = tag_body.rstrip().endswith("/") or name in _VOID_TAGS
-
-        if skip_until is not None:
-            if closing and name == skip_until:
-                skip_until = None
-            continue
 
         if not closing and name in _RAW_TEXT_TAGS and not self_closing:
             # raw-text content: skip to the matching close tag

@@ -144,8 +144,12 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             full_text = texts.iloc[idx]
             url = b["url"].iloc[idx]
             meta["account_no"] = fields.account_no_from_url(_url_stem(url), meta["account_no"])
-            # strategy fallback chain (S2 semantics, pdfplumber_parser.py:241-250):
-            # column-layout walk first, inline one-line rows if it found nothing
+            # strategy fallback chain (S2 semantics). NOTE: the reference's
+            # pdfplumber path tries inline rows first, column walk second
+            # (pdfplumber_parser.py:241-250); we deliberately invert — the
+            # column walk takes precedence for pymupdf parity (the primary
+            # backend), inline is the fallback. Orders coincide whenever
+            # exactly one strategy matches (true for the whole corpus).
             txns = fields.extract_transactions(full_text) if full_text else []
             if not txns and d["kind"] == "pdf" and full_text:
                 txns = fields.extract_transactions_inline(full_text)

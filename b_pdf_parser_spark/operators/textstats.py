@@ -43,7 +43,10 @@ _LANG_ORDER = ("en", "de", "fr", "es", "id")  # deterministic tie-break
 
 
 def _toks(c: Column) -> Column:
-    return F.split(F.trim(c), " ")
+    # lowercased so stopword matching (quality_score/stopword_ratio/langid)
+    # is case-insensitive, matching the DuckDB oracles' lower(trim(text));
+    # counts and lengths are unaffected by case
+    return F.split(F.lower(F.trim(c)), " ")
 
 
 def token_count(c: Column) -> Column:

@@ -411,7 +411,10 @@ class PdfDocument:
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         try:
             self._load_xref_chain()
-        except PdfError:
+        except (PdfError, ValueError, IndexError):
+            # ValueError/IndexError: malformed numeric fields or truncated
+            # tables must fall into the same _rebuild_xref salvage path so the
+            # errors-raise-PdfError contract holds for any corrupt input
             self.xref.clear()
             self.trailer.clear()
         if not self.xref or "Root" not in self.trailer:
@@ -482,8 +485,12 @@ class PdfDocument:
                         self.xref[num] = ("n", off, gen)
                     else:
                         self.xref[num] = ("f", 0, gen)
-                # entries are 20 bytes, but tolerate 19 (bare \n line ends)
-                i += 20 if entry[18:20] in (b"\r\n", b" \r", b" \n") or len(entry) == 20 else 19
+                # entries are 20 bytes ("... n \r\n"/" \r"/" \n"), but some
+                # writers end lines with a bare EOL → 19-byte stride. Detect:
+                # byte 18 is the EOL itself and byte 19 already belongs to the
+                # next entry (not a second EOL byte).
+                bare_eol = entry[18:19] in (b"\r", b"\n") and entry[19:20] not in (b"\r", b"\n")
+                i += 19 if bare_eol else 20
 
     def _load_xref_stream(self, obj: StreamObject) -> int:
         d = obj.dict

@@ -62,6 +62,34 @@ def test_query_matches_oracle(name, spark, duck):
     assert g == e, f"{name}: first diffs {[(g[i], e[i]) for i in mism]}"
 
 
+# the sf corpora are all-lowercase, which would mask case-sensitivity skew
+# between Spark tokenization and the oracles' lower(trim(text)) — pin the
+# mixed-case behavior on a tiny synthetic documents table
+_MIXED_DOCS = [
+    (1, "en", "The Quick Brown fox AND THE lazy dog OF a to A"),
+    (2, "de", "Der DIE und Das EIN kleines Haus"),
+    (3, "en", ""),
+    (4, "und", "Zzz!!! ??? ,,,"),
+    (5, "id", "Yang DAN di KE itu Yang dan"),
+]
+
+
+@pytest.mark.parametrize("name", ["text_stats", "langid"])
+def test_mixed_case_matches_oracle(name, spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(_MIXED_DOCS, columns=["doc_id", "lang", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = entry.queries()[name](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    exp = con.execute(ORACLES[name]).df()
+    con.close()
+    exp.columns = [c.lower() for c in exp.columns]
+    assert _rows(got) == _rows(exp)
+
+
 @pytest.mark.parametrize("name", sorted(set(entry.queries()) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = entry.queries()[name](spark, SF_DIR)

@@ -97,6 +97,16 @@ def test_xref_recovery_from_corrupt_table():
     assert pm.extract_pdf_text(broken) == "recovered text\n\n"
 
 
+def test_bare_lf_xref_entries():
+    # some writers end classic-xref entries with a bare \n (19-byte stride);
+    # the parser must not drift 1 byte per entry (nor leak a ValueError)
+    pdf = pdf_from_lines([["bare lf xref"]])
+    head, sep, tail = pdf.partition(b"xref\n0 ")
+    bare = head + sep + tail.replace(b" n \n", b" n\n").replace(b" f \n", b" f\n")
+    assert bare != pdf
+    assert pm.extract_pdf_text(bare) == "bare lf xref\n\n"
+
+
 def test_same_line_spans_sorted_by_x():
     pdf = build_pdf([[(200.0, 700.0, "right"), (72.0, 700.0, "left")]])
     assert pm.extract_pdf_text(pdf) == "left right\n\n"
