@@ -325,6 +325,31 @@ def q_dup_clusters(spark, sf):
     return connected_components(edges).withColumnRenamed("id", "doc_id")
 
 
+def q_near_dup_pairs(spark, sf):
+    """The production near-dup shape: LSH candidates confirmed by exact
+    n-gram Jaccard (threshold 0.5). Linear-ish at 10^12 docs — the join is
+    restricted to hash-colliding candidates, never all pairs."""
+    from b_pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+def q_near_dup_clusters(spark, sf):
+    """Primary clustering path: LSH candidates → Jaccard confirm (0.5) →
+    connected components. This is the composition that survives 100 TB;
+    ``dup_clusters`` (all-pairs edge source) remains as the small-scale
+    exact cross-check."""
+    from b_pdf_parser_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    return connected_components(edges).withColumnRenamed("id", "doc_id")
+
+
 def q_simhash(spark, sf):
     from b_pdf_parser_spark.operators.dedup import simhash
 
@@ -411,6 +436,40 @@ def q_extract_verify_relational(spark, sf):
     )
 
 
+def q_extract_txn_crosscheck(spark, sf):
+    """Self-oracle for the extraction hot path: the per-doc UDF cursor walk
+    and the pure-relational window re-derivation (posexplode → running-sum
+    sessionization → positional classifiers) must emit identical transaction
+    rows on column-layout documents. Expected single row with
+    n_only_udf = n_only_relational = 0 and n_udf = n_relational."""
+    from b_pdf_parser_spark.plans.transactions_relational import transactions_relational
+    from b_pdf_parser_spark.plans.verify import transactions_table
+
+    cols = ["url", "seq", "date", "description", "user", "debit", "credit", "balance"]
+    # column-layout docs carry HH:MM:SS in the txn date (inline-layout docs
+    # are the UDF fallback's own domain, out of the relational grammar)
+    ext = (
+        _corpus_extracted(spark)
+        .filter(
+            (F.col("kind") == "pdf")
+            & F.col("transactions")[0]["date"].rlike(r"\d{2}:\d{2}:\d{2}")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = transactions_table(ext).select(cols).localCheckpoint(eager=False)
+    b = transactions_relational(ext).select(cols).localCheckpoint(eager=False)
+
+    def cnt(df, name):
+        return df.agg(F.count("*").alias(name))
+
+    return (
+        cnt(a, "n_udf")
+        .crossJoin(cnt(b, "n_relational"))
+        .crossJoin(cnt(a.exceptAll(b), "n_only_udf"))
+        .crossJoin(cnt(b.exceptAll(a), "n_only_relational"))
+    )
+
+
 def q_quality_filter(spark, sf):
     """The training-data pre-filter: keep docs above a quality score with a
     confident language guess — the composed form of the textstats pack."""
@@ -432,14 +491,23 @@ def q_quality_filter(spark, sf):
     )
 
 
-def q_url_audit(spark, sf):  # rows-only: HLL sketch is engine-specific
-    """Unique-key audit at 10^12 scale: exact distinct is a full shuffle,
-    approx_count_distinct is one pass — the metrics-table audit SURVEY §2.4
-    calls out. rsd=0.01 keeps the sketch within 1% of exact."""
+def q_url_audit(spark, sf):
+    """Unique-key audit, exact half (SQL-expressible → DuckDB oracle):
+    row count + exact distinct. At 10^12 the exact distinct is a full
+    shuffle — the approx variant below is the one-pass scale path."""
     d = _t(spark, sf, "documents")
     return d.agg(
         F.count("*").alias("n_rows"),
         F.count_distinct("doc_id").alias("n_exact_distinct"),
+    )
+
+
+def q_url_audit_approx(spark, sf):  # rows-only: HLL sketch is engine-specific
+    """Unique-key audit, sketch half: approx_count_distinct is one pass, no
+    shuffle of the key — the metrics-table audit SURVEY §2.4 calls out.
+    rsd=0.01 keeps the sketch within 1% of exact."""
+    d = _t(spark, sf, "documents")
+    return d.agg(
         F.approx_count_distinct("doc_id", rsd=0.01).alias("n_approx_distinct"),
     )
 
@@ -495,15 +563,19 @@ def queries() -> dict[str, _T]:
         "lsh_candidates": q_lsh_candidates,
         "shingle_overlap_jaccard": q_shingle_overlap_jaccard,
         "dup_clusters": q_dup_clusters,
+        "near_dup_pairs": q_near_dup_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "quality_filter": q_quality_filter,
         "url_audit": q_url_audit,
+        "url_audit_approx": q_url_audit_approx,
         "extract_kinds": q_extract_kinds,
         "extract_transactions": q_extract_transactions,
         "extract_verify_relational": q_extract_verify_relational,
+        "extract_txn_crosscheck": q_extract_txn_crosscheck,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
     }
@@ -522,6 +594,42 @@ grams AS (
     FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE last2 IS NOT NULL)
+"""
+
+# LSH candidates + exact Jaccard confirm — shared by the near_dup_* oracles;
+# mirrors dedup.lsh_candidate_pairs / ngram_jaccard_pairs exactly
+_LSH_JACCARD_CTES = f"""
+{_SHINGLES_CTE},
+seeded AS (
+    SELECT doc_id, g AS seed, shingle
+    FROM sh CROSS JOIN generate_series(0, 7) t(g)),
+mh AS (
+    SELECT doc_id, seed,
+           MIN(substr(md5(seed || ':' || shingle), 1, 16)) AS minhash
+    FROM seeded GROUP BY doc_id, seed),
+keys AS (
+    SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+           string_agg(seed || '=' || minhash, ',' ORDER BY seed || '=' || minhash) AS band_key
+    FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT id_a, id_b, COUNT(*) AS n_inter
+    FROM cands
+    JOIN sh a ON a.doc_id = id_a
+    JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+    GROUP BY id_a, id_b),
+jac AS (
+    SELECT c.id_a, c.id_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 4) AS jaccard
+    FROM cands c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b)
 """
 
 _EN_STOP = "('the','and','of','to','a')"
@@ -798,6 +906,27 @@ def oracle_sql() -> dict[str, str]:
             edges AS (
                 SELECT id_a AS src, id_b AS dst FROM top20
                 UNION SELECT id_b, id_a FROM top20),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            cc AS (
+                SELECT id, id AS label FROM verts
+                UNION
+                SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src)
+            SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+        """,
+        "url_audit": """
+            SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_exact_distinct
+            FROM documents
+        """,
+        "near_dup_pairs": f"""
+            WITH {_LSH_JACCARD_CTES}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_LSH_JACCARD_CTES},
+            conf AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM conf
+                UNION SELECT id_b, id_a FROM conf),
             verts AS (SELECT DISTINCT src AS id FROM edges),
             cc AS (
                 SELECT id, id AS label FROM verts

@@ -1,6 +1,7 @@
-"""Dedup-operator unit tests: connected components on synthetic graphs."""
+"""Dedup-operator unit tests: connected components on synthetic graphs,
+ngram-Jaccard confirmation of LSH candidates."""
 
-from b_pdf_parser_spark.operators.dedup import connected_components
+from b_pdf_parser_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
 
 def test_connected_components_shapes(spark):
@@ -18,3 +19,25 @@ def test_connected_components_cycle_and_bridge(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert set(got.values()) == {5} and len(got) == 5
+
+
+def test_ngram_jaccard_confirms_lsh_candidates(spark):
+    # 1/2 identical, 3 a one-word edit of them, 4 unrelated: the identical
+    # pair must confirm at jaccard 1.0; the edited doc scores < 1; unrelated
+    # docs never survive a 0.9 threshold
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("lazy", "sleepy")),
+            (4, "completely different text about spark query planning and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
+    assert rows[(1, 2)] == 1.0
+    assert all(j < 1.0 for (a, b), j in rows.items() if (a, b) != (1, 2))
+    confirmed = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in confirmed} == {(1, 2)}
