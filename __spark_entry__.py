@@ -387,7 +387,8 @@ def q_lsh_ann_topk(spark, sf):  # rows-only: hyperplanes not SQL-portable
     from b_pdf_parser_spark.operators.similarity import lsh_ann_topk
 
     e = _t(spark, sf, "embeddings")
-    return lsh_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3)
+    # dim passed explicitly → no driver-side first() probe in the plan
+    return lsh_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3, dim=64)
 
 
 # ---------------------------------------------------------------------------

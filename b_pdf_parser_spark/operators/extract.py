@@ -47,7 +47,7 @@ from .. import fields
 from ..htmlmodel import extract_html_text
 from ..pdfmodel import PdfError, extract_pdf_pages
 
-__all__ = ["EXTRACTED_SCHEMA", "extract_pages", "DEFAULT_SKEW_THRESHOLD"]
+__all__ = ["EXTRACTED_SCHEMA", "extract_pages", "make_extract_batch", "DEFAULT_SKEW_THRESHOLD"]
 
 DEFAULT_SKEW_THRESHOLD = 512 * 1024  # bytes; > p99 of the synthetic corpus
 
@@ -128,54 +128,70 @@ def _url_stem(url: str) -> str:
     return tail[:dot] if dot > 0 else tail
 
 
-def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body. Expects columns: url, warc_ts, html, partition_id."""
-    for b in batches:
-        per_doc = [_extract_one(u, p) for u, p in zip(b["url"], b["html"])]
-        texts = pd.Series([d["text"] or "" for d in per_doc])
-        firsts = pd.Series([d["first_page"] or "" for d in per_doc])
+def make_extract_batch(verify: bool = True):
+    """Build the mapInPandas body. ``verify`` mirrors the reference's
+    ``verify_turnover`` toggle (S11: __init__.py:133-137, .env-driven) —
+    off → the ``verification`` struct is null, nothing else changes."""
 
-        # vectorized header metadata over the whole Arrow batch (page-0 text)
-        meta_df = fields.extract_metadata_batch(firsts)
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            # columnar pulls once per batch (no per-row .iloc in the loop)
+            urls = b["url"].tolist()
+            warc = b["warc_ts"].tolist()
+            pids = b["partition_id"].tolist()
+            per_doc = [_extract_one(u, p) for u, p in zip(urls, b["html"])]
+            texts = [d["text"] or "" for d in per_doc]
+            firsts = pd.Series([d["first_page"] or "" for d in per_doc])
 
-        out_rows = []
-        for idx, d in enumerate(per_doc):
-            meta = {k: meta_df[k].iloc[idx] for k in meta_df.columns}
-            full_text = texts.iloc[idx]
-            url = b["url"].iloc[idx]
-            meta["account_no"] = fields.account_no_from_url(_url_stem(url), meta["account_no"])
-            # strategy fallback chain (S2 semantics). NOTE: the reference's
-            # pdfplumber path tries inline rows first, column walk second
-            # (pdfplumber_parser.py:241-250); we deliberately invert — the
-            # column walk takes precedence for pymupdf parity (the primary
-            # backend), inline is the fallback. Orders coincide whenever
-            # exactly one strategy matches (true for the whole corpus).
-            txns = fields.extract_transactions(full_text) if full_text else []
-            if not txns and d["kind"] == "pdf" and full_text:
-                txns = fields.extract_transactions_inline(full_text)
-            summary = fields.extract_summary_totals(full_text) if full_text else {}
-            for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
-                meta[k] = summary.get(k) or ""  # merge rule: only truthy values
-            ver = fields.verify_turnover(txns, 0.01, full_text or "")
-            out_rows.append(
-                {
-                    "url": url,
-                    "warc_ts": b["warc_ts"].iloc[idx],
-                    "kind": d["kind"],
-                    "text": d["text"],
-                    "metadata": meta,
-                    "transactions": txns,
-                    "n_transactions": len(txns),
-                    "valid": fields.is_valid_parse(meta, txns),
-                    "verification": ver,
-                    "n_pages": d["n_pages"],
-                    "payload_bytes": d["payload_bytes"],
-                    "n_tokens": len(full_text.split()) if full_text else 0,
-                    "error": d["error"],
-                    "partition_id": int(b["partition_id"].iloc[idx]),
-                }
-            )
-        yield pd.DataFrame(out_rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+            # vectorized header metadata over the whole Arrow batch (page-0
+            # text); one C-backed records conversion instead of 11 scalar
+            # .iloc accesses per row
+            meta_records = fields.extract_metadata_batch(firsts).to_dict("records")
+
+            out_rows = []
+            for idx, d in enumerate(per_doc):
+                meta = meta_records[idx]
+                full_text = texts[idx]
+                url = urls[idx]
+                meta["account_no"] = fields.account_no_from_url(_url_stem(url), meta["account_no"])
+                # strategy fallback chain (S2 semantics). NOTE: the reference's
+                # pdfplumber path tries inline rows first, column walk second
+                # (pdfplumber_parser.py:241-250); we deliberately invert — the
+                # column walk takes precedence for pymupdf parity (the primary
+                # backend), inline is the fallback. Orders coincide whenever
+                # exactly one strategy matches (true for the whole corpus).
+                txns = fields.extract_transactions(full_text) if full_text else []
+                if not txns and d["kind"] == "pdf" and full_text:
+                    txns = fields.extract_transactions_inline(full_text)
+                summary = fields.extract_summary_totals(full_text) if full_text else {}
+                for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+                    meta[k] = summary.get(k) or ""  # merge rule: only truthy values
+                ver = fields.verify_turnover(txns, 0.01, full_text) if verify else None
+                out_rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": warc[idx],
+                        "kind": d["kind"],
+                        "text": d["text"],
+                        "metadata": meta,
+                        "transactions": txns,
+                        "n_transactions": len(txns),
+                        "valid": fields.is_valid_parse(meta, txns),
+                        "verification": ver,
+                        "n_pages": d["n_pages"],
+                        "payload_bytes": d["payload_bytes"],
+                        "n_tokens": len(full_text.split()) if full_text else 0,
+                        "error": d["error"],
+                        "partition_id": int(pids[idx]),
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+    return extract_batch
+
+
+# default instance (verification on) — used by the streaming lift
+extract_batch = make_extract_batch()
 
 
 def extract_pages(
@@ -184,12 +200,15 @@ def extract_pages(
     num_partitions: Optional[int] = None,
     checkpoint_partitions: int = 64,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    verify: bool = True,
 ) -> DataFrame:
     """Build the extraction plan over a ``pages`` DataFrame.
 
     ``checkpoint_partitions`` fixes the *logical* partition_id space (stable
     across cluster sizes → resume works after rescale); ``num_partitions``
-    sizes the physical shuffle (defaults to 2× parallelism).
+    sizes the physical shuffle (defaults to 2× parallelism). ``verify``
+    toggles turnover verification (S11 parity: the reference resolves it
+    from param-or-.env, tests/test_parsers.py:245-276 exercise both).
     """
     spark = pages.sparkSession
     p_phys = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -215,5 +234,5 @@ def extract_pages(
     return (
         tagged.repartition(p_phys, F.col("_pkey"))
         .drop("_pkey")
-        .mapInPandas(extract_batch, schema=EXTRACTED_SCHEMA)
+        .mapInPandas(make_extract_batch(verify), schema=EXTRACTED_SCHEMA)
     )

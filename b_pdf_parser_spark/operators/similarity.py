@@ -95,15 +95,21 @@ def lsh_ann_topk(
     k: int = 3,
     n_planes: int = 6,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: bucket by sign bits, re-rank in-bucket.
 
     Recall < 1 by construction (a candidate must share the full signature);
     n_planes trades bucket size against recall. The bucket join shuffles on
     the signature key only — linear-ish at scale.
+
+    Pass ``dim`` (the embedding dimensionality) to keep the plan fully lazy;
+    if omitted, a one-row ``first()`` probe learns it (a driver action that
+    runs the scan's first split — fine interactively, avoid in jobs).
     """
-    first = emb.select(vec_col).first()
-    dim = len(first[0]) if first else 0
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0]) if first else 0
     planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
 
     def sig(vec: Column) -> Column:

@@ -88,6 +88,32 @@ def test_parse_id_number_col_semantics(spark):
     assert bad.count() == 0
 
 
+def test_verify_toggle_both_directions(spark, extracted):
+    # S11 parity (reference env-matrix, tests/test_parsers.py:245-276):
+    # verify=False nulls the verification struct and changes nothing else;
+    # the module fixture (default verify=True) is the "on" direction
+    on_pdfs = extracted.filter(F.col("kind") == "pdf")
+    assert on_pdfs.filter(F.col("verification").isNull()).count() == 0
+    pages = synth_pages_df(spark, 60, seed=SEED, num_partitions=2)
+    off = extract_pages(pages, num_partitions=4, verify=False).cache()
+    try:
+        assert off.filter(F.col("verification").isNotNull()).count() == 0
+        # everything else identical to the verified run over the same urls
+        on_sub = extracted.select("url", "text", "n_transactions", "valid")
+        off_sub = off.select("url", "text", "n_transactions", "valid")
+        j = off_sub.join(on_sub.withColumnRenamed("text", "t2")
+                         .withColumnRenamed("n_transactions", "n2")
+                         .withColumnRenamed("valid", "v2"), "url")
+        assert j.count() == 60
+        assert j.filter(
+            (F.col("text") != F.col("t2"))
+            | (F.col("n_transactions") != F.col("n2"))
+            | (F.col("valid") != F.col("v2"))
+        ).count() == 0
+    finally:
+        off.unpersist()
+
+
 def test_determinism_same_seed_same_output(spark, extracted):
     pages2 = synth_pages_df(spark, N, seed=SEED, num_partitions=2)  # different layout
     ext2 = extract_pages(pages2, num_partitions=4)
