@@ -412,7 +412,7 @@ def _corpus_extracted(spark):
 def q_extract_kinds(spark, sf):
     ext = _corpus_extracted(spark)
     return ext.select(
-        "url", "kind", "n_transactions", "valid",
+        "url", "kind", "n_transactions", "txn_strategy", "valid",
         F.col("verification.status").alias("status"),
         "n_pages", "payload_bytes", "n_tokens",
         F.col("metadata.account_no").alias("account_no"),
@@ -447,14 +447,11 @@ def q_extract_txn_crosscheck(spark, sf):
     from b_pdf_parser_spark.plans.verify import transactions_table
 
     cols = ["url", "seq", "date", "description", "user", "debit", "credit", "balance"]
-    # column-layout docs carry HH:MM:SS in the txn date (inline-layout docs
-    # are the UDF fallback's own domain, out of the relational grammar)
+    # column-layout docs only: table/inline layouts are the other strategies'
+    # domain, outside the relational line grammar
     ext = (
         _corpus_extracted(spark)
-        .filter(
-            (F.col("kind") == "pdf")
-            & F.col("transactions")[0]["date"].rlike(r"\d{2}:\d{2}:\d{2}")
-        )
+        .filter(F.col("txn_strategy") == "column")
         .localCheckpoint(eager=False)
     )
     a = transactions_table(ext).select(cols).localCheckpoint(eager=False)

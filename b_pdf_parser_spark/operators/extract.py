@@ -45,7 +45,7 @@ from pyspark.sql.types import (
 
 from .. import fields
 from ..htmlmodel import extract_html_text
-from ..pdfmodel import PdfError, extract_pdf_pages
+from ..pdfmodel import PdfError, extract_pdf_pages_and_tables
 
 __all__ = ["EXTRACTED_SCHEMA", "extract_pages", "make_extract_batch", "DEFAULT_SKEW_THRESHOLD"]
 
@@ -76,6 +76,9 @@ EXTRACTED_SCHEMA = StructType(
         StructField("metadata", StructType(_META_FIELDS)),
         StructField("transactions", ArrayType(StructType(_TXN_FIELDS))),
         StructField("n_transactions", IntegerType()),
+        # which fallback strategy produced the transactions (S2/P15/A6):
+        # 'table' | 'column' | 'inline' | 'none'
+        StructField("txn_strategy", StringType()),
         StructField("valid", BooleanType()),
         StructField("verification", StructType(_VERIFY_FIELDS)),
         StructField("n_pages", IntegerType()),
@@ -95,6 +98,7 @@ def _extract_one(url: str, payload: Optional[bytes]) -> dict:
         "first_page": "",
         "n_pages": 0,
         "payload_bytes": len(payload) if payload is not None else 0,
+        "tables": [],
         "error": None,
     }
     if payload is None or len(payload) == 0:
@@ -103,11 +107,12 @@ def _extract_one(url: str, payload: Optional[bytes]) -> dict:
         return row
     try:
         if payload[:1024].lstrip()[:5] == b"%PDF-":
-            pages = extract_pdf_pages(payload)
+            pages, tables = extract_pdf_pages_and_tables(payload)
             row["kind"] = "pdf"
             row["text"] = "".join(p + "\n" for p in pages)
             row["first_page"] = pages[0]
             row["n_pages"] = len(pages)
+            row["tables"] = tables
         else:
             row["kind"] = "html"
             row["text"] = extract_html_text(payload)
@@ -154,15 +159,28 @@ def make_extract_batch(verify: bool = True):
                 full_text = texts[idx]
                 url = urls[idx]
                 meta["account_no"] = fields.account_no_from_url(_url_stem(url), meta["account_no"])
-                # strategy fallback chain (S2 semantics). NOTE: the reference's
-                # pdfplumber path tries inline rows first, column walk second
-                # (pdfplumber_parser.py:241-250); we deliberately invert — the
-                # column walk takes precedence for pymupdf parity (the primary
-                # backend), inline is the fallback. Orders coincide whenever
-                # exactly one strategy matches (true for the whole corpus).
-                txns = fields.extract_transactions(full_text) if full_text else []
+                # strategy fallback chain (S2 semantics): cell tables first
+                # (pdfplumber_parser.py:212-250 tries extract_tables() before
+                # any text strategy), then the column-layout cursor walk, then
+                # inline one-line rows. NOTE on text strategies: the
+                # reference's pdfplumber path tries inline before the column
+                # walk; we deliberately invert — the column walk takes
+                # precedence for pymupdf parity (the primary backend). Orders
+                # coincide whenever exactly one strategy matches (true for
+                # the whole corpus).
+                txns, strategy = [], "none"
+                if d["tables"]:
+                    txns = fields.transactions_from_table_rows(d["tables"])
+                    if txns:
+                        strategy = "table"
+                if not txns and full_text:
+                    txns = fields.extract_transactions(full_text)
+                    if txns:
+                        strategy = "column"
                 if not txns and d["kind"] == "pdf" and full_text:
                     txns = fields.extract_transactions_inline(full_text)
+                    if txns:
+                        strategy = "inline"
                 summary = fields.extract_summary_totals(full_text) if full_text else {}
                 for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
                     meta[k] = summary.get(k) or ""  # merge rule: only truthy values
@@ -176,6 +194,7 @@ def make_extract_batch(verify: bool = True):
                         "metadata": meta,
                         "transactions": txns,
                         "n_transactions": len(txns),
+                        "txn_strategy": strategy,
                         "valid": fields.is_valid_parse(meta, txns),
                         "verification": ver,
                         "n_pages": d["n_pages"],

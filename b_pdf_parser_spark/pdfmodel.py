@@ -983,23 +983,27 @@ def _extract_spans(content: bytes) -> List[_Span]:
 _LINE_Y_TOL = 2.0
 
 
-def _assemble_lines(spans: List[_Span]) -> List[str]:
-    """XY-cut-lite: cluster spans into baselines (Y desc), sort each by X."""
+def _cluster_lines(spans: List[_Span]) -> List[List[_Span]]:
+    """XY-cut-lite: cluster spans into baselines (Y desc), X order inside."""
     if not spans:
         return []
     spans = sorted(spans, key=lambda s: (-s.y, s.x, s.seq))
-    lines: List[str] = []
+    lines: List[List[_Span]] = []
     cur: List[_Span] = [spans[0]]
     cur_y = spans[0].y
     for s in spans[1:]:
         if cur_y - s.y > _LINE_Y_TOL:
-            lines.append(_join_line(cur))
+            lines.append(cur)
             cur = [s]
             cur_y = s.y
         else:
             cur.append(s)
-    lines.append(_join_line(cur))
+    lines.append(cur)
     return lines
+
+
+def _assemble_lines(spans: List[_Span]) -> List[str]:
+    return [_join_line(ls) for ls in _cluster_lines(spans)]
 
 
 def _join_line(spans: List[_Span]) -> str:
@@ -1007,6 +1011,29 @@ def _join_line(spans: List[_Span]) -> str:
         return spans[0].text
     spans = sorted(spans, key=lambda s: (s.x, s.seq))
     return " ".join(s.text for s in spans)
+
+
+# A "table" is a run of >=2 consecutive baselines that each carry >=6
+# separately-positioned spans (cells): the span-cluster analog of ruled-table
+# detection, matching the cell-row contract the reference gets from
+# pdfplumber ``extract_tables()`` (pdfplumber_parser.py:212-250) — first row
+# is the column header, each row is a list of cell strings in X order.
+_TABLE_MIN_COLS = 6
+_TABLE_MIN_ROWS = 2
+
+
+def _detect_tables(line_spans: List[List[_Span]]) -> List[List[List[str]]]:
+    tables: List[List[List[str]]] = []
+    run: List[List[str]] = []
+    for ls in line_spans + [[]]:  # sentinel flushes the last run
+        if len(ls) >= _TABLE_MIN_COLS:
+            cells = [s.text for s in sorted(ls, key=lambda s: (s.x, s.seq))]
+            run.append(cells)
+        else:
+            if len(run) >= _TABLE_MIN_ROWS:
+                tables.append(run)
+            run = []
+    return tables
 
 
 # ---------------------------------------------------------------------------
@@ -1031,6 +1058,26 @@ def extract_pdf_pages(data: bytes) -> List[str]:
         lines = _assemble_lines(_extract_spans(content))
         out.append("".join(ln + "\n" for ln in lines))
     return out
+
+
+def extract_pdf_pages_and_tables(
+    data: bytes,
+) -> Tuple[List[str], List[List[List[str]]]]:
+    """Like :func:`extract_pdf_pages`, plus detected cell tables (document
+    order across pages). One parse, one span extraction — the table scan is
+    a length check per assembled baseline, so the text-only hot path cost
+    is unchanged."""
+    doc = PdfDocument(data)
+    pages = doc.pages()
+    if not pages:
+        raise PdfError("PDF has no pages")
+    texts: List[str] = []
+    tables: List[List[List[str]]] = []
+    for page in pages:
+        line_spans = _cluster_lines(_extract_spans(doc.page_content(page)))
+        texts.append("".join(_join_line(ls) + "\n" for ls in line_spans))
+        tables.extend(_detect_tables(line_spans))
+    return texts, tables
 
 
 def extract_pdf_text(data: bytes) -> str:

@@ -213,7 +213,7 @@ def _emit_xref_stream(
 
 
 def pdf_from_lines(
-    page_lines: Sequence[Sequence[str]],
+    page_lines: Sequence[Sequence[object]],
     *,
     xref_stream: bool = False,
     compress: bool = True,
@@ -221,10 +221,23 @@ def pdf_from_lines(
     x: float = 72.0,
     top: float = 760.0,
     leading: float = 14.0,
+    col_xs: Sequence[float] = (40.0, 110.0, 260.0, 340.0, 420.0, 500.0),
 ) -> bytes:
-    """Lay text lines top-down on each page and serialize (fixture shortcut)."""
+    """Lay text lines top-down on each page and serialize (fixture shortcut).
+
+    A line may be a plain ``str`` (one span at ``x``) or a sequence of cell
+    strings (a table row: one span per cell at the fixed ``col_xs`` column
+    positions — the layout the parser's span-cluster table detection finds).
+    """
     pages: List[List[Span]] = []
     for lines in page_lines:
-        spans = [(x, top - i * leading, ln) for i, ln in enumerate(lines)]
+        spans: List[Span] = []
+        for i, ln in enumerate(lines):
+            yv = top - i * leading
+            if isinstance(ln, str):
+                spans.append((x, yv, ln))
+            else:
+                for j, cell in enumerate(ln):
+                    spans.append((col_xs[j % len(col_xs)], yv, cell))
         pages.append(spans)
     return build_pdf(pages, xref_stream=xref_stream, compress=compress, td_ops=td_ops)

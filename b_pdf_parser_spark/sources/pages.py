@@ -40,6 +40,10 @@ __all__ = [
 
 PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
 
+# bump when generated content changes so persisted corpus caches invalidate
+# (bench keys its .bench_cache files on this)
+CORPUS_VERSION = 2
+
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
 _DESCS = [
@@ -72,8 +76,10 @@ def statement_lines(
     with_user: bool = True,
     summary: str = "match",  # 'match' | 'mismatch' | 'none'
     amount_format: str = "id",  # 'id' | 'us'
-    layout: str = "column",  # 'column' (per-field lines) | 'inline' (one-line rows, P9)
-) -> Tuple[List[List[str]], Dict[str, Any]]:
+    # 'column' (per-field lines) | 'inline' (one-line rows, P9)
+    # | 'table' (positioned 6-cell rows, P10 — pdfplumber extract_tables parity)
+    layout: str = "column",
+) -> Tuple[List[List[Any]], Dict[str, Any]]:
     """Generate column-layout statement text lines + ground truth.
 
     Returns (per-page line lists, truth dict with account_no, n_txns,
@@ -123,12 +129,22 @@ def statement_lines(
         "Saldo",
     ]
 
+    if layout == "table":
+        # the 6 column labels collapse into one header row (repeated per
+        # page, as pdfplumber-extracted tables carry them); drop the
+        # line-per-label variants from the metadata header block
+        header = header[:-6]
+    table_header = ["Tanggal Transaksi", "Uraian Transaksi", "Teller",
+                    "Debet", "Kredit", "Saldo"]
+
     total_debit = total_credit = 0.0
     balance = rng.randint(1_000_000, 50_000_000) / 1.0
-    pages: List[List[str]] = []
+    pages: List[List[Any]] = []
     n_txns = 0
     for p in range(n_pages):
-        lines: List[str] = header[:] if p == 0 else []
+        lines: List[Any] = header[:] if p == 0 else []
+        if layout == "table":
+            lines.append(table_header)
         for r in range(rows_per_page):
             n_txns += 1
             day = min(28, 1 + n_txns % 28)
@@ -144,6 +160,10 @@ def statement_lines(
                 total_debit += amount
                 balance -= amount
                 debit_s, credit_s = fmt(amount), zero
+            if layout == "table":
+                user = "".join(str(rng.randint(1, 9)) for _ in range(7))
+                lines.append([ts, desc, user, debit_s, credit_s, fmt(abs(balance))])
+                continue
             if layout == "inline":
                 # one-line rows (P9): date WITHOUT time (so the column-walk
                 # anchor never fires and the inline fallback takes over) and a
@@ -235,8 +255,16 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
         oversized = rng.random() < 0.02
         n_pages = rng.randint(6, 10) if oversized else rng.randint(1, 3)
         layout_roll = rng.random()
-        layout = "inline" if layout_roll < 0.15 else "column"
+        if layout_roll < 0.15:
+            layout = "inline"
+        elif layout_roll < 0.32:
+            layout = "table"  # P10: positioned 6-cell rows
+        else:
+            layout = "column"
         with_user = rng.random() < 0.7
+        # inline/table rows always carry an explicit user cell → id-format
+        # amounts and a meaningful summary section
+        full_row = layout in ("inline", "table")
         pages, truth = statement_lines(
             rng,
             n_pages=n_pages,
@@ -244,9 +272,9 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             with_user=with_user,
             summary=(
                 rng.choice(["match", "match", "match", "mismatch", "none"])
-                if (with_user or layout == "inline") else "none"
+                if (with_user or full_row) else "none"
             ),
-            amount_format="id" if (with_user or layout == "inline") else "us",
+            amount_format="id" if (with_user or full_row) else "us",
             layout=layout,
         )
         payload = pdf_from_lines(

@@ -12,13 +12,23 @@ import pytest
 
 from b_pdf_parser_spark import fields
 from b_pdf_parser_spark.htmlmodel import extract_html_text
-from b_pdf_parser_spark.pdfmodel import extract_pdf_pages
+from b_pdf_parser_spark.pdfmodel import extract_pdf_pages, extract_pdf_pages_and_tables
 
 from tools.genfixtures import metadata_csv, transactions_csv
 
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
-            "d4_multipage_raw", "d7_inline_rows"]
+            "d4_multipage_raw", "d7_inline_rows", "d8_table_rows"]
 HTML_DOCS = ["d5_article", "d6_entities"]
+
+
+def _extract(payload):
+    """The operator's strategy chain: tables -> column walk -> inline."""
+    pages, tables = extract_pdf_pages_and_tables(payload)
+    full = "".join(p + "\n" for p in pages)
+    txns = fields.transactions_from_table_rows(tables) if tables else []
+    if not txns:
+        txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
+    return pages, full, txns
 
 
 @pytest.mark.parametrize("name", PDF_DOCS)
@@ -40,11 +50,9 @@ def test_html_text_byte_identical(name, fixtures_dir):
 @pytest.mark.parametrize("name", PDF_DOCS)
 def test_pdf_csv_contracts(name, fixtures_dir):
     payload = (fixtures_dir / f"{name}.pdf").read_bytes()
-    pages = extract_pdf_pages(payload)
-    full = "".join(p + "\n" for p in pages)
+    pages, full, txns = _extract(payload)
     meta = fields.extract_metadata(pages[0])
     meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
-    txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
     summary = fields.extract_summary_totals(full)
     for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
         meta[k] = summary.get(k) or ""
@@ -55,9 +63,7 @@ def test_pdf_csv_contracts(name, fixtures_dir):
 @pytest.mark.parametrize("name", PDF_DOCS)
 def test_pdf_verification_golden(name, fixtures_dir):
     payload = (fixtures_dir / f"{name}.pdf").read_bytes()
-    pages = extract_pdf_pages(payload)
-    full = "".join(p + "\n" for p in pages)
-    txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
+    _, full, txns = _extract(payload)
     got = fields.verify_turnover(txns, 0.01, full)
     expected = json.loads((fixtures_dir / f"{name}.expected_verify.json").read_text())
     assert got == expected
@@ -67,9 +73,8 @@ def test_golden_counts_stable(fixtures_dir):
     """Anchor counts, like the reference's 47/14/15 CHANGELOG anchors."""
     expected_counts = {"d1_classic_match": 6, "d2_xrefstm_mismatch": 10,
                        "d3_nouser_td": 7, "d4_multipage_raw": 12,
-                       "d7_inline_rows": 6}
+                       "d7_inline_rows": 6, "d8_table_rows": 10}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
-        full = "".join(p + "\n" for p in extract_pdf_pages(payload))
-        txns = fields.extract_transactions(full) or fields.extract_transactions_inline(full)
+        _, _, txns = _extract(payload)
         assert len(txns) == n, name

@@ -97,6 +97,42 @@ def test_xref_recovery_from_corrupt_table():
     assert pm.extract_pdf_text(broken) == "recovered text\n\n"
 
 
+def test_pages_and_tables_roundtrip():
+    # a page mixing single-span header lines, a 6-cell table (header + rows)
+    # and single-span summary lines: the table is detected as cell rows, the
+    # page text still reads in order with space-joined cells
+    lines = [
+        "No. Rekening",
+        ": 1234567890123",
+        ["Tanggal Transaksi", "Uraian Transaksi", "Teller", "Debet", "Kredit", "Saldo"],
+        ["01/01/24 10:00:00", "TRANSFER MASUK", "1234567", "0,00", "5.000,00", "1.000,00"],
+        ["02/01/24 11:30:00", "TARIK TUNAI ATM", "7654321", "2.500,00", "0,00", "998,00"],
+        "Saldo Awal",
+        "1.000,00",
+    ]
+    pdf = pdf_from_lines([lines])
+    pages, tables = pm.extract_pdf_pages_and_tables(pdf)
+    assert len(tables) == 1 and len(tables[0]) == 3
+    assert tables[0][1] == ["01/01/24 10:00:00", "TRANSFER MASUK", "1234567",
+                            "0,00", "5.000,00", "1.000,00"]
+    assert "No. Rekening\n" in pages[0]
+    assert "01/01/24 10:00:00 TRANSFER MASUK 1234567 0,00 5.000,00 1.000,00\n" in pages[0]
+    # text-only API unchanged (no tables in its output)
+    assert pm.extract_pdf_pages(pdf) == pages
+
+
+def test_tables_need_min_rows_and_cols():
+    # a lone 6-cell line (no second row) and 5-cell lines are not tables
+    pdf = pdf_from_lines([[
+        ["a", "b", "c", "d", "e", "f"],
+        "plain line",
+        ["1", "2", "3", "4", "5"],
+        ["6", "7", "8", "9", "10"],
+    ]])
+    _, tables = pm.extract_pdf_pages_and_tables(pdf)
+    assert tables == []
+
+
 def test_bare_lf_xref_entries():
     # some writers end classic-xref entries with a bare \n (19-byte stride);
     # the parser must not drift 1 byte per entry (nor leak a ValueError)

@@ -48,6 +48,33 @@ def test_pdf_docs_parse_and_validate(extracted):
     assert pdfs.filter(F.col("metadata.account_no") == "").count() == 0
 
 
+def test_strategy_fallback_chain(extracted):
+    # S2/P10: all three strategies fire on the corpus, tables take precedence
+    pdfs = extracted.filter(F.col("kind") == "pdf").cache()
+    try:
+        strat = {r["txn_strategy"]: r["n"] for r in
+                 pdfs.groupBy("txn_strategy").agg(F.count("*").alias("n")).collect()}
+        assert strat.get("table", 0) > 5
+        assert strat.get("column", 0) > 5
+        assert strat.get("inline", 0) > 5
+        assert set(strat) <= {"table", "column", "inline"}
+        # table rows preserve multi-word descriptions as one cell (the text
+        # strategies can't see cell boundaries); inline rows can't
+        tdocs = pdfs.filter(F.col("txn_strategy") == "table")
+        multi = tdocs.filter(
+            F.exists("transactions", lambda t: t["description"].contains(" "))
+        )
+        assert multi.count() > 0
+        # table-strategy docs all carry the full date+time anchor in cell 0
+        bad_date = tdocs.filter(
+            ~F.forall("transactions",
+                      lambda t: t["date"].rlike(r"^\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}$"))
+        )
+        assert bad_date.count() == 0
+    finally:
+        pdfs.unpersist()
+
+
 def test_relational_verify_matches_udf_verify(extracted):
     pdfs = extracted.filter(F.col("kind") == "pdf")
     rel = verify_turnover_plan(pdfs)

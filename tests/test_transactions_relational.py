@@ -16,11 +16,7 @@ def test_relational_equals_udf_walk(spark):
     ext = extract_pages(
         synth_pages_df(spark, 250, seed=55, num_partitions=4), num_partitions=8
     ).cache()
-    # column-layout docs: their txn dates carry the HH:MM:SS component
-    col_docs = ext.filter(
-        (F.col("kind") == "pdf")
-        & F.col("transactions")[0]["date"].rlike(r"\d{2}:\d{2}:\d{2}")
-    ).localCheckpoint()
+    col_docs = ext.filter(F.col("txn_strategy") == "column").localCheckpoint()
     ext.unpersist()
     assert col_docs.count() > 50
     a = transactions_table(col_docs).select(COLS)

@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from b_pdf_parser_spark import fields  # noqa: E402
 from b_pdf_parser_spark.htmlmodel import extract_html_text  # noqa: E402
-from b_pdf_parser_spark.pdfmodel import extract_pdf_pages  # noqa: E402
+from b_pdf_parser_spark.pdfmodel import extract_pdf_pages_and_tables  # noqa: E402
 from b_pdf_parser_spark.pdfwriter import pdf_from_lines  # noqa: E402
 from b_pdf_parser_spark.sources.pages import html_page, statement_lines  # noqa: E402
 
@@ -64,12 +64,15 @@ def transactions_csv(txns: list) -> str:
 
 def freeze_pdf(name: str, payload: bytes) -> None:
     (FIXDIR / f"{name}.pdf").write_bytes(payload)
-    pages = extract_pdf_pages(payload)
+    pages, tables = extract_pdf_pages_and_tables(payload)
     full = "".join(p + "\n" for p in pages)
     meta = fields.extract_metadata(pages[0])
     meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
-    txns = fields.extract_transactions(full)
-    if not txns:  # inline fallback, same chain as the extraction operator
+    # same strategy chain as the extraction operator: tables → column → inline
+    txns = fields.transactions_from_table_rows(tables) if tables else []
+    if not txns:
+        txns = fields.extract_transactions(full)
+    if not txns:
         txns = fields.extract_transactions_inline(full)
     summary = fields.extract_summary_totals(full)
     for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
@@ -117,6 +120,12 @@ def main() -> None:
     pages, _ = statement_lines(random.Random(707), n_pages=1, rows_per_page=6,
                                summary="match", amount_format="id", layout="inline")
     freeze_pdf("d7_inline_rows", pdf_from_lines(pages))
+
+    # d8: positioned 6-cell table rows (P10 table strategy, pdfplumber
+    # extract_tables parity) — multi-word descriptions survive as one cell
+    pages, _ = statement_lines(random.Random(808), n_pages=2, rows_per_page=5,
+                               summary="match", amount_format="id", layout="table")
+    freeze_pdf("d8_table_rows", pdf_from_lines(pages, xref_stream=True))
 
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
