@@ -206,7 +206,7 @@ def _parse_hex_string(buf: bytes, i: int) -> Tuple[bytes, int]:
     end = buf.find(b">", i)
     if end < 0:
         raise PdfError("unterminated hex string")
-    hexdigits = bytes(c for c in buf[i:end] if c not in _WS)
+    hexdigits = buf[i:end].translate(None, _WS)
     if len(hexdigits) % 2:
         hexdigits += b"0"
     try:
@@ -409,6 +409,7 @@ class PdfDocument:
         self.trailer: Dict[str, Any] = {}
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
+        self._font_cache: Dict[Ref, Optional["_Type0Decoder"]] = {}
         try:
             self._load_xref_chain()
         except (PdfError, ValueError, IndexError):
@@ -713,6 +714,44 @@ class PdfDocument:
         walk(top, {})
         return out
 
+    def page_fonts(self, page: Dict[str, Any]) -> Dict[str, "_Type0Decoder"]:
+        """Resource-name → decoder for the page's composite (Type0/CID)
+        fonts. Simple single-byte fonts get no entry — the interpreter's
+        default latin-1 path handles them (SURVEY §7.1). Decoders are cached
+        per font object so a ToUnicode CMap parses once per document."""
+        out: Dict[str, _Type0Decoder] = {}
+        try:
+            res = self.resolve(page.get("Resources"))
+            fdict = self.resolve(res.get("Font")) if isinstance(res, dict) else None
+            if not isinstance(fdict, dict):
+                return out
+            for name, ref in fdict.items():
+                key = ref if isinstance(ref, Ref) else None
+                if key is not None and key in self._font_cache:
+                    dec = self._font_cache[key]
+                    if dec is not None:
+                        out[str(name)] = dec
+                    continue
+                dec = None
+                font = self.resolve(ref)
+                if isinstance(font, dict) and str(font.get("Subtype")) == "Type0":
+                    cmap: Dict[int, str] = {}
+                    nbytes = 2
+                    tu = self.resolve(font.get("ToUnicode"))
+                    if isinstance(tu, StreamObject):
+                        try:
+                            cmap, nbytes = _parse_tounicode(self.decode_stream(tu))
+                        except PdfError:
+                            pass
+                    dec = _Type0Decoder(cmap, nbytes)
+                if key is not None:
+                    self._font_cache[key] = dec
+                if dec is not None:
+                    out[str(name)] = dec
+        except PdfError:
+            pass  # malformed font resources never fail text extraction
+        return out
+
     def page_content(self, page: Dict[str, Any]) -> bytes:
         contents = self.resolve(page.get("Contents"))
         if contents is None:
@@ -781,6 +820,8 @@ _CTOK_RE = re.compile(
     # each replaces 7 (resp. 2) generic-token iterations with one match
     rb"(?:(?P<tm6>(?:" + _NUM_WS + rb"){6}Tm(?![A-Za-z0-9'\"*]))"
     rb"|\((?P<tjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
+    # fused "<hex> Tj" show (the dominant idiom of Type0/CID text streams)
+    rb"|<(?P<tjh>[0-9A-Fa-f\x00\t\n\x0c\r ]*)>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
     rb"|%[^\r\n]*"
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
@@ -824,6 +865,15 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
             continue
         if kind == "tjs":
             yield ("tj", m.group("tjs"))
+            continue
+        if kind == "tjh":
+            h = m.group("tjh").translate(None, _WS)
+            if len(h) % 2:
+                h += b"0"
+            try:
+                yield ("tj", bytes.fromhex(h.decode("ascii")))
+            except ValueError:
+                pass
             continue
         if kind == "num":
             tok = m.group("num")
@@ -883,7 +933,112 @@ def _decode_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
-def _extract_spans(content: bytes) -> List[_Span]:
+# -- Type0 / CID fonts (PDF 1.7 §9.7) + /ToUnicode CMaps (§9.10.3) -----------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+_CMAP_TOK_RE = re.compile(rb"<[0-9A-Fa-f]+>|\[|\]")
+
+
+def _utf16_hex(h: bytes) -> str:
+    b = bytes.fromhex(h.decode("ascii"))
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _parse_tounicode(data: bytes) -> Tuple[Dict[int, str], int]:
+    """Parse a /ToUnicode CMap stream → (code→string map, code byte width).
+
+    Covers the Adobe CMap constructs that carry the mapping: bfchar pairs,
+    bfrange with incremented-destination or per-code array destinations, and
+    codespacerange for the code width (PDF 1.7 §9.10.3; CID spec §7.5.4).
+    """
+    cmap: Dict[int, str] = {}
+    m = _CODESPACE_RE.search(data)
+    nbytes = max(1, len(m.group(1)) // 2) if m else 2
+    for blk in _BFCHAR_RE.finditer(data):
+        toks = _CMAP_TOK_RE.findall(blk.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            if toks[i].startswith(b"<") and toks[i + 1].startswith(b"<"):
+                cmap[int(toks[i][1:-1], 16)] = _utf16_hex(toks[i + 1][1:-1])
+    for blk in _BFRANGE_RE.finditer(data):
+        toks = _CMAP_TOK_RE.findall(blk.group(1))
+        i, n = 0, len(toks)
+        while i + 2 < n or (i + 2 == n and n >= 3):
+            if not (toks[i].startswith(b"<") and toks[i + 1].startswith(b"<")):
+                i += 1
+                continue
+            lo = int(toks[i][1:-1], 16)
+            hi = min(int(toks[i + 1][1:-1], 16), lo + 0xFFFF)  # runaway guard
+            i += 2
+            if i >= n:
+                break
+            if toks[i] == b"[":  # per-code destination array
+                i += 1
+                code = lo
+                while i < n and toks[i] != b"]":
+                    if code <= hi and toks[i].startswith(b"<"):
+                        cmap[code] = _utf16_hex(toks[i][1:-1])
+                        code += 1
+                    i += 1
+                i += 1
+            elif toks[i].startswith(b"<"):  # incremented destination
+                dst = bytes.fromhex(toks[i][1:-1].decode("ascii"))
+                i += 1
+                base = int.from_bytes(dst, "big")
+                for c in range(lo, hi + 1):
+                    try:
+                        cmap[c] = _utf16_hex(
+                            (base + c - lo).to_bytes(len(dst), "big").hex().encode()
+                        )
+                    except OverflowError:
+                        break
+    return cmap, nbytes
+
+
+class _Type0Decoder:
+    """Decode CID-keyed show strings via the font's /ToUnicode map. Codes
+    without a mapping fall back to the identity codepoint (the usual
+    Identity-H convention when no ToUnicode entry exists).
+
+    Fast path for 2-byte codes below the surrogate block (the universal web
+    case): one C-level UTF-16BE decode + ``str.translate`` with the CMap as
+    an ordinal table — no per-code Python. Codes ≥ U+D800 in the map (or odd
+    code widths) take the generic loop."""
+
+    __slots__ = ("cmap", "nbytes", "_table")
+
+    def __init__(self, cmap: Dict[int, str], nbytes: int = 2):
+        self.cmap = cmap
+        self.nbytes = nbytes
+        self._table = None
+        if nbytes == 2 and all(k < 0xD800 for k in cmap):
+            self._table = {0: ""}
+            self._table.update(cmap)
+
+    def __call__(self, raw: bytes) -> str:
+        if self._table is not None:
+            if len(raw) % 2:
+                raw = raw[:-1]
+            # 'replace' only fires on surrogate-range codes (unmappable to
+            # str anyway); everything else round-trips exactly
+            return raw.decode("utf-16-be", "replace").translate(self._table)
+        step = self.nbytes
+        get = self.cmap.get
+        out = []
+        for i in range(0, len(raw) - (len(raw) % step), step):
+            code = int.from_bytes(raw[i : i + step], "big")
+            s = get(code)
+            out.append(s if s is not None else (chr(code) if code else ""))
+        return "".join(out)
+
+
+def _extract_spans(
+    content: bytes, fonts: Optional[Dict[str, "_Type0Decoder"]] = None
+) -> List[_Span]:
     spans: List[_Span] = []
     seq = 0
     ctm: Matrix = _IDENTITY
@@ -893,13 +1048,19 @@ def _extract_spans(content: bytes) -> List[_Span]:
     leading = 0.0
     in_text = False
     stack: List[Any] = []
+    # current composite-font decoder, switched by Tf (None → single-byte
+    # default). Tracked per content stream — font selection is graphics
+    # state, but the corpus (and our writer) always sets Tf inside each BT.
+    cur_dec: Optional[_Type0Decoder] = None
 
     def emit(raw: Any) -> None:
         nonlocal seq
         if not isinstance(raw, (bytes, bytearray)):
             return
         raw = bytes(raw)
-        if raw[:2] == b"\xfe\xff":  # UTF-16BE text string (PDF 1.7 §7.9.2.2)
+        if cur_dec is not None:  # Type0/CID: 2-byte codes via ToUnicode
+            text = cur_dec(raw)
+        elif raw[:2] == b"\xfe\xff":  # UTF-16BE text string (PDF 1.7 §7.9.2.2)
             try:
                 text = raw[2:].decode("utf-16-be")
             except UnicodeDecodeError:
@@ -973,7 +1134,10 @@ def _extract_spans(content: bytes) -> List[_Span]:
             elif op == b"cm" and len(stack) >= 6:
                 a, b, c, d, e, f = (num(v) for v in stack[-6:])
                 ctm = _mat_mul((a, b, c, d, e, f), ctm)
-            # all other operators (Tf Tc Tw Tz Ts Tr re W n Do gs colors...)
+            elif op == b"Tf" and fonts and len(stack) >= 2:
+                fname = stack[-2]
+                cur_dec = fonts.get(fname) if isinstance(fname, Name) else None
+            # all other operators (Tc Tw Tz Ts Tr re W n Do gs colors...)
             # consume their operands and are otherwise ignored
         finally:
             stack.clear()
@@ -1055,7 +1219,7 @@ def extract_pdf_pages(data: bytes) -> List[str]:
     out = []
     for page in pages:
         content = doc.page_content(page)
-        lines = _assemble_lines(_extract_spans(content))
+        lines = _assemble_lines(_extract_spans(content, doc.page_fonts(page)))
         out.append("".join(ln + "\n" for ln in lines))
     return out
 
@@ -1074,7 +1238,9 @@ def extract_pdf_pages_and_tables(
     texts: List[str] = []
     tables: List[List[List[str]]] = []
     for page in pages:
-        line_spans = _cluster_lines(_extract_spans(doc.page_content(page)))
+        line_spans = _cluster_lines(
+            _extract_spans(doc.page_content(page), doc.page_fonts(page))
+        )
         texts.append("".join(_join_line(ls) + "\n" for ls in line_spans))
         tables.extend(_detect_tables(line_spans))
     return texts, tables

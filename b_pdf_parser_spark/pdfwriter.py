@@ -45,31 +45,102 @@ def _num(v: float) -> bytes:
     return (f"{v:.2f}").encode("ascii")
 
 
-def _content_tm(spans: Sequence[Span]) -> bytes:
+def _lit_show(text: str) -> bytes:
+    return b"(" + _esc(text) + b")"
+
+
+def _content_tm(spans: Sequence[Span], show=_lit_show) -> bytes:
     """One absolute Tm + Tj per span (the dominant pattern in the corpus)."""
     parts = [b"BT /F1 10 Tf"]
     for x, y, text in spans:
-        parts.append(b"1 0 0 1 " + _num(x) + b" " + _num(y) + b" Tm (" + _esc(text) + b") Tj")
+        parts.append(b"1 0 0 1 " + _num(x) + b" " + _num(y) + b" Tm " + show(text) + b" Tj")
     parts.append(b"ET")
     return b"\n".join(parts)
 
 
-def _content_td(spans: Sequence[Span]) -> bytes:
+def _content_td(spans: Sequence[Span], show=_lit_show) -> bytes:
     """Td/TL/'/TJ variant: exercises relative line motion operators."""
     parts = [b"q 1 0 0 1 0 0 cm", b"BT /F1 10 Tf 14 TL"]
     prev_x = prev_y = 0.0
     for idx, (x, y, text) in enumerate(spans):
         if idx == 0:
             parts.append(_num(x) + b" " + _num(y) + b" Td")
-            parts.append(b"[(" + _esc(text) + b")] TJ")
+            parts.append(b"[" + show(text) + b"] TJ")
         elif abs((prev_y - y) - 14.0) < 0.01 and x == prev_x:
-            parts.append(b"(" + _esc(text) + b") '")
+            parts.append(show(text) + b" '")
         else:
             parts.append(_num(x - prev_x) + b" " + _num(y - prev_y) + b" Td")
-            parts.append(b"(" + _esc(text) + b") Tj")
+            parts.append(show(text) + b" Tj")
         prev_x, prev_y = x, y
     parts.append(b"ET Q")
     return b"\n".join(parts)
+
+
+# -- Type0 / Identity-H emission (PDF 1.7 §9.7) + /ToUnicode CMap (§9.10.3) --
+
+
+def _charmap(pages: Sequence[Sequence[Span]]) -> Dict[str, int]:
+    """char → CID over the document's glyph set. CIDs start at 1 (0 is
+    .notdef) and are deliberately NOT the unicode codepoints, so extraction
+    must really go through the ToUnicode CMap."""
+    chars = sorted({ch for spans in pages for _, _, t in spans for ch in t})
+    return {ch: i + 1 for i, ch in enumerate(chars)}
+
+
+def _hex_show_fn(cm: Dict[str, int]):
+    def show(text: str) -> bytes:
+        return b"<" + "".join(f"{cm[ch]:04X}" for ch in text).encode("ascii") + b">"
+
+    return show
+
+
+def _u16hex(ch: str) -> bytes:
+    return ch.encode("utf-16-be").hex().upper().encode("ascii")
+
+
+def _tounicode_cmap(cm: Dict[str, int]) -> bytes:
+    """Standard ToUnicode CMap: consecutive (cid, codepoint) runs become
+    bfrange entries, singletons become bfchar — both forms exercised."""
+    items = sorted((cid, ch) for ch, cid in cm.items())
+    ranges: List[bytes] = []
+    chars: List[bytes] = []
+    i = 0
+    while i < len(items):
+        j = i
+        while (
+            j + 1 < len(items)
+            and items[j + 1][0] == items[j][0] + 1
+            and ord(items[j + 1][1]) == ord(items[j][1]) + 1
+        ):
+            j += 1
+        if j > i:
+            ranges.append(
+                b"<%04X> <%04X> <%s>" % (items[i][0], items[j][0], _u16hex(items[i][1]))
+            )
+        else:
+            chars.append(b"<%04X> <%s>" % (items[i][0], _u16hex(items[i][1])))
+        i = j + 1
+
+    def blocks(entries: List[bytes], kw: bytes) -> bytes:
+        out = b""
+        for k in range(0, len(entries), 100):  # ≤100 entries per block (spec)
+            chunk = entries[k : k + 100]
+            out += (
+                b"%d begin%s\n" % (len(chunk), kw)
+                + b"\n".join(chunk)
+                + b"\nend%s\n" % kw
+            )
+        return out
+
+    return (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + blocks(chars, b"bfchar")
+        + blocks(ranges, b"bfrange")
+        + b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
 
 
 def _stream_obj(d: bytes, payload: bytes, compress: bool) -> bytes:
@@ -88,6 +159,7 @@ def build_pdf(
     xref_stream: bool = False,
     compress: bool = True,
     td_ops: bool = False,
+    type0: bool = False,
 ) -> bytes:
     """Serialize positioned text spans into a complete PDF file.
 
@@ -95,11 +167,19 @@ def build_pdf(
     ``xref_stream=True``  → PDF-1.7 cross-reference stream (``/W [1 2 2]``,
     ``/Predictor 12 /Columns 5``) with the catalog/pages/page/font
     dictionaries packed into an object stream (``/Type /ObjStm``).
+    ``type0=True`` → composite Identity-H font: show strings become 2-byte
+    CID hex strings (CIDs ≠ codepoints) decodable only via the embedded
+    /ToUnicode CMap — the dominant font shape in web PDFs.
     """
     n_pages = len(pages)
+    show = _lit_show
+    if type0:
+        cm = _charmap(pages)
+        show = _hex_show_fn(cm)
     make_content = _content_td if td_ops else _content_tm
 
-    # object numbering: 1 catalog, 2 pages, 3 font, then per page (dict, content)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page (dict,
+    # content); type0 appends CIDFont dict + ToUnicode stream at the end
     page_obj = lambda i: 4 + 2 * i  # noqa: E731
     content_obj = lambda i: 5 + 2 * i  # noqa: E731
     kids = b"[" + b" ".join(b"%d 0 R" % page_obj(i) for i in range(n_pages)) + b"]"
@@ -115,9 +195,23 @@ def build_pdf(
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % content_obj(i)
         )
     contents: Dict[int, bytes] = {
-        content_obj(i): _stream_obj(b"<< >>", make_content(pages[i]), compress)
+        content_obj(i): _stream_obj(b"<< >>", make_content(pages[i], show), compress)
         for i in range(n_pages)
     }
+    if type0:
+        cid_obj = 4 + 2 * n_pages
+        tu_obj = cid_obj + 1
+        dicts[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
+            % (cid_obj, tu_obj)
+        )
+        dicts[cid_obj] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>"
+        )
+        contents[tu_obj] = _stream_obj(b"<< >>", _tounicode_cmap(cm), compress)
 
     if not xref_stream:
         return _emit_classic(dicts, contents)
@@ -218,6 +312,7 @@ def pdf_from_lines(
     xref_stream: bool = False,
     compress: bool = True,
     td_ops: bool = False,
+    type0: bool = False,
     x: float = 72.0,
     top: float = 760.0,
     leading: float = 14.0,
@@ -240,4 +335,5 @@ def pdf_from_lines(
                 for j, cell in enumerate(ln):
                     spans.append((col_xs[j % len(col_xs)], yv, cell))
         pages.append(spans)
-    return build_pdf(pages, xref_stream=xref_stream, compress=compress, td_ops=td_ops)
+    return build_pdf(pages, xref_stream=xref_stream, compress=compress,
+                     td_ops=td_ops, type0=type0)

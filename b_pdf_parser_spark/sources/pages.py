@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -282,6 +282,10 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             xref_stream=rng.random() < 0.5,
             td_ops=rng.random() < 0.3,
             compress=rng.random() < 0.9,
+            # ~25% composite Identity-H fonts with /ToUnicode CMaps — the
+            # dominant font shape in web PDFs (CID ≠ codepoint, so decode
+            # must really walk the CMap)
+            type0=rng.random() < 0.25,
         )
         # some urls embed the account number (filename-fallback path,
         # reference: pymupdf_parser.py:62-71)

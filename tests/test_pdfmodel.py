@@ -97,6 +97,44 @@ def test_xref_recovery_from_corrupt_table():
     assert pm.extract_pdf_text(broken) == "recovered text\n\n"
 
 
+def test_type0_roundtrip_all_variants():
+    lines = [["alpha beta", "gamma (delta)", "1.234.567,89"], ["page two"]]
+    for xs in (False, True):
+        for td in (False, True):
+            pdf = pdf_from_lines(lines, type0=True, xref_stream=xs, td_ops=td)
+            assert pm.extract_pdf_pages(pdf) == [
+                "alpha beta\ngamma (delta)\n1.234.567,89\n", "page two\n"
+            ], (xs, td)
+    # the payload carries no literal text — decode must walk the CMap
+    raw = pdf_from_lines(lines, type0=True, compress=False)
+    assert b"(alpha" not in raw and b"Identity-H" in raw
+
+
+def test_tounicode_cmap_parse_forms():
+    # bfchar, incremented bfrange, and array-form bfrange (PDF 1.7 §9.10.3)
+    cmap_src = (
+        b"/CIDInit /ProcSet findresource begin begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <0041> <0002> <00E9> endbfchar\n"
+        b"1 beginbfrange <0010> <0012> <0061> endbfrange\n"
+        b"1 beginbfrange <0020> <0021> [<0058> <005A>] endbfrange\n"
+        b"endcmap end"
+    )
+    cmap, nbytes = pm._parse_tounicode(cmap_src)
+    assert nbytes == 2
+    assert cmap[0x0001] == "A" and cmap[0x0002] == "é"
+    assert cmap[0x0010] == "a" and cmap[0x0011] == "b" and cmap[0x0012] == "c"
+    assert cmap[0x0020] == "X" and cmap[0x0021] == "Z"
+
+
+def test_type0_identity_fallback_without_tounicode():
+    # unmapped CIDs decode as identity codepoints (Identity-H convention)
+    dec = pm._Type0Decoder({}, 2)
+    assert dec(b"\x00A\x00B") == "AB"
+    dec2 = pm._Type0Decoder({0x41: "Z"}, 2)
+    assert dec2(b"\x00A\x00B") == "ZB"
+
+
 def test_pages_and_tables_roundtrip():
     # a page mixing single-span header lines, a 6-cell table (header + rows)
     # and single-span summary lines: the table is detected as cell rows, the

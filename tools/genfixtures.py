@@ -127,6 +127,12 @@ def main() -> None:
                                summary="match", amount_format="id", layout="table")
     freeze_pdf("d8_table_rows", pdf_from_lines(pages, xref_stream=True))
 
+    # d9: Type0/Identity-H composite font, CID-keyed hex show strings that
+    # decode only through the embedded /ToUnicode CMap (PDF 1.7 §9.7/§9.10)
+    pages, _ = statement_lines(random.Random(909), n_pages=2, rows_per_page=6,
+                               with_user=True, summary="match", amount_format="id")
+    freeze_pdf("d9_type0_cid", pdf_from_lines(pages, type0=True, xref_stream=True))
+
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
     freeze_html("d5_article", payload)
