@@ -383,7 +383,10 @@ def q_embedding_neardup(spark, sf):
     )
 
 
-def q_lsh_ann_topk(spark, sf):  # rows-only: hyperplanes not SQL-portable
+def q_lsh_ann_topk(spark, sf):
+    """Sign-bit LSH ANN. Oracle-checked: the hyperplanes are deterministic
+    (md5-seeded), so the oracle embeds them as SQL literals and recomputes
+    the same buckets + in-bucket ranking in DuckDB."""
     from b_pdf_parser_spark.operators.similarity import lsh_ann_topk
 
     e = _t(spark, sf, "embeddings")
@@ -653,6 +656,37 @@ def _cos(a: str, b: str) -> str:
         f"{_DOT64.format(a=a, b=b)} / "
         f"(sqrt({_DOT64.format(a=a, b=a)}) * sqrt({_DOT64.format(a=b, b=b)}))"
     )
+
+
+def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity.lsh_ann_topk: same md5-derived hyperplanes
+    (repr() literals round-trip the exact doubles), same float64 left-fold
+    dot products, so buckets and ranks agree bit-for-bit."""
+    from b_pdf_parser_spark.operators.similarity import _hyperplane
+
+    def dot_plane(p: int) -> str:
+        lits = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p, seed)) + "]"
+        return _DOT64.format(a="embedding", b=lits)
+
+    bits = " || ".join(
+        f"(CASE WHEN {dot_plane(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(n_planes)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+              FROM sigs WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.query_id, s.vec_id AS neighbor_id,
+                   {_cos('q.qvec', 's.embedding')} AS score
+            FROM q JOIN sigs s ON q.bucket = s.bucket
+            WHERE q.query_id <> s.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -970,4 +1004,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND {_cos('a.embedding', 'b.embedding')} >= 0.4
         """,
+        "lsh_ann_topk": _lsh_ann_oracle(),
     }
