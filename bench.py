@@ -49,9 +49,10 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_DOCS_SCALING", str(N_DOCS)))
 SEED = 42
 
 # quadratic all-pairs demos: timed on the small tables to keep bench honest
-# about what the scale path is (LSH), not to hide their cost
-_SMALL_SF_QUERIES = {"embedding_neardup", "shingle_overlap_jaccard", "lsh_candidates",
-                     "dup_clusters"}
+# about what the scale path is (LSH), not to hide their cost. The LSH-based
+# queries (lsh_candidates, near_dup_*) run at full bench SF — they ARE the
+# scale path.
+_SMALL_SF_QUERIES = {"embedding_neardup", "shingle_overlap_jaccard", "dup_clusters"}
 _SMALL_SF_DIR = "/root/testdata/sf0.01"
 
 
@@ -174,15 +175,16 @@ def main() -> None:
         # live N-vs-4N cluster-size proxy, measured every invocation (no
         # static copies — regressions must surface in the round's JSON).
         # Each cluster size runs in its own clean process (no JVM/worker
-        # residue from the headline session); interleaved best-of-2 per size
+        # residue from the headline session); interleaved best-of-3 per size
         # because the sandbox carries a fluctuating phantom background load
-        # (loadavg ~4 when idle), so single shots are a lottery and
-        # interleaving keeps the treatment symmetric.
+        # (loadavg ~4 when idle; observed 1.7× spread on identical runs), so
+        # single shots are a lottery and interleaving keeps the treatment
+        # symmetric.
         import subprocess
 
         try:
             thr = {SCALE_N: 0.0, SCALE_N * 4: 0.0}
-            for _rep in range(2):
+            for _rep in range(3):
                 for cpus in (SCALE_N, SCALE_N * 4):
                     env = dict(os.environ, SPARK_GRAFT_EXTRACT_ONLY=str(cpus),
                                SPARK_GRAFT_DOCS=str(SCALING_DOCS))
