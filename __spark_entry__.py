@@ -357,6 +357,26 @@ def q_simhash(spark, sf):
     return simhash(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
+def q_simhash_neardup(spark, sf):
+    """Bit-sampling LSH over SimHash signatures (band-bucket candidates)
+    confirmed by exact hamming distance ≤ 3 — the signature-space analog of
+    the MinHash near-dup path."""
+    from b_pdf_parser_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_neardup_pairs(d, "doc_id", "text")
+
+
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing document fingerprints (rolling n-gram hash windows, min per
+    window, Schleimer et al. 2003) — the position-robust fingerprint set for
+    partial-overlap detection."""
+    from b_pdf_parser_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity pack (embeddings)
 # ---------------------------------------------------------------------------
@@ -567,6 +587,8 @@ def queries() -> dict[str, _T]:
         "near_dup_pairs": q_near_dup_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -982,6 +1004,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
                        AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "simhash_neardup": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+                FROM documents),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN substr(md5(w), b.bit + 1, 1)
+                                     IN ('1','3','5','7','9','b','d','f')
+                                THEN 1 ELSE -1 END) AS v
+                FROM toks CROSS JOIN generate_series(0, 15) b(bit)
+                WHERE w <> ''
+                GROUP BY doc_id, b.bit),
+            sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id),
+            keys AS (
+                SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS key
+                FROM sig CROSS JOIN generate_series(0, 1) b(band)),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM keys a JOIN keys b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+            FROM cands
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        """,
+        "winnow_fingerprints": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS w,
+                       generate_subscripts({_TOKS}, 1) AS pos
+                FROM documents),
+            grams AS (
+                SELECT doc_id, pos,
+                       concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS shingle,
+                       lead(w, 2) OVER win AS last2
+                FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            g AS (
+                SELECT doc_id, pos, substr(md5(shingle), 1, 16) AS h
+                FROM grams WHERE last2 IS NOT NULL),
+            m AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM g),
+            sizes AS (SELECT doc_id, max(pos) AS maxp FROM g GROUP BY doc_id)
+            SELECT DISTINCT m.doc_id, wmin AS fp
+            FROM m JOIN sizes ON m.doc_id = sizes.doc_id
+            WHERE pos <= maxp - 3
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -85,7 +85,15 @@ def _decode_entity(m: re.Match) -> str:
         except ValueError:
             pass
         return m.group(0)
-    return _ENTITIES.get(body.lower(), m.group(0))
+    # the small table first (frozen-golden behavior, e.g. nbsp → plain
+    # space), then the full HTML5 named-entity table (stdlib, ~2k names;
+    # case-sensitive per spec, with a lowercase retry for sloppy markup)
+    s = _ENTITIES.get(body.lower())
+    if s is not None:
+        return s
+    from html.entities import html5 as _h5
+
+    return _h5.get(body + ";") or _h5.get(body.lower() + ";") or m.group(0)
 
 
 def _clean_text(raw: str) -> str:

@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Four families, all expressed as pure DataFrame plans (shuffle-conscious,
+Five families, all expressed as pure DataFrame plans (shuffle-conscious,
 no Python in the hot path), each with a DuckDB-oracle-compatible formula:
 
 * **exact**          — content-hash groupBy (one shuffle on a 16-byte key,
@@ -10,7 +10,10 @@ no Python in the hot path), each with a DuckDB-oracle-compatible formula:
   *band*, so only colliding docs ever meet — the scale path)
 * **n-gram Jaccard** — exact similarity for candidate pairs (shingle-set
   intersection via join; used to confirm LSH candidates)
-* **SimHash**        — 16-bit bit-vote signature; hamming-adjacent buckets
+* **SimHash**        — 16-bit bit-vote signature; band-bucket (bit-sampling
+  LSH) candidates confirmed by exact hamming distance
+* **Winnowing**      — rolling n-gram-hash window minima (Schleimer et al.
+  2003): position-robust fingerprint sets for partial-overlap detection
 
 Portability notes (these choices make the DuckDB oracle byte-equal):
 hashes are md5 hex *strings* (both engines agree); min/aggregation over
@@ -26,11 +29,15 @@ from pyspark.sql import DataFrame, Window
 __all__ = [
     "exact_dup_stats",
     "shingles",
+    "shingles_with_pos",
     "minhash_signatures",
     "minhash_signature_string",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_candidate_pairs",
+    "simhash_neardup_pairs",
+    "winnow_fingerprints",
 ]
 
 DEFAULT_K = 8  # minhash permutations
@@ -46,8 +53,9 @@ def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Word n-gram shingles via posexplode + lead window (W1/W3 pattern)."""
+def shingles_with_pos(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Positional word n-gram shingles (id, pos, shingle) — duplicates kept,
+    one row per gram start position (winnowing needs positions)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("pos", "w"),
@@ -58,9 +66,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         toks.select("id", "pos", F.concat_ws(" ", *grams).alias("shingle"),
                     F.lead("w", n - 1).over(w).alias("_last"))
         .filter(F.col("_last").isNotNull())
-        .select("id", "shingle")
-        .distinct()
+        .select("id", "pos", "shingle")
     )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingle *set* via posexplode + lead window (W1/W3 pattern)."""
+    return shingles_with_pos(df, id_col, text_col, n).select("id", "shingle").distinct()
 
 
 def minhash_signatures(
@@ -194,6 +206,93 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _simhash_band_pairs(sig: DataFrame, bits: int, bands: int) -> DataFrame:
+    """Candidate pairs from a (id, simhash) frame via band buckets
+    (bit-sampling LSH): agreement on ANY full band ⇒ candidate — guaranteed
+    to include every pair with hamming distance < ``bands``. The self-join
+    shuffles on (band, key) only, linear-ish at 10^12 docs."""
+    per = bits // bands
+    mask = (1 << per) - 1
+    keys = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * per).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    keys = keys.localCheckpoint(eager=False)  # referenced twice by the self-join
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, bands: int = 2
+) -> DataFrame:
+    """Hamming-adjacent SimHash candidates (see ``_simhash_band_pairs``)."""
+    return _simhash_band_pairs(simhash(df, id_col, text_col, bits), bits, bands)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    bits: int = 16, bands: int = 2, hamming_max: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket candidates confirmed by exact
+    hamming distance ≤ ``hamming_max`` (bit_count of XOR). The signature
+    subtree is computed once (checkpointed) and reused for banding and for
+    the confirm join. Returns (id_a, id_b, hamming)."""
+    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    cands = _simhash_band_pairs(sig, bits, bands)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
+    every positional word n-gram, slide a window of ``w`` consecutive grams,
+    keep the minimum hash of each full window, dedupe per document. Output
+    (id, fp) — the fingerprint set is position-robust: local edits perturb
+    only nearby windows, so shared content still collides.
+
+    Pure window + aggregate plan (one shuffle on id); md5-prefix hashes make
+    the selection portable to the DuckDB oracle (ties are lexicographic and
+    astronomically unlikely)."""
+    g = shingles_with_pos(df, id_col, text_col, n)
+    h = F.substring(F.md5("shingle"), 1, 16)
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    hashed = g.select("id", "pos", h.alias("h"))
+    m = hashed.select("id", "pos", F.min("h").over(win).alias("wmin"))
+    sizes = hashed.groupBy("id").agg(F.max("pos").alias("maxp"))
+    return (
+        m.join(sizes, "id")
+        .filter(F.col("pos") <= F.col("maxp") - (w - 1))  # full windows only
+        .select("id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:

@@ -1,7 +1,12 @@
 """Dedup-operator unit tests: connected components on synthetic graphs,
 ngram-Jaccard confirmation of LSH candidates."""
 
-from b_pdf_parser_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+from b_pdf_parser_spark.operators.dedup import (
+    connected_components,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    winnow_fingerprints,
+)
 
 
 def test_connected_components_shapes(spark):
@@ -41,3 +46,35 @@ def test_ngram_jaccard_confirms_lsh_candidates(spark):
     assert all(j < 1.0 for (a, b), j in rows.items() if (a, b) != (1, 2))
     confirmed = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in confirmed} == {(1, 2)}
+
+
+def test_simhash_neardup_identical_docs_at_hamming_zero(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("lazy", "sleepy")),
+         (4, "unrelated corpus about catalyst optimizer rules and shuffle exchange plans")],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_neardup_pairs(docs, "doc_id", "text").collect()}
+    assert rows[(1, 2)] == 0                       # identical → distance 0
+    assert all(h <= 3 for h in rows.values())      # confirm threshold honored
+
+
+def test_winnowing_local_edit_preserves_most_fingerprints(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    edited = base.replace("india", "INDIA_EDIT")
+    docs = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    fps = winnow_fingerprints(docs, "doc_id", "text").collect()
+    a = {r["fp"] for r in fps if r["id"] == 1}
+    b = {r["fp"] for r in fps if r["id"] == 2}
+    assert len(a) > 3
+    # a one-token edit perturbs only the windows covering it: the fingerprint
+    # sets still overlap heavily (the property winnowing exists for)
+    overlap = len(a & b) / len(a | b)
+    assert overlap > 0.4, (a, b)
+    # deterministic: recomputation yields the identical set
+    again = {r["fp"] for r in winnow_fingerprints(docs, "doc_id", "text").collect()
+             if r["id"] == 1}
+    assert again == a

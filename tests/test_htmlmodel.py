@@ -75,3 +75,15 @@ def test_bom_handling():
     assert "words" in extract_html_text(utf16)
     utf8_bom = b"\xef\xbb\xbf" + text.encode("utf-8")
     assert "words" in extract_html_text(utf8_bom)
+
+
+def test_html5_named_entities_decoded():
+    body = ("&eacute; &Eacute; &auml; &szlig; &alpha; &euro; &nbsp;x &bogusent; "
+            "plus enough plain words here to be kept as the main content block "
+            "for the classifier to score this paragraph highly")
+    h = f"<html><body><article><p>{body}</p></article></body></html>".encode()
+    from b_pdf_parser_spark.htmlmodel import extract_html_text
+    text = extract_html_text(h)
+    assert "\u00e9 \u00c9 \u00e4 \u00df \u03b1 \u20ac" in text
+    assert " x" in text            # nbsp keeps the frozen plain-space mapping
+    assert "&bogusent;" in text    # unknown names stay literal
