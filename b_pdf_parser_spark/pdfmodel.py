@@ -1167,7 +1167,58 @@ def _cluster_lines(spans: List[_Span]) -> List[List[_Span]]:
 
 
 def _assemble_lines(spans: List[_Span]) -> List[str]:
-    return [_join_line(ls) for ls in _cluster_lines(spans)]
+    return [_join_line(ls) for ls in _xy_cut_lines(spans)]
+
+
+# -- recursive XY-cut (north_star: reading-order segmentation) ---------------
+#
+# A page is split at a vertical gutter — an x-interval no span's estimated
+# extent crosses — and the left region is read before the right one,
+# recursively. Span widths aren't tracked by the text interpreter (no glyph
+# metrics), so extents are estimated at ~0.5 em of the corpus's 10 pt font.
+#
+# Discriminator (the part that matters): a TABLE also shows vertical
+# gutters between cell columns, but its left and right regions share the
+# same baselines (cells of one row), whereas true text columns have
+# independent baselines. A split is accepted only when the two sides share
+# < 50% of their baseline set — same-baseline layouts stay line-joined and
+# flow into the table detector instead.
+
+_CHAR_W = 5.0  # ≈0.5 em at 10 pt — every corpus writer uses 10 pt
+_MIN_GUTTER = 30.0
+_MIN_SIDE_LINES = 3
+
+
+def _find_column_split(spans: List[_Span]) -> Optional[float]:
+    iv = sorted((s.x, s.x + _CHAR_W * len(s.text)) for s in spans)
+    gaps = []
+    cur_end = iv[0][1]
+    for a, b in iv[1:]:
+        if a > cur_end + _MIN_GUTTER:
+            gaps.append((cur_end + a) / 2.0)
+        cur_end = max(cur_end, b)
+    for mid in gaps:
+        left = [s for s in spans if s.x < mid]
+        right = [s for s in spans if s.x >= mid]
+        ly = {int(s.y / _LINE_Y_TOL) for s in left}
+        ry = {int(s.y / _LINE_Y_TOL) for s in right}
+        if len(ly) < _MIN_SIDE_LINES or len(ry) < _MIN_SIDE_LINES:
+            continue
+        if len(ly & ry) / min(len(ly), len(ry)) >= 0.5:
+            continue  # shared baselines ⇒ table row cells, not columns
+        return mid
+    return None
+
+
+def _xy_cut_lines(spans: List[_Span], depth: int = 0) -> List[List[_Span]]:
+    if len(spans) < 2 * _MIN_SIDE_LINES or depth >= 4:
+        return _cluster_lines(spans)
+    mid = _find_column_split(spans)
+    if mid is None:
+        return _cluster_lines(spans)
+    left = [s for s in spans if s.x < mid]
+    right = [s for s in spans if s.x >= mid]
+    return _xy_cut_lines(left, depth + 1) + _xy_cut_lines(right, depth + 1)
 
 
 def _join_line(spans: List[_Span]) -> str:
@@ -1238,7 +1289,7 @@ def extract_pdf_pages_and_tables(
     texts: List[str] = []
     tables: List[List[List[str]]] = []
     for page in pages:
-        line_spans = _cluster_lines(
+        line_spans = _xy_cut_lines(
             _extract_spans(doc.page_content(page), doc.page_fonts(page))
         )
         texts.append("".join(_join_line(ls) + "\n" for ls in line_spans))

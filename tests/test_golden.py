@@ -17,7 +17,8 @@ from b_pdf_parser_spark.pdfmodel import extract_pdf_pages, extract_pdf_pages_and
 from tools.genfixtures import metadata_csv, transactions_csv
 
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
-            "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid"]
+            "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid",
+            "d10_two_column"]
 HTML_DOCS = ["d5_article", "d6_entities"]
 
 
@@ -73,7 +74,8 @@ def test_golden_counts_stable(fixtures_dir):
     """Anchor counts, like the reference's 47/14/15 CHANGELOG anchors."""
     expected_counts = {"d1_classic_match": 6, "d2_xrefstm_mismatch": 10,
                        "d3_nouser_td": 7, "d4_multipage_raw": 12,
-                       "d7_inline_rows": 6, "d8_table_rows": 10, "d9_type0_cid": 12}
+                       "d7_inline_rows": 6, "d8_table_rows": 10, "d9_type0_cid": 12,
+                       "d10_two_column": 0}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
         _, _, txns = _extract(payload)

@@ -243,3 +243,29 @@ def test_encrypted_pdf_rejected():
     broken = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
     with pytest.raises(pm.PdfError, match="encrypted"):
         pm.extract_pdf_text(broken)
+
+
+def test_xy_cut_two_column_reading_order():
+    # independent baselines left/right → column split, left read first
+    left = [(60.0, 760.0 - 14 * i, f"left {i} alpha beta") for i in range(5)]
+    right = [(330.0, 753.0 - 14 * i, f"right {i} gamma delta") for i in range(5)]
+    pdf = build_pdf([left + right])
+    lines = pm.extract_pdf_text(pdf).strip().split("\n")
+    assert lines == [f"left {i} alpha beta" for i in range(5)] + [
+        f"right {i} gamma delta" for i in range(5)
+    ]
+
+
+def test_xy_cut_does_not_split_tables():
+    # shared baselines on both sides of the gutter ⇒ table, NOT columns:
+    # rows must stay joined left-to-right (and still be detected as a table)
+    rows = [
+        ["Tanggal Transaksi", "Uraian Transaksi", "Teller", "Debet", "Kredit", "Saldo"],
+        ["01/01/24 10:00:00", "TRANSFER MASUK", "1234567", "0,00", "5.000,00", "1.000,00"],
+        ["02/01/24 11:30:00", "TARIK TUNAI ATM", "7654321", "2.500,00", "0,00", "998,00"],
+        ["03/01/24 12:00:00", "SETORAN TUNAI", "1111111", "0,00", "1.000,00", "1.998,00"],
+    ]
+    pdf = pdf_from_lines([rows])
+    pages, tables = pm.extract_pdf_pages_and_tables(pdf)
+    assert len(tables) == 1 and len(tables[0]) == 4
+    assert pages[0].splitlines()[1].startswith("01/01/24 10:00:00 TRANSFER MASUK")

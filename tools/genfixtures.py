@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from b_pdf_parser_spark import fields  # noqa: E402
 from b_pdf_parser_spark.htmlmodel import extract_html_text  # noqa: E402
 from b_pdf_parser_spark.pdfmodel import extract_pdf_pages_and_tables  # noqa: E402
-from b_pdf_parser_spark.pdfwriter import pdf_from_lines  # noqa: E402
+from b_pdf_parser_spark.pdfwriter import build_pdf, pdf_from_lines  # noqa: E402
 from b_pdf_parser_spark.sources.pages import html_page, statement_lines  # noqa: E402
 
 FIXDIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
@@ -132,6 +132,18 @@ def main() -> None:
     pages, _ = statement_lines(random.Random(909), n_pages=2, rows_per_page=6,
                                with_user=True, summary="match", amount_format="id")
     freeze_pdf("d9_type0_cid", pdf_from_lines(pages, type0=True, xref_stream=True))
+
+    # d10: two-column article page — XY-cut must read the whole left column
+    # before the right one (north_star reading-order segmentation); baselines
+    # of the two columns are offset as in real multi-column typesetting
+    rng = random.Random(1010)
+    words = ("statement analysis shows recurring transfer patterns across the "
+             "reviewed period with stable balances and no anomalies detected").split()
+    left = [(60.0, 760.0 - 14 * i, " ".join(rng.choice(words) for _ in range(5)))
+            for i in range(10)]
+    right = [(330.0, 753.0 - 14 * i, " ".join(rng.choice(words) for _ in range(5)))
+             for i in range(10)]
+    freeze_pdf("d10_two_column", build_pdf([left + right]))
 
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
