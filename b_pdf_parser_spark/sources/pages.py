@@ -28,7 +28,7 @@ import zlib
 from datetime import datetime, timedelta
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
-from ..pdfwriter import pdf_from_lines
+from ..pdfwriter import build_pdf, pdf_from_lines
 
 __all__ = [
     "PAGES_SCHEMA_DDL",
@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -218,6 +218,23 @@ def statement_lines(
     return pages, truth
 
 
+def report_pdf(rng: random.Random) -> bytes:
+    """Two-column article PDF (no transactions): most web PDFs aren't
+    statements — these exercise the XY-cut reading-order path end-to-end.
+    Column baselines are offset as in real multi-column typesetting."""
+    n_left = rng.randint(8, 14)
+    n_right = rng.randint(8, 14)
+    left = [(60.0, 760.0 - 14.0 * i, " ".join(rng.choice(_EN_WORDS) for _ in range(4)))
+            for i in range(n_left)]
+    right = [(330.0, 753.0 - 14.0 * i, " ".join(rng.choice(_EN_WORDS) for _ in range(4)))
+             for i in range(n_right)]
+    return build_pdf(
+        [left + right],
+        xref_stream=rng.random() < 0.5,
+        type0=rng.random() < 0.25,
+    )
+
+
 def html_page(rng: random.Random) -> Tuple[bytes, str]:
     """Boilerplate-wrapped article; returns (html bytes, golden main text)."""
     n_paras = rng.randint(2, 5)
@@ -251,7 +268,10 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
     roll = rng.random()
     text: Optional[str] = None
     lang = rng.choice(_LANGS)
-    if roll < 0.48:  # PDF statement
+    if roll < 0.04:  # two-column report PDF (XY-cut path; no transactions)
+        payload = report_pdf(rng)
+        lang = "en"
+    elif roll < 0.48:  # PDF statement
         oversized = rng.random() < 0.02
         n_pages = rng.randint(6, 10) if oversized else rng.randint(1, 3)
         layout_roll = rng.random()

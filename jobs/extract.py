@@ -85,6 +85,7 @@ def run_extract_job(
     num_partitions: Optional[int] = None,
     max_waves: Optional[int] = None,
     lineage: str = "",
+    verify: bool = True,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict including
     which partition ids were processed by THIS invocation (resume tests use
@@ -114,6 +115,7 @@ def run_extract_job(
             subset,
             num_partitions=num_partitions,
             checkpoint_partitions=checkpoint_partitions,
+            verify=verify,
         )
         ext.write.partitionBy("partition_id").mode("overwrite").parquet(out_data)
         # metrics for the wave, keyed by the stable partition id. Explicit
@@ -176,6 +178,10 @@ def main() -> None:
                     help="existing pages parquet (else synthesize --n-docs)")
     ap.add_argument("--checkpoint-partitions", type=int, default=64)
     ap.add_argument("--waves", type=int, default=8)
+    # S11 parity: the reference resolves verify_turnover from param-or-.env
+    # (reference __init__.py:133-137); here it is an explicit job argument
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip turnover verification (verification column null)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("extract-job").getOrCreate()
@@ -190,6 +196,7 @@ def main() -> None:
     summary = run_extract_job(
         spark, pages, args.out,
         checkpoint_partitions=args.checkpoint_partitions, waves=args.waves,
+        verify=not args.no_verify,
         lineage=f"input={args.input_parquet or f'synth:{args.n_docs}:{args.seed}'}",
     )
     print(json.dumps(summary))

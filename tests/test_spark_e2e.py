@@ -40,12 +40,22 @@ def test_errors_never_fail_job(extracted):
 
 
 def test_pdf_docs_parse_and_validate(extracted):
-    pdfs = extracted.filter(F.col("kind") == "pdf")
-    n = pdfs.count()
-    assert pdfs.filter(F.col("valid")).count() == n  # synthetic corpus is clean
-    assert pdfs.filter(F.col("n_transactions") > 0).count() == n
-    assert pdfs.filter(F.col("metadata.valuta") == "IDR").count() == n
-    assert pdfs.filter(F.col("metadata.account_no") == "").count() == 0
+    pdfs = extracted.filter(F.col("kind") == "pdf").cache()
+    try:
+        stmts = pdfs.filter(F.col("n_transactions") > 0)
+        n = stmts.count()
+        assert n > 50
+        assert stmts.filter(F.col("valid")).count() == n  # statements are clean
+        assert stmts.filter(F.col("metadata.valuta") == "IDR").count() == n
+        assert stmts.filter(F.col("metadata.account_no") == "").count() == 0
+        # two-column report docs: text extracted, honestly not statement-valid
+        reports = pdfs.filter(F.col("txn_strategy") == "none")
+        assert reports.count() > 0
+        assert reports.filter(F.col("n_tokens") <= 0).count() == 0
+        assert reports.filter(F.col("valid")).count() == 0
+        assert stmts.count() + reports.count() == pdfs.count()
+    finally:
+        pdfs.unpersist()
 
 
 def test_strategy_fallback_chain(extracted):
@@ -57,7 +67,7 @@ def test_strategy_fallback_chain(extracted):
         assert strat.get("table", 0) > 5
         assert strat.get("column", 0) > 5
         assert strat.get("inline", 0) > 5
-        assert set(strat) <= {"table", "column", "inline"}
+        assert set(strat) <= {"table", "column", "inline", "none"}
         # table rows preserve multi-word descriptions as one cell (the text
         # strategies can't see cell boundaries); inline rows can't
         tdocs = pdfs.filter(F.col("txn_strategy") == "table")
