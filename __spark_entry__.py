@@ -491,6 +491,22 @@ def q_extract_txn_crosscheck(spark, sf):
     )
 
 
+def q_extract_strategy_stats(spark, sf):
+    """Per-strategy benchmark aggregate (A6 parity: the reference's
+    aggregate_by_parser, benchmark.py:227-251): docs, avg transactions and
+    valid-rate per (kind, txn_strategy)."""
+    ext = _corpus_extracted(spark)
+    return (
+        ext.groupBy("kind", "txn_strategy")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_transactions"), 4).alias("avg_txns"),
+            F.round(F.avg(F.col("valid").cast("int")), 4).alias("valid_rate"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def q_quality_filter(spark, sf):
     """The training-data pre-filter: keep docs above a quality score with a
     confident language guess — the composed form of the textstats pack."""
@@ -599,6 +615,7 @@ def queries() -> dict[str, _T]:
         "extract_transactions": q_extract_transactions,
         "extract_verify_relational": q_extract_verify_relational,
         "extract_txn_crosscheck": q_extract_txn_crosscheck,
+        "extract_strategy_stats": q_extract_strategy_stats,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
     }

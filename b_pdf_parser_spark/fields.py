@@ -407,14 +407,18 @@ def verify_turnover(
     transactions: List[Dict[str, str]],
     tolerance: float = 0.01,
     summary_text: str = "",
+    summary: Optional[Dict[str, Optional[str]]] = None,
 ) -> Dict[str, object]:
     """Per-document turnover verification; contract of utils.py:686-775.
 
     In the Spark plan this becomes join J1 + aggregates A1–A3
     (``b_pdf_parser_spark/plans/verify.py``) — this per-doc form exists for
-    golden fixtures and the mapInPandas fast path.
+    golden fixtures and the mapInPandas fast path. Pass ``summary`` when the
+    caller already ran :func:`extract_summary_totals` (the batch path does)
+    to avoid re-scanning every line of the document.
     """
-    summary = extract_summary_totals(summary_text)
+    if summary is None:
+        summary = extract_summary_totals(summary_text)
     calc_debit = sum(parse_id_number(t.get("debit", "")) for t in transactions)
     calc_credit = sum(parse_id_number(t.get("credit", "")) for t in transactions)
 

@@ -181,10 +181,17 @@ def make_extract_batch(verify: bool = True):
                     txns = fields.extract_transactions_inline(full_text)
                     if txns:
                         strategy = "inline"
-                summary = fields.extract_summary_totals(full_text) if full_text else {}
+                summary = (
+                    fields.extract_summary_totals(full_text)
+                    if full_text
+                    else dict.fromkeys(
+                        ("total_debit", "total_credit", "opening_balance", "closing_balance")
+                    )
+                )
                 for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
                     meta[k] = summary.get(k) or ""  # merge rule: only truthy values
-                ver = fields.verify_turnover(txns, 0.01, full_text) if verify else None
+                # summary passed through: the line scan already ran above
+                ver = fields.verify_turnover(txns, 0.01, summary=summary) if verify else None
                 out_rows.append(
                     {
                         "url": url,
