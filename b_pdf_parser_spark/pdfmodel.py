@@ -1032,7 +1032,11 @@ class _Type0Decoder:
         for i in range(0, len(raw) - (len(raw) % step), step):
             code = int.from_bytes(raw[i : i + step], "big")
             s = get(code)
-            out.append(s if s is not None else (chr(code) if code else ""))
+            if s is None:
+                # identity fallback; codes beyond Unicode (possible at
+                # 3-4 byte widths) have no codepoint → replacement char
+                s = chr(code) if 0 < code <= 0x10FFFF else ("�" if code else "")
+            out.append(s)
         return "".join(out)
 
 

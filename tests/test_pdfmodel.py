@@ -269,3 +269,18 @@ def test_xy_cut_does_not_split_tables():
     pages, tables = pm.extract_pdf_pages_and_tables(pdf)
     assert len(tables) == 1 and len(tables[0]) == 4
     assert pages[0].splitlines()[1].startswith("01/01/24 10:00:00 TRANSFER MASUK")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=1024))
+def test_tounicode_parser_total_on_garbage(data):
+    # the CMap parser must be total: any bytes → (dict, int), no exceptions
+    cmap, nbytes = pm._parse_tounicode(data)
+    assert isinstance(cmap, dict) and nbytes >= 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=64), st.integers(min_value=1, max_value=4))
+def test_type0_decoder_total_on_garbage(raw, nbytes):
+    out = pm._Type0Decoder({1: "A", 0x20AC: "€"}, nbytes)(raw)
+    assert isinstance(out, str)
