@@ -18,9 +18,13 @@ matches between engines:
 * ranked outputs return ids + rank, never raw float scores;
 * hashes are md5 hex strings; min/order over them is lexicographic in both.
 
-Extraction-pipeline queries (PDF/HTML walk, media decode) are not
+Extraction-pipeline queries (the PDF/HTML byte walk) are not
 SQL-expressible — they run on a deterministic synthetic corpus and take the
-driver's rows-only check (no ``oracle_sql`` entry, as allowed).
+driver's rows-only check (no ``oracle_sql`` entry, as allowed). Everything
+else has an oracle, including the fake-codec media queries (payloads are
+pure functions of media_id, so DuckDB recomputes the expected output from
+``range(200)``) and the hyperplane-LSH ANN (plane constants embedded as SQL
+literals).
 """
 
 from __future__ import annotations
@@ -1098,4 +1102,51 @@ def oracle_sql() -> dict[str, str]:
               AND {_cos('a.embedding', 'b.embedding')} >= 0.4
         """,
         "lsh_ann_topk": _lsh_ann_oracle(),
+        # the fake-codec payload is a pure function of media_id, so the
+        # oracle regenerates the expected features from range(200) — the
+        # mapInPandas decode must agree with straight SQL arithmetic
+        "media_features": """
+            WITH m AS (SELECT range AS media_id FROM range(0, 200)),
+            dims AS (
+                SELECT media_id,
+                       ['img','aud','vid'][CAST(media_id % 3 AS INT) + 1] AS kind,
+                       CAST(4 + media_id % 13 AS INT) AS width,
+                       CAST(4 + media_id % 7 AS INT) AS height,
+                       CAST(1 + media_id % 3 AS INT) AS channels
+                FROM m),
+            px AS (
+                SELECT media_id,
+                       (media_id * 31 + unnest(range(0, width * height * channels)) * 7)
+                           % 251 AS byte
+                FROM dims),
+            counts AS (SELECT media_id, byte, COUNT(*) AS c FROM px GROUP BY 1, 2),
+            ent AS (
+                SELECT media_id,
+                       round(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)
+                           AS byte_entropy
+                FROM (SELECT media_id, c, SUM(c) OVER (PARTITION BY media_id) AS n
+                      FROM counts) GROUP BY media_id)
+            SELECT d.media_id, d.kind, d.width, d.height, d.channels,
+                   CAST(12 + d.width * d.height * d.channels AS BIGINT) AS n_bytes,
+                   e.byte_entropy,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM dims d JOIN ent e ON d.media_id = e.media_id
+        """,
+        "media_frame_sample": """
+            WITH m AS (SELECT range AS media_id FROM range(0, 200)),
+            vids AS (
+                SELECT media_id,
+                       CAST(4 + media_id % 13 AS INT) AS w,
+                       CAST(4 + media_id % 7 AS INT) AS h,
+                       CAST(1 + media_id % 3 AS INT) AS ch
+                FROM m WHERE media_id % 3 = 2),
+            frames AS (
+                SELECT media_id, CAST(unnest(range(0, h, 2)) AS INT) AS frame,
+                       w * ch AS frame_len
+                FROM vids)
+            SELECT media_id, frame,
+                   CAST(12 + frame * frame_len AS BIGINT) AS offset,
+                   CAST(frame_len AS INT) AS length
+            FROM frames
+        """,
     }
