@@ -57,6 +57,18 @@ def test_query_matches_oracle(name, spark, duck):
     )
     exp.columns = [c.lower() for c in exp.columns]
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    # dtype-kind parity: the driver hashes *typed* values, so an int column
+    # on one side and a float/object column on the other (e.g. DuckDB
+    # HUGEINT from an uncast integer SUM) is a hash mismatch even when the
+    # stringified values agree — catch it locally
+    if len(got):
+        norm = {"u": "i"}
+        for c in got.columns:
+            gk = norm.get(got[c].dtype.kind, got[c].dtype.kind)
+            ek = norm.get(exp[c].dtype.kind, exp[c].dtype.kind)
+            assert gk == ek, (
+                f"{name}.{c}: dtype kind {got[c].dtype} (spark) vs {exp[c].dtype} (oracle)"
+            )
     g, e = _rows(got), _rows(exp)
     mism = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:5]
     assert g == e, f"{name}: first diffs {[(g[i], e[i]) for i in mism]}"
