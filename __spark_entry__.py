@@ -407,6 +407,17 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_ivf_ann_topk(spark, sf):  # rows-only: iterative k-means (allowed)
+    """IVF ANN: Lloyd-iterated coarse quantizer + inverted-list probe.
+    Iterative algorithm → rows-only per the contract; its correctness gate
+    is the recall test vs the oracle-checked brute-force path
+    (tests/test_similarity_ops.py, recall@3 ≈ 0.97)."""
+    from b_pdf_parser_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ivf_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3)
+
+
 def q_lsh_ann_topk(spark, sf):
     """Sign-bit LSH ANN. Oracle-checked: the hyperplanes are deterministic
     (md5-seeded), so the oracle embeds them as SQL literals and recomputes
@@ -461,6 +472,26 @@ def q_extract_verify_relational(spark, sf):
     ext = _corpus_extracted(spark).filter(F.col("kind") == "pdf").localCheckpoint()
     return verify_turnover_plan(ext).select(
         "url", "status", "passed", "debit_match", "credit_match"
+    )
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher-style quality rules (Rae et al. 2021) per document, plus the
+    conjunction — the standard web-text pre-filter."""
+    from b_pdf_parser_spark.operators.textstats import gopher_rules
+
+    d = _t(spark, sf, "documents")
+    g = gopher_rules(F.col("text")).alias("g")
+    return d.select("doc_id", g).select(
+        "doc_id",
+        F.col("g.word_count_ok").alias("word_count_ok"),
+        F.col("g.mean_word_len_ok").alias("mean_word_len_ok"),
+        F.col("g.symbol_ratio_ok").alias("symbol_ratio_ok"),
+        F.col("g.alpha_ratio_ok").alias("alpha_ratio_ok"),
+        F.col("g.stopwords_ok").alias("stopwords_ok"),
+        (F.col("g.word_count_ok") & F.col("g.mean_word_len_ok")
+         & F.col("g.symbol_ratio_ok") & F.col("g.alpha_ratio_ok")
+         & F.col("g.stopwords_ok")).alias("passes"),
     )
 
 
@@ -612,7 +643,9 @@ def queries() -> dict[str, _T]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "quality_filter": q_quality_filter,
+        "gopher_quality": q_gopher_quality,
         "url_audit": q_url_audit,
         "url_audit_approx": q_url_audit_approx,
         "extract_kinds": q_extract_kinds,
@@ -901,6 +934,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality
             FROM scored WHERE quality >= 0.45 AND n_tokens >= 40
             GROUP BY lang
+        """,
+        "gopher_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_TOKS}) END AS nt,
+                       CASE WHEN length(trim(text)) = 0 OR len({_TOKS}) = 0 THEN 0.0
+                            ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                                 / len({_TOKS}) END AS mwl,
+                       len(list_filter({_TOKS}, x -> regexp_matches(x, '[#…]'))) AS n_sym,
+                       len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                       len(list_filter({_TOKS}, x -> x IN {_EN_STOP})) AS n_stop
+                FROM documents),
+            r AS (
+                SELECT doc_id,
+                       (nt >= 50 AND nt <= 100000) AS word_count_ok,
+                       (mwl >= 3.0 AND mwl <= 10.0) AS mean_word_len_ok,
+                       CASE WHEN nt = 0 THEN FALSE
+                            ELSE CAST(n_sym AS DOUBLE) / nt <= 0.1 END AS symbol_ratio_ok,
+                       CASE WHEN nt = 0 THEN FALSE
+                            ELSE CAST(n_alpha AS DOUBLE) / nt >= 0.8 END AS alpha_ratio_ok,
+                       (n_stop >= 2) AS stopwords_ok
+                FROM t)
+            SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+                   alpha_ratio_ok, stopwords_ok,
+                   (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                    AND alpha_ratio_ok AND stopwords_ok) AS passes
+            FROM r
         """,
         "langid": f"""
             SELECT doc_id,

@@ -26,6 +26,7 @@ __all__ = [
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
+    "gopher_rules",
     "fingerprint",
     "langid",
     "with_text_stats",
@@ -145,6 +146,33 @@ def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_gues
             cond = cond & (F.col(f"_v_{lang}") >= F.col(f"_v_{later}"))
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return tmp.select(*df.columns, expr.alias(out_col))
+
+
+def gopher_rules(c: Column) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 — public
+    heuristics), as one struct of booleans. All pure column expressions:
+
+    * 50 ≤ word count ≤ 100k
+    * mean word length in [3, 10]
+    * symbol-to-word ratio ≤ 0.1 (# and … as the symbol set)
+    * ≥ 80% of words contain at least one alphabetic character
+    * stopword hits ≥ 2 (the 'the/and/of/to/a' presence rule)
+    """
+    toks = _toks(c)
+    nt = token_count(c)
+    mwl = F.when(nt == 0, F.lit(0.0)).otherwise(
+        F.length(F.replace(F.trim(c), F.lit(" "), F.lit(""))) / nt
+    )
+    n_sym = F.size(F.filter(toks, lambda t: t.rlike("[#…]")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    return F.struct(
+        ((nt >= 50) & (nt <= 100_000)).alias("word_count_ok"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).alias("mean_word_len_ok"),
+        F.when(nt == 0, F.lit(False)).otherwise(n_sym / nt <= 0.1).alias("symbol_ratio_ok"),
+        F.when(nt == 0, F.lit(False)).otherwise(n_alpha / nt >= 0.8).alias("alpha_ratio_ok"),
+        (n_stop >= 2).alias("stopwords_ok"),
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
