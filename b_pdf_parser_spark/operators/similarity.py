@@ -92,23 +92,27 @@ def _hyperplane(dim: int, plane: int, seed: int = 7) -> list:
     return vals
 
 
-def _sq_l2(vec: Column, cen: Sequence[float]) -> Column:
-    cen_col = F.array(*[F.lit(float(v)) for v in cen])
+def _sq_l2_cols(vec: Column, cvec: Column) -> Column:
     return F.aggregate(
-        F.zip_with(_as_double(vec), cen_col, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(_as_double(vec), cvec, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def _nearest_centroids(vec: Column, centroids: Sequence[Sequence[float]], n: int) -> Column:
-    """Array of the ``n`` nearest centroid ids (ascending squared-L2) — one
-    JVM expression over literal centroid arrays, no UDF."""
-    scored = F.array(*[
-        F.struct(_sq_l2(vec, cen).alias("d"), F.lit(cid).alias("c"))
-        for cid, cen in enumerate(centroids)
-    ])
-    return F.slice(F.array_sort(scored), 1, n).getField("c")
+def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
+    """Rank centroids per row: broadcast-crossJoin the (tiny) centroid table
+    and keep the ``n`` nearest by squared L2. Centroids travel as DATA, not
+    as literal expression trees — the plan stays constant-size regardless of
+    k·dim, and the join is a broadcast nested loop over k rows."""
+    w = Window.partitionBy("id").orderBy("d", "cid")
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn("d", _sq_l2_cols(F.col("vec"), F.col("cvec")))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .drop("cvec", "d", "crank")
+    )
 
 
 def ivf_ann_topk(
@@ -127,23 +131,28 @@ def ivf_ann_topk(
     """IVF ANN: k-means coarse quantizer → inverted lists keyed by centroid
     id → queries probe the ``nprobe`` nearest lists → exact cosine re-rank.
 
-    The Lloyd iterations are DataFrame jobs (assign = literal-centroid
-    expression, map-only; update = explode-dims + groupBy avg); only the
-    k·dim centroid table (here 16×64 doubles) ever reaches the driver —
+    The Lloyd iterations are DataFrame jobs (assign = broadcast join against
+    the centroid table, map-side; update = explode-dims + groupBy avg); only
+    the k·dim centroid table (here 16×64 doubles) ever reaches the driver —
     the canonical structure for k-means at scale. Deterministic: centroids
     init from the seeded md5 generator, so reruns build the identical index.
 
     At 10^12 vectors the probe join replaces both the quadratic cross
     product and the full scan per query: shuffle keys are centroid ids.
     """
+    spark = emb.sparkSession
     centroids = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     vecs = vecs.localCheckpoint(eager=False)  # reused every iteration
 
-    for _ in range(n_iter):
-        assigned = vecs.select(
-            "id", "vec", _nearest_centroids(F.col("vec"), centroids, 1)[0].alias("cid")
+    def cdf():
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid INT, cvec ARRAY<DOUBLE>",
         )
+
+    for _ in range(n_iter):
+        assigned = _assign(vecs, cdf(), 1)
         sums = (
             assigned.select("cid", F.posexplode(_as_double(F.col("vec"))).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -156,14 +165,14 @@ def ivf_ann_topk(
             for c in range(n_centroids)  # empty cluster keeps its centroid
         ]
 
-    lists = vecs.select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"),
-        _nearest_centroids(F.col("vec"), centroids, 1)[0].alias("cid"),
+    lists = _assign(vecs, cdf(), 1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"), "cid"
     )
-    q = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        F.explode(_nearest_centroids(F.col(vec_col), centroids, nprobe)).alias("cid"),
-    )
+    q = _assign(
+        emb.filter(query_pred).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        cdf(),
+        nprobe,
+    ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cid")
     scored = (
         q.join(lists, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
