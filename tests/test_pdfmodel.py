@@ -284,3 +284,12 @@ def test_tounicode_parser_total_on_garbage(data):
 def test_type0_decoder_total_on_garbage(raw, nbytes):
     out = pm._Type0Decoder({1: "A", 0x20AC: "€"}, nbytes)(raw)
     assert isinstance(out, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=2048))
+def test_pages_and_tables_never_raises_anything_but_pdferror(data):
+    try:
+        pm.extract_pdf_pages_and_tables(b"%PDF-" + data)
+    except pm.PdfError:
+        pass
