@@ -354,6 +354,77 @@ def q_near_dup_clusters(spark, sf):
     return connected_components(edges).withColumnRenamed("id", "doc_id")
 
 
+def q_dedup_decisions(spark, sf):
+    """The end product of a dedup pipeline: one keep/drop verdict per doc.
+    A doc is dropped if it is a non-representative exact duplicate (not the
+    min-id of its content-hash group) OR a non-representative member of a
+    near-dup cluster (LSH→Jaccard→CC). This is the composition a 100 TB job
+    actually materializes."""
+    from b_pdf_parser_spark.operators.dedup import (
+        connected_components,
+        exact_dup_stats,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    exact = exact_dup_stats(d, "doc_id", "text")  # (content_hash, n_dups, keep_id)
+    doc_hash = d.select("doc_id", F.md5("text").alias("content_hash"))
+    exact_drop = (
+        doc_hash.join(exact, "content_hash")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    near_drop = (
+        connected_components(edges)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    dropped = exact_drop.unionByName(near_drop).distinct()
+    return (
+        d.select("doc_id")
+        .join(dropped.withColumn("drop", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("drop", F.lit(False)).alias("drop"))
+    )
+
+
+def q_vocab_df(spark, sf):
+    """Vocabulary document-frequency table (the IDF denominator): tokens
+    appearing in ≥ 5% of documents, with doc counts. One explode + one
+    distinct-agg shuffle keyed on the token."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n_docs = d.count()  # driver scalar: one count over the dimension table
+    return (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= int(0.05 * n_docs))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_repeated_lines(spark, sf):
+    """Boilerplate detector: lines repeated across ≥ 3 distinct documents
+    (the paragraph-level dedup signal CC pipelines strip). Returns the top
+    20 by document reach."""
+    d = _t(spark, sf, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", r"\.\s+")).alias("line")
+    ).select("doc_id", F.trim("line").alias("line")).filter(F.length("line") >= 20)
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("line"))
+        .limit(20)
+    )
+
+
 def q_simhash(spark, sf):
     from b_pdf_parser_spark.operators.dedup import simhash
 
@@ -637,6 +708,9 @@ def queries() -> dict[str, _T]:
         "dup_clusters": q_dup_clusters,
         "near_dup_pairs": q_near_dup_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "dedup_decisions": q_dedup_decisions,
+        "vocab_df": q_vocab_df,
+        "repeated_lines": q_repeated_lines,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1086,6 +1160,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
                        AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "dedup_decisions": f"""
+            WITH RECURSIVE {_LSH_JACCARD_CTES},
+            conf AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM conf
+                UNION SELECT id_b, id_a FROM conf),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            cc AS (
+                SELECT id, id AS label FROM verts
+                UNION
+                SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+            clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+            exact_drop AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                    FROM documents) t
+                WHERE doc_id <> keep_id),
+            near_drop AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+            dropped AS (
+                SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop)
+            SELECT d.doc_id, (dr.doc_id IS NOT NULL) AS "drop"
+            FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        """,
+        "vocab_df": f"""
+            WITH t AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) u
+                WHERE tok <> ''),
+            dfreq AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok)
+            SELECT tok, df FROM dfreq
+            WHERE df >= FLOOR(0.05 * (SELECT COUNT(*) FROM documents))
+            ORDER BY df DESC, tok ASC LIMIT 50
+        """,
+        "repeated_lines": """
+            WITH l AS (
+                SELECT DISTINCT doc_id, trim(line) AS line FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '\\.\\s+')) AS line
+                    FROM documents) u
+                WHERE length(trim(line)) >= 20)
+            SELECT line, COUNT(*) AS n_docs FROM l GROUP BY line
+            HAVING COUNT(*) >= 3
+            ORDER BY n_docs DESC, line ASC LIMIT 20
         """,
         "simhash_neardup": """
             WITH toks AS (
