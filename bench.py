@@ -195,12 +195,15 @@ def main() -> None:
                                          capture_output=True, text=True, check=True)
                     got = json.loads(res.stdout.strip().splitlines()[-1])["docs_per_sec"]
                     reps[cpus].append(got)
-            # efficiency from the best PAIRED ratio: the small/large runs of
-            # one rep are adjacent in time and see similar co-tenant load, so
-            # paired ratios are far less biased than ratio-of-independent-
-            # bests when the phantom load drifts between reps
+            # efficiency from the MEDIAN paired ratio: the small/large runs
+            # of one rep are adjacent in time and see similar co-tenant load,
+            # so paired ratios beat ratio-of-independent-bests; the median
+            # (not max) also rejects the opposite failure, where one unlucky
+            # small-side run fabricates a superlinear pair
+            import statistics
+
             pair_ratios = [b / a for a, b in zip(reps[SCALE_N], reps[SCALE_N * 4])]
-            ratio = max(pair_ratios)
+            ratio = statistics.median(pair_ratios)
             out["scaling"] = {
                 "cpus_small": SCALE_N,
                 "cpus_large": SCALE_N * 4,
@@ -209,7 +212,7 @@ def main() -> None:
                 "docs_per_sec_large": reps[SCALE_N * 4],
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / 4, 3),
-                "method": "max paired ratio over 4 interleaved reps",
+                "method": "median paired ratio over 4 interleaved reps",
             }
         except Exception as e:  # a failed scaling probe must not eat the bench
             out["scaling_error"] = f"{type(e).__name__}: {e}"
