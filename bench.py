@@ -145,9 +145,10 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     _noop(entry.queries()["ann_topk"](spark, _SMALL_SF_DIR))
     _noop(entry.queries()["media_features"](spark, SF_DIR))
-    # the first LSH-family plan pays ~10s of one-time window/join codegen —
-    # pay it here, untimed, so per-query numbers reflect steady state
+    # the first LSH-family / k-means plans pay ~10s of one-time window/join
+    # codegen — pay it here, untimed, so per-query numbers reflect steady state
     _noop(entry.queries()["lsh_candidates"](spark, _SMALL_SF_DIR))
+    _noop(entry.queries()["ivf_ann_topk"](spark, _SMALL_SF_DIR))
 
     timings = {}
     for name, q in sorted(entry.queries().items()):
