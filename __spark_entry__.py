@@ -655,6 +655,86 @@ def q_url_audit_approx(spark, sf):  # rows-only: HLL sketch is engine-specific
     )
 
 
+def q_asof_last_order(spark, sf):
+    """Backward as-of join (events ⋈ latest preceding order per customer) —
+    the point-in-time lookup every feature pipeline needs. Implemented as
+    union + one keyed exchange + a running last(ignorenulls) window (the
+    sort-merge as-of algorithm); oracled by DuckDB's native ASOF JOIN."""
+    from b_pdf_parser_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join(
+        ev, o,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload={"o_orderkey": "last_orderkey"},
+    ).select("event_id", "user_id", "last_orderkey")
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic 25% corpus sample keyed on md5(doc_id) — partition- and
+    retry-stable (pure function of the row), map-only, no shuffle."""
+    from b_pdf_parser_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return hash_sample(d, "doc_id", 0.25)
+
+
+def q_training_mix(spark, sf):
+    """Stratified training-mixture sampling: per-language keep rates via
+    monotone hash thresholds (upsampling later only ADDS docs)."""
+    from b_pdf_parser_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    kept = stratified_sample(
+        d, "doc_id", "lang", {"en": 0.9, "de": 0.5, "es": 0.25}, default_rate=0.1
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+def q_doc_logprob(spark, sf):
+    """Per-doc mean negative log2-prob under the corpus unigram LM (CCNet-
+    style perplexity proxy). Two linear shuffles, both map-side combined."""
+    from b_pdf_parser_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_source_stats(spark, sf):
+    """Per-source (host-level) corpus health: doc count, exact-dup rate and
+    mean quality — the table a crawl curator ranks domains by. One shuffle
+    on the low-cardinality source key with map-side partial aggregation."""
+    from b_pdf_parser_spark.operators import textstats as ts
+
+    d = _t(spark, sf, "documents")
+    rows = d.select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        ts.quality_score(F.col("text")).alias("q"),
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("h").alias("n_unique"),
+        F.round(F.lit(1.0) - F.count_distinct("h") / F.count("*"), 4).alias("dup_rate"),
+        (F.sum(F.col("q").cast("decimal(18,4)")).cast("double") / F.count("*")).alias(
+            "avg_quality"
+        ),
+    )
+
+
+def q_incremental_dedup(spark, sf):
+    """Rolling-ingest dedup: even doc_ids are the already-stored corpus,
+    odd doc_ids the incoming snapshot; keep one unseen representative per
+    content hash (self-dedup + anti-join against the base's hash set)."""
+    from b_pdf_parser_spark.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    inc = d.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(base, inc, "doc_id", "text")
+
+
 def q_media_features(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import decode_features, synth_media_df
@@ -727,6 +807,12 @@ def queries() -> dict[str, _T]:
         "extract_verify_relational": q_extract_verify_relational,
         "extract_txn_crosscheck": q_extract_txn_crosscheck,
         "extract_strategy_stats": q_extract_strategy_stats,
+        "asof_last_order": q_asof_last_order,
+        "hash_sample": q_hash_sample,
+        "training_mix": q_training_mix,
+        "doc_logprob": q_doc_logprob,
+        "source_stats": q_source_stats,
+        "incremental_dedup": q_incremental_dedup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
     }
@@ -1281,6 +1367,74 @@ def oracle_sql() -> dict[str, str]:
               AND {_cos('a.embedding', 'b.embedding')} >= 0.4
         """,
         "lsh_ann_topk": _lsh_ann_oracle(),
+        # DuckDB's native ASOF JOIN is the ground truth for the union+window
+        # implementation; orders are pre-collapsed per (custkey, orderdate)
+        # the same way (MAX payload) so ties resolve identically
+        "asof_last_order": """
+            WITH o AS (
+                SELECT o_custkey AS k, o_orderdate AS t,
+                       MAX(o_orderkey) AS last_orderkey
+                FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, o.last_orderkey
+            FROM events e ASOF LEFT JOIN o
+            ON e.user_id = o.k AND e.ts >= o.t
+        """,
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        """,
+        "training_mix": """
+            SELECT lang, COUNT(*) AS n_kept FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN 'e6666666'
+                            WHEN 'de' THEN '80000000'
+                            WHEN 'es' THEN '40000000'
+                            ELSE '19999999' END
+            GROUP BY lang
+        """,
+        "doc_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf)
+            SELECT doc_id,
+                   round(-AVG(log2(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))), 4)
+                       AS nll_bits,
+                   COUNT(*) AS n_toks
+            FROM toks JOIN tf USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "source_stats": f"""
+            WITH rows_q AS (
+                SELECT source, md5(text) AS h,
+                       round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                    ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_EN_STOP})) AS DOUBLE)
+                                         / len({_TOKS}) END)
+                           + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                    ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                                         / len({_TOKS}) END) / 8.0, 1.0)
+                           + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                                    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                         / length(text) END)), 4) AS q
+                FROM documents)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT h) AS n_unique,
+                   round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 4)
+                       AS dup_rate,
+                   CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                       AS avg_quality
+            FROM rows_q GROUP BY source
+        """,
+        "incremental_dedup": """
+            WITH reps AS (
+                SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+            SELECT keep_id, content_hash FROM reps r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents b
+                WHERE b.doc_id % 2 = 0 AND md5(b.text) = r.content_hash)
+        """,
         # the fake-codec payload is a pure function of media_id, so the
         # oracle regenerates the expected features from range(200) — the
         # mapInPandas decode must agree with straight SQL arithmetic

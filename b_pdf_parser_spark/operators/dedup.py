@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signature_string",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "incremental_dedup",
     "simhash",
     "simhash_candidate_pairs",
     "simhash_neardup_pairs",
@@ -267,6 +268,32 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= hamming_max)
     )
+
+
+def incremental_dedup(
+    base: DataFrame, incoming: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Ingest-time dedup: of an incoming batch, keep one representative
+    (min id) per content hash that does NOT already exist in the base
+    corpus. This is the shape every rolling crawl ingest needs — the new
+    snapshot is deduped against itself AND against everything already
+    stored, without ever recomputing the base corpus's groups.
+
+    Scale: the base side reduces to a distinct 16-byte-hash set (its
+    cheapest possible representation; at 10^12 docs this is the hash
+    manifest a lakehouse would maintain incrementally), the incoming side
+    is one groupBy on the same key, and the anti-join shuffles both on the
+    uniformly-distributed hash — no skew, no quadratic term.
+    """
+    seen = base.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    reps = (
+        incoming.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"))
+    )
+    return reps.join(seen, "content_hash", "left_anti").select("keep_id", "content_hash")
 
 
 def winnow_fingerprints(

@@ -1,0 +1,58 @@
+"""Deterministic sampling operators for training-data mixture construction.
+
+Web-scale training pipelines don't use ``df.sample()`` (seeded per-partition
+RNG → results change when the partitioning changes, and a resumed job
+re-rolls the dice). They hash a stable document key and keep rows whose
+hash falls under a rate threshold, so:
+
+* the decision is a pure function of the row — identical on 1 or 1,000
+  executors, across retries, and in the DuckDB oracle;
+* upsampling a stratum later only ADDS documents (monotone thresholds:
+  the kept set at rate r is a subset of the kept set at rate r' > r);
+* no shuffle at all — map-only, whole-stage-codegen predicate on the scan.
+
+The hash is the first 8 hex chars of md5 (32 uniform bits), compared
+lexicographically against an 8-hex-digit threshold string — string
+comparison of fixed-width hex equals numeric comparison, and both Spark
+and DuckDB produce identical md5 hex, so the oracle is byte-equal with no
+float math anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["hash_threshold", "hash_sample", "stratified_sample"]
+
+
+def hash_threshold(rate: float) -> str:
+    """8-hex-digit threshold: keep iff substr(md5(key),1,8) < threshold."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def _bucket(key_col: str) -> F.Column:
+    return F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction keyed on ``key_col``."""
+    return df.filter(_bucket(key_col) < F.lit(hash_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (the 'training mixture' operator):
+    e.g. keep 100% of high-quality docs, 25% of medium, 1% of the tail.
+    Map-only; the CASE collapses to one codegen'd predicate per row."""
+    thr = F.lit(hash_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(hash_threshold(rate))).otherwise(thr)
+    return df.filter(_bucket(key_col) < thr)

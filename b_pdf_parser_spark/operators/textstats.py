@@ -29,6 +29,7 @@ __all__ = [
     "gopher_rules",
     "fingerprint",
     "langid",
+    "unigram_logprob",
     "with_text_stats",
 ]
 
@@ -172,6 +173,48 @@ def gopher_rules(c: Column) -> Column:
         F.when(nt == 0, F.lit(False)).otherwise(n_sym / nt <= 0.1).alias("symbol_ratio_ok"),
         F.when(nt == 0, F.lit(False)).otherwise(n_alpha / nt >= 0.8).alias("alpha_ratio_ok"),
         (n_stop >= 2).alias("stopwords_ok"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log2-probability under the corpus's own
+    unigram LM (the CCNet-style perplexity proxy: low bits → repetitive /
+    boilerplate, high bits → rare-token noise; the training-mix filter
+    keeps the middle band).
+
+    Unlike the column ops above this is a DataFrame op with two shuffles,
+    both linear and skew-benign at 10^12 docs:
+
+    1. ``explode → groupBy(token)`` for corpus term frequencies — map-side
+       partial aggregation collapses each partition to its distinct tokens
+       before the exchange, so the shuffle carries ~|vocab| rows per
+       partition, not ~|tokens|;
+    2. tokens ⋈ vocab on the token key + ``groupBy(doc)`` — the vocab side
+       is Zipf-skewed but the join is a plain equi-join whose hot keys AQE
+       splits; the per-doc re-aggregation is again partially aggregated
+       map-side.
+
+    The corpus total enters as a broadcast 1-row crossJoin (no driver
+    collect). Determinism: count/total is int/int → identical IEEE double;
+    log2 agrees between engines (same convention as the entropy oracle);
+    the mean is rounded to 4 decimals.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    priced = vocab.crossJoin(F.broadcast(total))
+    return (
+        toks.join(priced, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(F.log2(F.col("tf") / F.col("n_total"))), 4).alias("nll_bits"),
+            F.count("*").alias("n_toks"),
+        )
     )
 
 

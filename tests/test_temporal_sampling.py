@@ -1,0 +1,183 @@
+"""Unit tests for the as-of join, deterministic sampling, incremental dedup
+and unigram-logprob operators (semantics beyond the DuckDB oracle parity,
+which tests/test_entry_oracle.py covers)."""
+
+import datetime as dt
+
+import pytest
+import pyspark.sql.functions as F
+
+from b_pdf_parser_spark.operators.dedup import incremental_dedup
+from b_pdf_parser_spark.operators.sampling import (
+    hash_sample,
+    hash_threshold,
+    stratified_sample,
+)
+from b_pdf_parser_spark.operators.temporal import asof_join
+from b_pdf_parser_spark.operators.textstats import unigram_logprob
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05")),  # between r1 and r2 → r1
+            (2, 10, _ts("2024-01-10")),  # exactly at r2 → inclusive
+            (3, 10, _ts("2024-01-01")),  # before everything → NULL
+            (4, 20, _ts("2024-06-01")),  # other key
+            (5, 30, _ts("2024-06-01")),  # key with no right rows → NULL
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02"), 100),
+            (10, _ts("2024-01-10"), 200),
+            (10, _ts("2024-01-10"), 150),  # same-ts dup → max payload wins
+            (20, _ts("2024-05-31"), 300),
+        ],
+        "k long, rts timestamp, val long",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        payload={"val": "last_val"},
+    )
+    got = {r.event_id: r.last_val for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None, 4: 300, 5: None}
+
+
+def test_asof_keeps_all_left_rows_and_columns(asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        payload={"val": "last_val"},
+    )
+    assert out.count() == left.count()
+    assert out.columns == ["event_id", "k", "ts", "last_val"]
+
+
+def test_asof_plan_has_single_exchange_no_cartesian(asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        payload={"val": "last_val"},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the union feeds ONE window exchange on _k (plus the small right-side
+    # pre-aggregation); no per-row replication anywhere
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_threshold_values():
+    assert hash_threshold(0.0) == "00000000"
+    assert hash_threshold(0.25) == "40000000"
+    assert hash_threshold(0.5) == "80000000"
+    assert hash_threshold(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        hash_threshold(1.5)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+
+
+def test_hash_sample_rate_and_determinism(ids_df):
+    kept = hash_sample(ids_df, "doc_id", 0.25)
+    n = kept.count()
+    assert abs(n / 4000 - 0.25) < 0.05  # uniform hash → close to rate
+    # re-running with a different partitioning yields the identical set
+    again = hash_sample(ids_df.repartition(13), "doc_id", 0.25)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_hash_sample_monotone_rates(ids_df):
+    low = {r.doc_id for r in hash_sample(ids_df, "doc_id", 0.1).collect()}
+    high = {r.doc_id for r in hash_sample(ids_df, "doc_id", 0.4).collect()}
+    assert low <= high  # upsampling only ADDS rows
+
+
+def test_stratified_rates_apply_per_stratum(ids_df):
+    kept = stratified_sample(
+        ids_df, "doc_id", "stratum", {"0": 0.8, "1": 0.2}, default_rate=0.0
+    )
+    by = {r.stratum: r.n for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert by.get("2") is None  # default 0 drops the unlisted stratum
+    assert abs(by["0"] / 1334 - 0.8) < 0.1
+    assert abs(by["1"] / 1333 - 0.2) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha"),   # already in base → dropped
+            (11, "gamma"),   # new → kept with min id
+            (12, "gamma"),   # dup within batch → collapsed into 11
+            (13, "delta"),   # new → kept
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(base, inc, "doc_id", "text")
+    assert sorted(r.keep_id for r in out.collect()) == [11, 13]
+
+
+def test_incremental_dedup_empty_base(spark):
+    base = spark.createDataFrame([], "doc_id long, text string")
+    inc = spark.createDataFrame([(5, "x"), (6, "x")], "doc_id long, text string")
+    out = incremental_dedup(base, inc, "doc_id", "text")
+    assert [r.keep_id for r in out.collect()] == [5]
+
+
+# ---------------------------------------------------------------------------
+# unigram logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    # 4 equally-frequent tokens → every doc's mean NLL is exactly 2 bits
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.nll_bits, r.n_toks) for r in unigram_logprob(df).collect()}
+    assert out == {1: (2.0, 2), 2: (2.0, 2)}
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva the")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.nll_bits for r in unigram_logprob(df).collect()}
+    assert out[2] > out[1]  # rare token → more surprising document
