@@ -822,6 +822,10 @@ _CTOK_RE = re.compile(
     rb"|\((?P<tjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
     # fused "<hex> Tj" show (the dominant idiom of Type0/CID text streams)
     rb"|<(?P<tjh>[0-9A-Fa-f\x00\t\n\x0c\r ]*)>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
+    # fused "(text) '" next-line-show and "x y Td" text-move (the remaining
+    # high-frequency idioms after Tm/Tj: 3 and 2 generic iterations → 1)
+    rb"|\((?P<tqs>[^()\\]*)\)[\x00\t\n\x0c\r ]*'(?![A-Za-z0-9'\"*])"
+    rb"|(?P<td2>(?:" + _NUM_WS + rb"){2}Td(?![A-Za-z0-9'\"*]))"
     rb"|%[^\r\n]*"
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
@@ -865,6 +869,13 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
             continue
         if kind == "tjs":
             yield ("tj", m.group("tjs"))
+            continue
+        if kind == "tqs":
+            yield ("tq", m.group("tqs"))
+            continue
+        if kind == "td2":
+            parts = m.group("td2").split()
+            yield ("td2", (float(parts[0]), float(parts[1])))
             continue
         if kind == "tjh":
             h = m.group("tjh").translate(None, _WS)
@@ -1082,10 +1093,20 @@ def _extract_spans(
 
     for tok in _content_tokens(content):
         if type(tok) is tuple:  # fused fast-path tokens
-            if tok[0] == "tm6":
+            k0 = tok[0]
+            if k0 == "tm6":
                 tm = tlm = tok[1]
-            elif in_text:  # ("tj", raw)
-                emit(tok[1])
+            elif k0 == "tj":
+                if in_text:
+                    emit(tok[1])
+            elif k0 == "tq":  # "(s) '": next line, then show
+                tlm = _pre_translate(tlm, 0.0, -leading)
+                tm = tlm
+                if in_text:
+                    emit(tok[1])
+            else:  # ("td2", (x, y))
+                tlm = _pre_translate(tlm, tok[1][0], tok[1][1])
+                tm = tlm
             stack.clear()
             continue
         if not isinstance(tok, _Op):
