@@ -86,10 +86,21 @@ def run_extract_job(
     max_waves: Optional[int] = None,
     lineage: str = "",
     verify: bool = True,
+    target_wave_seconds: Optional[float] = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict including
     which partition ids were processed by THIS invocation (resume tests use
-    it to prove nothing is reprocessed)."""
+    it to prove nothing is reprocessed).
+
+    With ``target_wave_seconds`` set, wave sizes adapt at runtime: the first
+    wave uses the static ``waves`` split, then each next wave is sized from
+    an EMA of observed seconds-per-partition so a wave lands near the
+    target. This balances the two costs that fight at 10^12 docs: per-wave
+    fixed overhead (job launch, metrics re-read, manifest commits — argues
+    for FEW waves) vs checkpoint granularity (a preempted run loses at most
+    one wave of work — argues for SHORT waves). A time target keeps both
+    bounded regardless of how document cost varies across the keyspace.
+    """
     b_pdf_parser_spark.ship_package(spark)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -97,16 +108,17 @@ def run_extract_job(
     done = set(load_manifest(out_dir))
     pending = [p for p in range(checkpoint_partitions) if p not in done]
     wave_size = max(1, (len(pending) + waves - 1) // waves) if pending else 1
-    wave_ids: List[Sequence[int]] = [
-        pending[i : i + wave_size] for i in range(0, len(pending), wave_size)
-    ]
-    if max_waves is not None:
-        wave_ids = wave_ids[:max_waves]
 
     out_data = str(Path(out_dir) / "extracted")
     processed: List[int] = []
+    wave_sizes: List[int] = []
+    ema: Optional[float] = None  # seconds per partition, exponentially smoothed
+    cursor = 0
     t_job = time.time()
-    for ids in wave_ids:
+    while cursor < len(pending) and (max_waves is None or len(wave_sizes) < max_waves):
+        ids: Sequence[int] = pending[cursor : cursor + wave_size]
+        cursor += len(ids)
+        wave_sizes.append(len(ids))
         t0 = time.time()
         subset = pages.filter(
             F.pmod(F.xxhash64("url"), F.lit(checkpoint_partitions)).cast("int").isin(list(ids))
@@ -154,6 +166,11 @@ def run_extract_job(
             )
             processed.append(int(pid))
 
+        if target_wave_seconds is not None:
+            rate = (t1 - t0) / max(len(ids), 1)
+            ema = rate if ema is None else 0.5 * ema + 0.5 * rate
+            wave_size = max(1, int(target_wave_seconds / max(ema, 1e-9)))
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     manifest = load_manifest(out_dir)
     return {
@@ -164,6 +181,7 @@ def run_extract_job(
         "docs": sum(m["docs"] for m in manifest.values()),
         "errors": sum(m["errors"] for m in manifest.values()),
         "seconds": round(time.time() - t_job, 3),
+        "wave_sizes": wave_sizes,
     }
 
 
@@ -182,6 +200,8 @@ def main() -> None:
     # (reference __init__.py:133-137); here it is an explicit job argument
     ap.add_argument("--no-verify", action="store_true",
                     help="skip turnover verification (verification column null)")
+    ap.add_argument("--target-wave-seconds", type=float, default=None,
+                    help="adapt wave sizes to land near this duration")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("extract-job").getOrCreate()
@@ -197,6 +217,7 @@ def main() -> None:
         spark, pages, args.out,
         checkpoint_partitions=args.checkpoint_partitions, waves=args.waves,
         verify=not args.no_verify,
+        target_wave_seconds=args.target_wave_seconds,
         lineage=f"input={args.input_parquet or f'synth:{args.n_docs}:{args.seed}'}",
     )
     print(json.dumps(summary))

@@ -76,3 +76,41 @@ def test_overwrite_mode_restored(spark, tmp_path):
     run_extract_job(spark, pages, str(tmp_path / "j"), checkpoint_partitions=4,
                     waves=1, num_partitions=2)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
+
+
+def test_adaptive_waves_cover_everything(spark, tmp_path):
+    # time-targeted waves: first wave uses the static split, later waves
+    # resize from observed seconds-per-partition. Whatever sizes it picks,
+    # every partition must be processed exactly once and the manifest
+    # must be complete.
+    out = str(tmp_path / "job_adaptive")
+    pages = synth_pages_df(spark, 60, seed=13, num_partitions=4)
+    summary = run_extract_job(
+        spark, pages, out, checkpoint_partitions=16, waves=8,
+        num_partitions=4, target_wave_seconds=30.0,
+    )
+    assert summary["complete"] and summary["docs"] == 60
+    assert sorted(summary["processed_partitions"]) == list(range(16))
+    assert sum(summary["wave_sizes"]) == 16
+    # a generous 30s target must coalesce the cheap local partitions into
+    # fewer waves than the static 8-way split would have used
+    assert len(summary["wave_sizes"]) < 8
+
+
+def test_adaptive_waves_respect_max_waves(spark, tmp_path):
+    out = str(tmp_path / "job_adaptive_cap")
+    pages = synth_pages_df(spark, 30, seed=14, num_partitions=2)
+    summary = run_extract_job(
+        spark, pages, out, checkpoint_partitions=8, waves=8,
+        num_partitions=2, target_wave_seconds=0.001, max_waves=2,
+    )
+    # a tiny target shrinks waves to 1 partition; the cap stops after 2
+    assert len(summary["wave_sizes"]) == 2
+    assert not summary["complete"]
+    resumed = run_extract_job(
+        spark, pages, out, checkpoint_partitions=8, waves=8, num_partitions=2,
+    )
+    assert resumed["complete"]
+    assert set(resumed["processed_partitions"]).isdisjoint(
+        summary["processed_partitions"]
+    )
