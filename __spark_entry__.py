@@ -743,6 +743,22 @@ def q_media_features(spark, sf):
     return decode_features(synth_media_df(spark, 200))
 
 
+def q_pdf_images(spark, sf):
+    """Inventory of embedded image XObjects across 300 synthetic PDFs — the
+    Spark path runs the REAL writer → parser roundtrip inside Arrow
+    batches; the oracle recomputes the expected rows from the deterministic
+    generator formulas, so any drift in either the emission or the walk
+    breaks the value hash."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        pdf_image_features,
+        synth_imagedoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return pdf_image_features(synth_imagedoc_df(spark, 300))
+
+
 def q_media_frame_sample(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import frame_sample, synth_media_df
@@ -815,6 +831,7 @@ def queries() -> dict[str, _T]:
         "incremental_dedup": q_incremental_dedup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
+        "pdf_images": q_pdf_images,
     }
 
 
@@ -1464,6 +1481,28 @@ def oracle_sql() -> dict[str, str]:
                    e.byte_entropy,
                    CAST(NULL AS VARCHAR) AS error
             FROM dims d JOIN ent e ON d.media_id = e.media_id
+        """,
+        # expected inventory recomputed from the generator formulas
+        # (synth_imagedoc_df / pdfwriter.make_image): i%4 images per doc,
+        # width 8+(i+j)%32, height 8+(i*j)%24, payload max(1, w*h//4) bytes
+        "pdf_images": """
+            WITH d AS (SELECT range AS i FROM range(0, 300)),
+            imgs AS (
+                SELECT i AS doc_id, CAST(unnest(range(0, i % 4)) AS INT) AS j
+                FROM d)
+            SELECT doc_id,
+                   CAST(0 AS INT) AS page,
+                   'Im' || j AS name,
+                   CAST(8 + (doc_id + j) % 32 AS INT) AS width,
+                   CAST(8 + (doc_id * j) % 24 AS INT) AS height,
+                   CASE (doc_id + j) % 3
+                        WHEN 0 THEN 'DCTDecode'
+                        WHEN 1 THEN 'CCITTFaxDecode'
+                        ELSE 'JPXDecode' END AS filter,
+                   CAST(greatest(1, ((8 + (doc_id + j) % 32)
+                                     * (8 + (doc_id * j) % 24)) // 4) AS BIGINT)
+                       AS n_bytes
+            FROM imgs
         """,
         "media_frame_sample": """
             WITH m AS (SELECT range AS media_id FROM range(0, 200)),

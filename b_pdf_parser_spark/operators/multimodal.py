@@ -28,6 +28,8 @@ __all__ = [
     "synth_media_df",
     "decode_features",
     "frame_sample",
+    "synth_imagedoc_df",
+    "pdf_image_features",
 ]
 
 MEDIA_SCHEMA_DDL = "media_id BIGINT, kind STRING, payload BINARY"
@@ -146,3 +148,78 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame", "offset", "length"])
 
     return media.mapInPandas(run, schema="media_id BIGINT, frame INT, offset BIGINT, length INT")
+
+
+# ---------------------------------------------------------------------------
+# PDF-embedded images (the multimodal face of the PDF walk)
+# ---------------------------------------------------------------------------
+
+IMAGEDOC_SCHEMA_DDL = "doc_id BIGINT, pdf BINARY"
+IMAGE_INV_SCHEMA_DDL = (
+    "doc_id BIGINT, page INT, name STRING, width INT, height INT, "
+    "filter STRING, n_bytes BIGINT"
+)
+
+_IMG_FILTERS = ("DCTDecode", "CCITTFaxDecode", "JPXDecode")
+
+
+def synth_imagedoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    """``n`` deterministic PDFs carrying ``doc_id % 4`` embedded image
+    XObjects each (mixed DCT/CCITT/JPX filters, classic and xref-stream
+    emission) — every byte a pure function of doc_id, so a DuckDB oracle
+    can recompute the expected inventory while the Spark path exercises
+    the REAL writer → parser roundtrip."""
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.pdfwriter import build_pdf, make_image
+
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                spans = [[(40.0, 700.0, f"image doc {i}"),
+                          (40.0, 680.0, "with pictures")]]
+                imgs = [
+                    make_image(
+                        0,
+                        8 + (i + j) % 32,
+                        8 + (i * j) % 24,
+                        _IMG_FILTERS[(i + j) % 3],
+                        seed=i * 17 + j,
+                    )
+                    for j in range(i % 4)
+                ]
+                rows.append({
+                    "doc_id": i,
+                    "pdf": build_pdf(spans, xref_stream=(i % 2 == 0), images=imgs),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    return base.mapInPandas(gen, schema=IMAGEDOC_SCHEMA_DDL)
+
+
+def pdf_image_features(docs: DataFrame) -> DataFrame:
+    """Inventory every image XObject in each PDF payload (one Arrow-batch
+    Python dispatch per document; pixels are never decoded — see
+    ``pdfmodel.image_inventory``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.pdfmodel import image_inventory
+
+        cols = ["doc_id", "page", "name", "width", "height", "filter", "n_bytes"]
+        for b in batches:
+            rows = []
+            for did, pdf in zip(b["doc_id"], b["pdf"]):
+                try:
+                    for rec in image_inventory(bytes(pdf)):
+                        rows.append({"doc_id": int(did), **rec})
+                except Exception as e:  # corrupt doc → error row, job survives
+                    rows.append({
+                        "doc_id": int(did), "page": -1, "name": "",
+                        "width": 0, "height": 0,
+                        "filter": f"error:{type(e).__name__}", "n_bytes": 0,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=IMAGE_INV_SCHEMA_DDL)

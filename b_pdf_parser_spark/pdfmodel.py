@@ -1281,6 +1281,46 @@ def _detect_tables(line_spans: List[List[_Span]]) -> List[List[List[str]]]:
 # ---------------------------------------------------------------------------
 
 
+def image_inventory(data: bytes) -> List[Dict[str, Any]]:
+    """Metadata for every image XObject reachable from the page tree —
+    the multimodal-pipeline side of the walk. Web PDFs are byte-dominated
+    by DCT/JPX/CCITT image streams the text path must *skip* (see
+    ``decode_stream``); this surfaces them as typed rows
+    ``{page, name, width, height, filter, n_bytes}`` without decoding
+    pixels (no codec libs in the runtime, and none are needed for
+    inventory/routing decisions).
+
+    Reference analog: PyMuPDF's ``page.get_images()``
+    (the reference never calls it — images are silently skipped at
+    pymupdf_parser.py:74-77; this is a superset capability)."""
+    doc = PdfDocument(data)
+    out: List[Dict[str, Any]] = []
+    for pno, page in enumerate(doc.pages()):
+        res = doc.resolve(page.get("Resources"))
+        xdict = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if not isinstance(xdict, dict):
+            continue
+        for name in sorted(xdict, key=str):
+            xo = doc.resolve(xdict[name])
+            if not isinstance(xo, StreamObject):
+                continue
+            d = xo.dict
+            if str(doc.resolve(d.get("Subtype"))) != "Image":
+                continue
+            filt = doc.resolve(d.get("Filter"))
+            if isinstance(filt, list):
+                filt = filt[-1] if filt else None
+            out.append({
+                "page": pno,
+                "name": str(name),
+                "width": int(doc.resolve(d.get("Width")) or 0),
+                "height": int(doc.resolve(d.get("Height")) or 0),
+                "filter": str(filt) if filt is not None else "",
+                "n_bytes": len(xo.raw),
+            })
+    return out
+
+
 def extract_pdf_pages(data: bytes) -> List[str]:
     """Parse ``data`` and return one reading-order text string per page.
 

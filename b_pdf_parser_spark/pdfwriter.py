@@ -18,7 +18,7 @@ from __future__ import annotations
 import zlib
 from typing import Dict, List, Sequence, Tuple
 
-__all__ = ["build_pdf", "pdf_from_lines"]
+__all__ = ["build_pdf", "pdf_from_lines", "make_image"]
 
 Span = Tuple[float, float, str]  # (x, y, text)
 
@@ -153,6 +153,22 @@ def _stream_obj(d: bytes, payload: bytes, compress: bool) -> bytes:
     return head + b"\nstream\n" + data + b"\nendstream"
 
 
+def make_image(
+    page: int, width: int, height: int, filter_name: str = "DCTDecode", seed: int = 0
+) -> Dict[str, object]:
+    """Deterministic image-XObject spec for :func:`build_pdf`'s ``images``
+    param. The payload is pseudo-bytes (a pure function of the arguments),
+    standing in for real codec output the same way the media pack's fake
+    codec does — the parser must *skip* it for text and *inventory* it for
+    multimodal pipelines, neither of which needs decodable pixels."""
+    n = max(1, width * height // 4)  # "compressed" payload, smaller than raw
+    data = bytes((seed * 31 + k * 7) % 251 for k in range(n))
+    return {
+        "page": page, "width": width, "height": height,
+        "filter": filter_name, "data": data,
+    }
+
+
 def build_pdf(
     pages: Sequence[Sequence[Span]],
     *,
@@ -160,6 +176,7 @@ def build_pdf(
     compress: bool = True,
     td_ops: bool = False,
     type0: bool = False,
+    images: Sequence[Dict[str, object]] = (),
 ) -> bytes:
     """Serialize positioned text spans into a complete PDF file.
 
@@ -184,22 +201,57 @@ def build_pdf(
     content_obj = lambda i: 5 + 2 * i  # noqa: E731
     kids = b"[" + b" ".join(b"%d 0 R" % page_obj(i) for i in range(n_pages)) + b"]"
 
+    # image XObjects: numbered after the per-page objects (and before the
+    # type0 extras); grouped per page for the /XObject resource dicts
+    img_base = 4 + 2 * n_pages
+    by_page: Dict[int, List[Tuple[bytes, int]]] = {}
+    img_objs: Dict[int, bytes] = {}
+    for j, im in enumerate(images):
+        num = img_base + j
+        name = b"/Im%d" % j
+        by_page.setdefault(int(im["page"]), []).append((name, num))
+        data = bytes(im["data"])  # already "encoded" — no recompress
+        img_objs[num] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /%s /Length %d >>"
+            % (int(im["width"]), int(im["height"]),
+               str(im["filter"]).encode("ascii"), len(data))
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    if images:
+        img_base += len(images)  # type0 extras shift past the images
+
     dicts: Dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
         3: _FONT_DICT,
     }
     for i in range(n_pages):
+        xobj = b""
+        if by_page.get(i):
+            refs = b" ".join(b"%s %d 0 R" % (nm, num) for nm, num in by_page[i])
+            xobj = b"/XObject << " + refs + b" >> "
         dicts[page_obj(i)] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % content_obj(i)
+            b"/Resources << /Font << /F1 3 0 R >> %s>> /Contents %d 0 R >>"
+            % (xobj, content_obj(i))
         )
     contents: Dict[int, bytes] = {
-        content_obj(i): _stream_obj(b"<< >>", make_content(pages[i], show), compress)
+        content_obj(i): _stream_obj(
+            b"<< >>",
+            make_content(pages[i], show)
+            + (b"".join(
+                b"\nq %d 0 0 %d 40 600 cm %s Do Q"
+                % (int(im["width"]), int(im["height"]), b"/Im%d" % j)
+                for j, im in enumerate(images) if int(im["page"]) == i
+            )),
+            compress,
+        )
         for i in range(n_pages)
     }
+    contents.update(img_objs)
     if type0:
-        cid_obj = 4 + 2 * n_pages
+        cid_obj = img_base
         tu_obj = cid_obj + 1
         dicts[3] = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "

@@ -188,8 +188,15 @@ def main() -> None:
 
         try:
             reps = {SCALE_N: [], SCALE_N * 4: []}
-            for _rep in range(4):
-                for cpus in (SCALE_N, SCALE_N * 4):
+            for _rep in range(5):
+                # alternate which size runs first: the phantom load decays /
+                # surges on minute scales, and a fixed small-then-large order
+                # systematically credits the drift to one side (observed:
+                # 0.68 "efficiency" right after a heavy test run, with every
+                # later rep faster than the first on BOTH sides). Odd rep
+                # count → the median is a real pair, not a mean of two.
+                order = (SCALE_N, SCALE_N * 4) if _rep % 2 == 0 else (SCALE_N * 4, SCALE_N)
+                for cpus in order:
                     env = dict(os.environ, SPARK_GRAFT_EXTRACT_ONLY=str(cpus),
                                SPARK_GRAFT_DOCS=str(SCALING_DOCS))
                     res = subprocess.run([sys.executable, __file__], env=env,
@@ -213,7 +220,7 @@ def main() -> None:
                 "docs_per_sec_large": reps[SCALE_N * 4],
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / 4, 3),
-                "method": "median paired ratio over 4 interleaved reps",
+                "method": "median paired ratio over 5 order-alternated reps",
             }
         except Exception as e:  # a failed scaling probe must not eat the bench
             out["scaling_error"] = f"{type(e).__name__}: {e}"
