@@ -735,6 +735,32 @@ def q_incremental_dedup(spark, sf):
     return incremental_dedup(base, inc, "doc_id", "text")
 
 
+def q_outlinks(spark, sf):
+    """(doc, href, anchor) edge table from the byte-level href walk over
+    400 deterministic HTML docs (entities, unquoted attrs, nested tags,
+    href-less anchors). The oracle recomputes the expected edges from the
+    generator formulas — drift in the markup walk breaks the value hash."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import extract_outlinks, synth_linkdoc_df
+
+    b_pdf_parser_spark.ship_package(spark)
+    return extract_outlinks(synth_linkdoc_df(spark, 400))
+
+
+def q_link_hosts(spark, sf):
+    """Host-level in-degree over the outlink edge table (the crawl-frontier /
+    host-ranking aggregate): one shuffle on the host key."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        extract_outlinks,
+        host_degrees,
+        synth_linkdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return host_degrees(extract_outlinks(synth_linkdoc_df(spark, 400)))
+
+
 def q_media_features(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import decode_features, synth_media_df
@@ -832,6 +858,8 @@ def queries() -> dict[str, _T]:
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "pdf_images": q_pdf_images,
+        "outlinks": q_outlinks,
+        "link_hosts": q_link_hosts,
     }
 
 
@@ -1481,6 +1509,29 @@ def oracle_sql() -> dict[str, str]:
                    e.byte_entropy,
                    CAST(NULL AS VARCHAR) AS error
             FROM dims d JOIN ent e ON d.media_id = e.media_id
+        """,
+        # expected edges recomputed from synth_linkdoc_df's formulas: doc i
+        # links to https://host{(i*k)%20}.example/p{k} for k in 1..i%5
+        "outlinks": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d)
+            SELECT doc_id,
+                   'https://host' || ((doc_id * k) % 20) || '.example/p' || k
+                       AS href,
+                   'go & see ' || k AS anchor
+            FROM ks
+        """,
+        "link_hosts": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d)
+            SELECT 'host' || ((doc_id * k) % 20) || '.example' AS host,
+                   COUNT(*) AS n_inlinks,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM ks GROUP BY 1
         """,
         # expected inventory recomputed from the generator formulas
         # (synth_imagedoc_df / pdfwriter.make_image): i%4 images per doc,

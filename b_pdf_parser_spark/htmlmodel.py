@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 from typing import List, NamedTuple
 
-__all__ = ["Block", "extract_html_blocks", "extract_html_text"]
+__all__ = ["Block", "extract_html_blocks", "extract_html_text", "extract_links"]
 
 
 class Block(NamedTuple):
@@ -142,20 +142,23 @@ def _classify(blocks: List[Block]) -> List[Block]:
     return out
 
 
-def extract_html_blocks(data: bytes) -> List[Block]:
-    """Tokenize HTML bytes into classified text blocks."""
+def _decode_html_bytes(data: bytes) -> str:
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):  # UTF-16 BOM sniff
         try:
-            html = data.decode("utf-16")
+            return data.decode("utf-16")
         except UnicodeDecodeError:
-            html = data.decode("latin-1")
-    else:
-        if data[:3] == b"\xef\xbb\xbf":
-            data = data[3:]
-        try:
-            html = data.decode("utf-8")
-        except UnicodeDecodeError:
-            html = data.decode("latin-1")
+            return data.decode("latin-1")
+    if data[:3] == b"\xef\xbb\xbf":
+        data = data[3:]
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1")
+
+
+def extract_html_blocks(data: bytes) -> List[Block]:
+    """Tokenize HTML bytes into classified text blocks."""
+    html = _decode_html_bytes(data)
 
     blocks: List[Block] = []
     cur = _BlockBuilder("body")
@@ -242,3 +245,50 @@ def extract_html_blocks(data: bytes) -> List[Block]:
 def extract_html_text(data: bytes) -> str:
     """Main-content text: classified content blocks joined with ``"\\n"``."""
     return "\n".join(b.text for b in extract_html_blocks(data) if b.is_content)
+
+
+# ---------------------------------------------------------------------------
+# outlink harvesting (the link-graph face of the HTML walk)
+# ---------------------------------------------------------------------------
+
+_HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_INNER_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_links(data: bytes) -> List[dict]:
+    """``<a href>`` edges with entity-decoded targets and whitespace-
+    collapsed anchor text, in document order. Crawl frontiers and link-graph
+    builds consume exactly this row shape; the boilerplate classifier above
+    only *counts* anchor chars (link density) — this walk surfaces them.
+
+    Tolerates the same markup noise as the block tokenizer: unclosed tags
+    (anchor runs to EOF), quoted/unquoted attributes, comments inside the
+    anchor, and links without an href (skipped).
+    """
+    html = _decode_html_bytes(data)
+    lower = html.lower()
+    out: List[dict] = []
+    i = 0
+    n = len(html)
+    while True:
+        j = lower.find("<a", i)
+        if j < 0:
+            break
+        after = lower[j + 2 : j + 3]
+        if after not in ("", " ", "\t", "\n", "\r", "\f", ">", "/"):
+            i = j + 2  # <abbr>, <address>, ... — not an anchor
+            continue
+        gt = html.find(">", j + 1)
+        if gt < 0:
+            break
+        m = _HREF_RE.search(html, j + 1, gt)
+        end = lower.find("</a", gt + 1)
+        if m:
+            href = m.group(1) or m.group(2) or m.group(3) or ""
+            href = _ENTITY_RE.sub(_decode_entity, href).strip()
+            inner = html[gt + 1 : end if end >= 0 else n]
+            anchor = _clean_text(_INNER_TAG_RE.sub(" ", inner)).strip()
+            if href:
+                out.append({"href": href, "anchor": anchor})
+        i = (end + 3) if end >= 0 else n
+    return out
