@@ -425,6 +425,33 @@ def q_repeated_lines(spark, sf):
     )
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Top-3 TF-IDF terms per document (the keyword-extraction op a
+    training-mix labeler runs corpus-wide). Three linear shuffles — (doc,
+    tok) tf, tok df, doc re-group — all map-side combined; the corpus size
+    enters as a broadcast 1-row crossJoin, no driver collect. Ranking is on
+    bit-identical doubles (int-ratio log2) with a token tie-break, so the
+    DuckDB oracle orders identically."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfs, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log2(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", F.round("score", 4).alias("tfidf"))
+    )
+
+
 def q_simhash(spark, sf):
     from b_pdf_parser_spark.operators.dedup import simhash
 
@@ -761,6 +788,35 @@ def q_link_hosts(spark, sf):
     return host_degrees(extract_outlinks(synth_linkdoc_df(spark, 400)))
 
 
+def q_canonical_urls(spark, sf):
+    """RFC 3986 syntax-based URL canonicalization (crawl-frontier dedup key):
+    lowercase scheme+host, fragment strip, scheme-aware default-port strip,
+    root-path normalization — pure codegen'd regexp/CASE expressions over
+    300 deterministic messy variants, no UDF anywhere."""
+    from b_pdf_parser_spark.functions.urls import canonical_url, url_host
+
+    base = spark.range(0, 300).select(F.col("id").alias("i"))
+    i_s = F.col("i").cast("string")
+    i7 = (F.col("i") % 7).cast("string")
+    raw = (
+        F.when(F.col("i") % 5 == 0,
+               F.concat(F.lit("HTTP://Host"), i7, F.lit(".Example:80/path/"),
+                        i_s, F.lit("#frag")))
+        .when(F.col("i") % 5 == 1,
+              F.concat(F.lit("https://host"), i7, F.lit(".example:443/?q="), i_s))
+        .when(F.col("i") % 5 == 2,
+              F.concat(F.lit("https://HOST"), i7, F.lit(".example")))
+        .when(F.col("i") % 5 == 3, F.lit("ftp://Files.Example:21/pub"))
+        .otherwise(F.concat(F.lit("not a url "), i_s))
+    )
+    return base.select(
+        F.col("i").alias("url_id"),
+        raw.alias("raw"),
+        canonical_url(raw).alias("canonical"),
+        url_host(raw).alias("host"),
+    )
+
+
 def q_media_features(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import decode_features, synth_media_df
@@ -832,6 +888,7 @@ def queries() -> dict[str, _T]:
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_decisions": q_dedup_decisions,
         "vocab_df": q_vocab_df,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "repeated_lines": q_repeated_lines,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -860,6 +917,7 @@ def queries() -> dict[str, _T]:
         "pdf_images": q_pdf_images,
         "outlinks": q_outlinks,
         "link_hosts": q_link_hosts,
+        "canonical_urls": q_canonical_urls,
     }
 
 
@@ -1509,6 +1567,58 @@ def oracle_sql() -> dict[str, str]:
                    e.byte_entropy,
                    CAST(NULL AS VARCHAR) AS error
             FROM dims d JOIN ent e ON d.media_id = e.media_id
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, tok,
+                       tf * log2(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                           AS score
+                FROM tf JOIN dfs USING (tok) CROSS JOIN n),
+            ranked AS (
+                SELECT doc_id, tok, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, tok) AS rank
+                FROM scored)
+            SELECT doc_id, rank, tok, round(score, 4) AS tfidf
+            FROM ranked WHERE rank <= 3
+        """,
+        "canonical_urls": """
+            WITH d AS (SELECT range AS i FROM range(0, 300)),
+            u AS (SELECT i AS url_id,
+                    CASE i % 5
+                      WHEN 0 THEN 'HTTP://Host' || i % 7 || '.Example:80/path/'
+                                  || i || '#frag'
+                      WHEN 1 THEN 'https://host' || i % 7 || '.example:443/?q=' || i
+                      WHEN 2 THEN 'https://HOST' || i % 7 || '.example'
+                      WHEN 3 THEN 'ftp://Files.Example:21/pub'
+                      ELSE 'not a url ' || i END AS raw
+                  FROM d),
+            parts AS (SELECT url_id, raw,
+                    lower(regexp_extract(raw,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(raw,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                    regexp_extract(raw,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest0
+                  FROM u),
+            norm AS (SELECT url_id, raw, scheme, host,
+                    CASE WHEN scheme = 'http' AND host LIKE '%:80'
+                              THEN regexp_replace(host, ':80$', '')
+                         WHEN scheme = 'https' AND host LIKE '%:443'
+                              THEN regexp_replace(host, ':443$', '')
+                         ELSE host END AS chost,
+                    CASE WHEN rest0 = '' THEN '/' ELSE rest0 END AS rest
+                  FROM parts)
+            SELECT url_id, raw,
+                   CASE WHEN scheme = '' THEN raw
+                        ELSE scheme || '://' || chost || rest END AS canonical,
+                   host
+            FROM norm
         """,
         # expected edges recomputed from synth_linkdoc_df's formulas: doc i
         # links to https://host{(i*k)%20}.example/p{k} for k in 1..i%5
