@@ -72,7 +72,7 @@ _ENTITIES = {
 
 _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});")
 _WS_RUN_RE = re.compile(r"[ \t\r\n\f\v ]+")
-_TAG_NAME_RE = re.compile(rb"^/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+_TAG_NAME_RE = re.compile(r"^/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 
 
 def _decode_entity(m: re.Match) -> str:
@@ -187,13 +187,16 @@ def extract_html_blocks(data: bytes) -> List[Block]:
         if lt > i:
             cur.add(html[i:lt], link_depth > 0)
         i = lt
-        # comment
-        if html.startswith("<!--", i):
-            end = html.find("-->", i + 4)
-            i = n if end < 0 else end + 3
+        nxt_ch = html[lt + 1 : lt + 2]  # one char probe replaces 3 startswith
+        if nxt_ch == "!":
+            if html.startswith("<!--", i):  # comment
+                end = html.find("-->", i + 4)
+                i = n if end < 0 else end + 3
+            else:  # doctype
+                end = html.find(">", i)
+                i = n if end < 0 else end + 1
             continue
-        # doctype / processing instruction
-        if html.startswith("<!", i) or html.startswith("<?", i):
+        if nxt_ch == "?":  # processing instruction
             end = html.find(">", i)
             i = n if end < 0 else end + 1
             continue
@@ -202,10 +205,10 @@ def extract_html_blocks(data: bytes) -> List[Block]:
             break  # truncated tag: drop the rest
         tag_body = html[i + 1 : gt]
         i = gt + 1
-        m = _TAG_NAME_RE.match(tag_body.encode("utf-8", "replace"))
+        m = _TAG_NAME_RE.match(tag_body)
         if not m:
             continue  # stray '<' treated as markup noise
-        name = m.group(1).decode("ascii").lower()
+        name = m.group(1).lower()
         closing = tag_body.startswith("/")
         self_closing = tag_body.rstrip().endswith("/") or name in _VOID_TAGS
 
