@@ -212,6 +212,17 @@ def main() -> None:
 
             pair_ratios = [b / a for a, b in zip(reps[SCALE_N], reps[SCALE_N * 4])]
             ratio = statistics.median(pair_ratios)
+            # secondary capability statistic: best-of-N per side. The
+            # hypervisor's co-tenant interference is one-sided here — a
+            # 2-thread run always has 30 cores of headroom while an 8-thread
+            # run competes — so a squeezed window drags every paired ratio
+            # at once and the median under-reports the machine's actual
+            # scaling (observed: 0.81 median at idle, 0.47 median under an
+            # external load spike minutes later, identical code). Best-of
+            # bounds capability from above; median bounds typical from
+            # below; both are reported so neither estimator's failure mode
+            # hides in a single number.
+            best = max(reps[SCALE_N * 4]) / max(reps[SCALE_N])
             out["scaling"] = {
                 "cpus_small": SCALE_N,
                 "cpus_large": SCALE_N * 4,
@@ -220,7 +231,9 @@ def main() -> None:
                 "docs_per_sec_large": reps[SCALE_N * 4],
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / 4, 3),
-                "method": "median paired ratio over 5 order-alternated reps",
+                "efficiency_best": round(best / 4, 3),
+                "method": "median paired ratio over 5 order-alternated reps"
+                          " (+ best-of-5 capability bound)",
             }
         except Exception as e:  # a failed scaling probe must not eat the bench
             out["scaling_error"] = f"{type(e).__name__}: {e}"
