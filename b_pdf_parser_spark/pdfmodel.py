@@ -1310,11 +1310,15 @@ def image_inventory(data: bytes) -> List[Dict[str, Any]]:
             filt = doc.resolve(d.get("Filter"))
             if isinstance(filt, list):
                 filt = filt[-1] if filt else None
+            w = doc.resolve(d.get("Width"))
+            h = doc.resolve(d.get("Height"))
             out.append({
                 "page": pno,
                 "name": str(name),
-                "width": int(doc.resolve(d.get("Width")) or 0),
-                "height": int(doc.resolve(d.get("Height")) or 0),
+                # a malformed Width/Height (dict/list/name) reports 0, the
+                # same skip-don't-crash contract as the text walk's filters
+                "width": int(w) if isinstance(w, (int, float)) else 0,
+                "height": int(h) if isinstance(h, (int, float)) else 0,
                 "filter": str(filt) if filt is not None else "",
                 "n_bytes": len(xo.raw),
             })

@@ -50,3 +50,19 @@ def test_host_degrees(spark):
     assert sum(n for n, _ in hosts.values()) == 80
     # every host's distinct-doc count is bounded by its inlink count
     assert all(d <= n for n, d in hosts.values())
+
+
+# ---- error-contract property tests ------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_links_is_total(data):
+    # the href walk is a total function of bytes: any input → a list of
+    # {href, anchor} string pairs, never an exception
+    out = extract_links(data)
+    assert all(
+        isinstance(l["href"], str) and isinstance(l["anchor"], str) for l in out
+    )

@@ -64,3 +64,34 @@ def test_spark_inventory_operator(spark):
     assert (r.width, r.height, r.filter) == (16, 15, "JPXDecode")
     assert r.n_bytes == max(1, 16 * 15 // 4)
     assert not any(r.filter.startswith("error:") for r in rows.values())
+
+
+# ---- error-contract property tests ------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+import b_pdf_parser_spark.pdfmodel as pm  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_image_inventory_never_raises_anything_but_pdferror(data):
+    try:
+        image_inventory(b"%PDF-" + data)
+    except pm.PdfError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=2048))
+def test_image_inventory_total_on_mutated_real_pdf(data):
+    # splice garbage into a real image-bearing PDF: inventory must either
+    # answer or raise PdfError, never anything else
+    pdf = bytearray(build_pdf(SPANS, images=IMAGES))
+    if data:
+        off = len(data) % max(1, len(pdf) - 1)
+        pdf[off : off + len(data)] = data
+    try:
+        image_inventory(bytes(pdf))
+    except pm.PdfError:
+        pass
