@@ -788,6 +788,31 @@ def q_link_hosts(spark, sf):
     return host_degrees(extract_outlinks(synth_linkdoc_df(spark, 400)))
 
 
+def q_length_histogram(spark, sf):
+    """Doc-length histogram per language (100-char buckets) — the corpus-
+    shape diagnostic behind batch-size and truncation decisions. Integer
+    math only; one map-side-combined shuffle on (lang, bucket)."""
+    d = _t(spark, sf, "documents")
+    bucket = (F.col("n_chars") / 100).cast("int").alias("bucket")
+    return d.groupBy("lang", bucket).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_length_quantiles(spark, sf):
+    """Exact length percentiles per language (p50/p90/p99, linear
+    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_canonical_urls(spark, sf):
     """RFC 3986 syntax-based URL canonicalization (crawl-frontier dedup key):
     lowercase scheme+host, fragment strip, scheme-aware default-port strip,
@@ -918,6 +943,8 @@ def queries() -> dict[str, _T]:
         "outlinks": q_outlinks,
         "link_hosts": q_link_hosts,
         "canonical_urls": q_canonical_urls,
+        "length_histogram": q_length_histogram,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -1586,6 +1613,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, rank, tok, round(score, 4) AS tfidf
             FROM ranked WHERE rank <= 3
+        """,
+        "length_histogram": """
+            SELECT lang, CAST(n_chars // 100 AS INT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
         """,
         "canonical_urls": """
             WITH d AS (SELECT range AS i FROM range(0, 300)),
