@@ -239,14 +239,14 @@ def main() -> None:
 
             for _rep in range(5):
                 _one_rep(_rep)
-            # pre-declared retry rule: a >1.5× spread on the large side means
+            # pre-declared retry rule: a >1.3× spread on the large side means
             # an external load spell squeezed part of the window (the small
             # side never shows it — 2 threads always have headroom). Extend
             # the window with 5 more alternated reps so clean intervals get a
             # vote; the median is then taken over all 10 pairs.
             big = reps[SCALE_N * 4]
             extended = False
-            if max(big) / max(min(big), 1e-9) > 1.5:
+            if max(big) / max(min(big), 1e-9) > 1.3:
                 extended = True
                 for _rep in range(5, 10):
                     _one_rep(_rep)
@@ -282,7 +282,7 @@ def main() -> None:
                 "env_capacity_ratio": _env_capacity_ratio(SCALE_N),
                 "extended_reps": extended,
                 "method": "median paired ratio over order-alternated reps"
-                          " (5, +5 if large-side spread >1.5x signals an"
+                          " (5, +5 if large-side spread >1.3x signals an"
                           " external load spell) + best-of capability bound;"
                           " env_capacity_ratio is raw-CPU multiprocessing"
                           " throughput large/small measured in the same"
