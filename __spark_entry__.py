@@ -452,6 +452,28 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+def q_decontamination(spark, sf):
+    """Train/test decontamination: flag training documents sharing any
+    word-3-gram with the benchmark subset (doc_id % 50 == 0 plays the
+    held-out benchmark). One equi-join keyed on the shingle: the benchmark
+    side is tiny at any scale (benchmarks are ~10^5 docs against 10^12
+    training docs) so Spark broadcasts it; counts per contaminated doc
+    partial-aggregate map-side."""
+    from b_pdf_parser_spark.operators.dedup import shingles
+
+    d = _t(spark, sf, "documents")
+    sh = shingles(d, "doc_id", "text", 3)
+    bench_sh = (
+        sh.filter(F.col("id") % 50 == 0).select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("id") % 50 != 0)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+
+
 def q_simhash(spark, sf):
     from b_pdf_parser_spark.operators.dedup import simhash
 
@@ -914,6 +936,7 @@ def queries() -> dict[str, _T]:
         "dedup_decisions": q_dedup_decisions,
         "vocab_df": q_vocab_df,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "decontamination": q_decontamination,
         "repeated_lines": q_repeated_lines,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -1613,6 +1636,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, rank, tok, round(score, 4) AS tfidf
             FROM ranked WHERE rank <= 3
+        """,
+        "decontamination": f"""
+            WITH {_SHINGLES_CTE.strip()},
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            tsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+            SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+            FROM tsh JOIN bsh USING (shingle)
+            GROUP BY doc_id
         """,
         "length_histogram": """
             SELECT lang, CAST(n_chars // 100 AS INT) AS bucket,
