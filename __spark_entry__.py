@@ -810,6 +810,35 @@ def q_link_hosts(spark, sf):
     return host_degrees(extract_outlinks(synth_linkdoc_df(spark, 400)))
 
 
+def q_crawl_frontier(spark, sf):
+    """End-product composition: harvested outlinks → canonical URLs →
+    frontier dedup → per-host politeness filter (a broadcast rules dim:
+    host h disallows crawling when h % 4 == 0). This is the loop a crawler
+    closes — extract, normalize, dedup, filter — all narrow ops plus one
+    distinct shuffle and one broadcast join."""
+    from b_pdf_parser_spark.functions.urls import canonical_url, url_host
+    from b_pdf_parser_spark.operators.links import extract_outlinks, synth_linkdoc_df
+
+    import b_pdf_parser_spark
+
+    b_pdf_parser_spark.ship_package(spark)
+    edges = extract_outlinks(synth_linkdoc_df(spark, 400))
+    cand = (
+        edges.select(canonical_url(F.col("href")).alias("url"))
+        .withColumn("host", url_host(F.col("url")))
+        .distinct()
+    )
+    rules = spark.range(0, 20).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        (F.col("id") % 4 != 0).alias("allowed"),
+    )
+    return (
+        cand.join(F.broadcast(rules), "host")
+        .filter(F.col("allowed"))
+        .select("host", "url")
+    )
+
+
 def q_length_histogram(spark, sf):
     """Doc-length histogram per language (100-char buckets) — the corpus-
     shape diagnostic behind batch-size and truncation decisions. Integer
@@ -968,6 +997,7 @@ def queries() -> dict[str, _T]:
         "canonical_urls": q_canonical_urls,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -1644,6 +1674,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_contaminated_shingles
             FROM tsh JOIN bsh USING (shingle)
             GROUP BY doc_id
+        """,
+        "crawl_frontier": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i, CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            urls AS (SELECT DISTINCT (i * k) % 20 AS h, k FROM ks)
+            SELECT 'host' || h || '.example' AS host,
+                   'https://host' || h || '.example/p' || k AS url
+            FROM urls WHERE h % 4 <> 0
         """,
         "length_histogram": """
             SELECT lang, CAST(n_chars // 100 AS INT) AS bucket,
