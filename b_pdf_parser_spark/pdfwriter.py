@@ -365,6 +365,7 @@ def pdf_from_lines(
     compress: bool = True,
     td_ops: bool = False,
     type0: bool = False,
+    images: Sequence[Dict[str, object]] = (),
     x: float = 72.0,
     top: float = 760.0,
     leading: float = 14.0,
@@ -388,4 +389,4 @@ def pdf_from_lines(
                     spans.append((col_xs[j % len(col_xs)], yv, cell))
         pages.append(spans)
     return build_pdf(pages, xref_stream=xref_stream, compress=compress,
-                     td_ops=td_ops, type0=type0)
+                     td_ops=td_ops, type0=type0, images=images)

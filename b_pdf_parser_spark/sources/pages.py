@@ -28,7 +28,7 @@ import zlib
 from datetime import datetime, timedelta
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
-from ..pdfwriter import build_pdf, pdf_from_lines
+from ..pdfwriter import build_pdf, make_image, pdf_from_lines
 
 __all__ = [
     "PAGES_SCHEMA_DDL",
@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5  # v5: ~20% of statement PDFs embed image XObjects
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -297,6 +297,25 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             amount_format="id" if (with_user or full_row) else "us",
             layout=layout,
         )
+        # ~20% of statements embed DCT/CCITT/JPX image XObjects (web PDFs
+        # are image-byte-dominated; the text walk must skip them and the
+        # xref parse must handle the larger offsets). Drawn from a FORKED
+        # rng so the main stream — and every pinned corpus expectation —
+        # is identical to v4.
+        irng = random.Random((seed << 33) ^ (i * 0x9E3779B1) ^ 0x1A6E5)
+        images = []
+        if irng.random() < 0.2:
+            _filters = ("DCTDecode", "CCITTFaxDecode", "JPXDecode")
+            images = [
+                make_image(
+                    irng.randrange(n_pages),
+                    16 + irng.randrange(160),
+                    16 + irng.randrange(120),
+                    _filters[irng.randrange(3)],
+                    seed=i * 13 + j,
+                )
+                for j in range(1 + irng.randrange(3))
+            ]
         payload = pdf_from_lines(
             pages,
             xref_stream=rng.random() < 0.5,
@@ -306,6 +325,7 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             # dominant font shape in web PDFs (CID ≠ codepoint, so decode
             # must really walk the CMap)
             type0=rng.random() < 0.25,
+            images=images,
         )
         # some urls embed the account number (filename-fallback path,
         # reference: pymupdf_parser.py:62-71)
