@@ -839,6 +839,41 @@ def q_crawl_frontier(spark, sf):
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def q_pii_scrub(spark, sf):
+    """PII scrubbing (pre-training hygiene): count and redact emails,
+    phone numbers and IPv4 literals with codegen'd regexp expressions —
+    map-only, no UDF, no shuffle. Runs over 300 deterministic PII-bearing
+    strings so detections are non-trivial; the oracle applies the same
+    RE2-compatible patterns in DuckDB."""
+    base = spark.range(0, 300).select(F.col("id").alias("i"))
+    i_s = F.col("i").cast("string")
+    text = F.concat(
+        F.lit("contact user"), i_s, F.lit("@mail"), (F.col("i") % 7).cast("string"),
+        F.lit(".example or call +1-555-"),
+        F.lpad((F.col("i") * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("i") * 31 % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("i") % 256).cast("string"), F.lit(".1 today"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return base.select(
+        F.col("i").alias("pii_id"),
+        F.regexp_count(text, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(text, F.lit(_PII_IP)).alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def q_length_histogram(spark, sf):
     """Doc-length histogram per language (100-char buckets) — the corpus-
     shape diagnostic behind batch-size and truncation decisions. Integer
@@ -998,6 +1033,7 @@ def queries() -> dict[str, _T]:
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "crawl_frontier": q_crawl_frontier,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1674,6 +1710,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_contaminated_shingles
             FROM tsh JOIN bsh USING (shingle)
             GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH d AS (SELECT range AS i FROM range(0, 300)),
+            t AS (SELECT i AS pii_id,
+                    'contact user' || i || '@mail' || i % 7
+                    || '.example or call +1-555-'
+                    || lpad(CAST((i * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST((i * 31) % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || i % 256 || '.1 today' AS text
+                  FROM d)
+            SELECT pii_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\+1-555-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+1-555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+                       AS scrubbed
+            FROM t
         """,
         "crawl_frontier": """
             WITH d AS (SELECT range AS i FROM range(0, 400)),
