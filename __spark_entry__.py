@@ -899,6 +899,20 @@ def q_length_quantiles(spark, sf):
     )
 
 
+def q_pdf_outlinks(spark, sf):
+    """The PDF half of outlink harvesting: URI link annotations (PDF 1.7
+    §12.5.6.5) from 300 real writer-emitted PDFs, against an oracle
+    recomputed from the generator formulas."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        extract_pdf_outlinks,
+        synth_pdflink_doc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return extract_pdf_outlinks(synth_pdflink_doc_df(spark, 300))
+
+
 def q_canonical_urls(spark, sf):
     """RFC 3986 syntax-based URL canonicalization (crawl-frontier dedup key):
     lowercase scheme+host, fragment strip, scheme-aware default-port strip,
@@ -1034,6 +1048,7 @@ def queries() -> dict[str, _T]:
         "length_quantiles": q_length_quantiles,
         "crawl_frontier": q_crawl_frontier,
         "pii_scrub": q_pii_scrub,
+        "pdf_outlinks": q_pdf_outlinks,
     }
 
 
@@ -1710,6 +1725,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_contaminated_shingles
             FROM tsh JOIN bsh USING (shingle)
             GROUP BY doc_id
+        """,
+        "pdf_outlinks": """
+            WITH d AS (SELECT range AS i FROM range(0, 300)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 4)) AS BIGINT) AS k
+                   FROM d)
+            SELECT doc_id, CAST(0 AS INT) AS page,
+                   'https://host' || ((doc_id * k) % 20) || '.example/d' || k
+                       AS uri
+            FROM ks
         """,
         "pii_scrub": r"""
             WITH d AS (SELECT range AS i FROM range(0, 300)),

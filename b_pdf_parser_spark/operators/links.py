@@ -19,7 +19,13 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["extract_outlinks", "host_degrees", "synth_linkdoc_df"]
+__all__ = [
+    "extract_outlinks",
+    "host_degrees",
+    "synth_linkdoc_df",
+    "synth_pdflink_doc_df",
+    "extract_pdf_outlinks",
+]
 
 LINKS_SCHEMA_DDL = "doc_id BIGINT, href STRING, anchor STRING"
 
@@ -99,3 +105,61 @@ def host_degrees(edges: DataFrame) -> DataFrame:
             F.count_distinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF outlinks (URI link annotations — the PDF half of the link graph)
+# ---------------------------------------------------------------------------
+
+PDF_LINKS_SCHEMA_DDL = "doc_id BIGINT, page INT, uri STRING"
+
+
+def synth_pdflink_doc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    """``n`` deterministic PDFs, doc ``i`` carrying ``i % 4`` URI link
+    annotations to ``https://host{(i*k) % 20}.example/d{k}`` — real PDFs
+    through the writer (alternating emission modes), formulas the DuckDB
+    oracle recomputes."""
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.pdfwriter import build_pdf
+
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                spans = [[(40.0, 700.0, f"pdf with links {i}")]]
+                links = [
+                    (0, f"https://host{(i * k) % 20}.example/d{k}")
+                    for k in range(1, 1 + i % 4)
+                ]
+                rows.append({
+                    "doc_id": i,
+                    "pdf": build_pdf(spans, xref_stream=(i % 2 == 0), links=links),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    return base.mapInPandas(gen, schema="doc_id BIGINT, pdf BINARY")
+
+
+def extract_pdf_outlinks(docs: DataFrame, id_col: str = "doc_id", pdf_col: str = "pdf") -> DataFrame:
+    """(doc, page, uri) edges from URI link annotations (one Arrow-batch
+    Python dispatch per document; corrupt docs contribute no rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.pdfmodel import PdfError, link_annotations
+
+        cols = ["doc_id", "page", "uri"]
+        for b in batches:
+            rows = []
+            for did, payload in zip(b[id_col], b[pdf_col]):
+                if payload is None:
+                    continue
+                try:
+                    for rec in link_annotations(bytes(payload)):
+                        rows.append({"doc_id": int(did), **rec})
+                except PdfError:
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=PDF_LINKS_SCHEMA_DDL)

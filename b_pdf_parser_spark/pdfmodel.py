@@ -1325,6 +1325,32 @@ def image_inventory(data: bytes) -> List[Dict[str, Any]]:
     return out
 
 
+def link_annotations(data: bytes) -> List[Dict[str, Any]]:
+    """URI link annotations per page (PDF 1.7 §12.5.6.5): the PDF half of
+    outlink harvesting — crawlers follow links out of PDFs exactly like out
+    of HTML anchors. Returns ``{page, uri}`` rows in annotation order.
+
+    Reference analog: PyMuPDF's ``page.get_links()`` (unused by the
+    reference — statements have no links; web PDFs do)."""
+    doc = PdfDocument(data)
+    out: List[Dict[str, Any]] = []
+    for pno, page in enumerate(doc.pages()):
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for a in annots:
+            a = doc.resolve(a)
+            if not isinstance(a, dict) or str(doc.resolve(a.get("Subtype"))) != "Link":
+                continue
+            action = doc.resolve(a.get("A"))
+            if not isinstance(action, dict) or str(doc.resolve(action.get("S"))) != "URI":
+                continue
+            uri = doc.resolve(action.get("URI"))
+            if isinstance(uri, (bytes, bytearray)):
+                out.append({"page": pno, "uri": _decode_text(bytes(uri))})
+    return out
+
+
 def extract_pdf_pages(data: bytes) -> List[str]:
     """Parse ``data`` and return one reading-order text string per page.
 

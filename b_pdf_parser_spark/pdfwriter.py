@@ -177,6 +177,7 @@ def build_pdf(
     td_ops: bool = False,
     type0: bool = False,
     images: Sequence[Dict[str, object]] = (),
+    links: Sequence[Tuple[int, str]] = (),
 ) -> bytes:
     """Serialize positioned text spans into a complete PDF file.
 
@@ -226,15 +227,30 @@ def build_pdf(
         2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
         3: _FONT_DICT,
     }
+    # URI link annotations (PDF 1.7 §12.5.6.5), inline in the page dict —
+    # one stacked Rect per link so each is a distinct clickable region
+    links_by_page: Dict[int, List[str]] = {}
+    for pg, uri in links:
+        links_by_page.setdefault(int(pg), []).append(str(uri))
+
     for i in range(n_pages):
         xobj = b""
         if by_page.get(i):
             refs = b" ".join(b"%s %d 0 R" % (nm, num) for nm, num in by_page[i])
             xobj = b"/XObject << " + refs + b" >> "
+        annots = b""
+        if links_by_page.get(i):
+            entries = b" ".join(
+                b"<< /Type /Annot /Subtype /Link /Rect [40 %d 200 %d] "
+                b"/A << /S /URI /URI (%s) >> >>"
+                % (600 - 20 * k, 616 - 20 * k, _esc(uri))
+                for k, uri in enumerate(links_by_page[i])
+            )
+            annots = b"/Annots [ " + entries + b" ] "
         dicts[page_obj(i)] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> %s>> /Contents %d 0 R >>"
-            % (xobj, content_obj(i))
+            b"/Resources << /Font << /F1 3 0 R >> %s>> %s/Contents %d 0 R >>"
+            % (xobj, annots, content_obj(i))
         )
     contents: Dict[int, bytes] = {
         content_obj(i): _stream_obj(

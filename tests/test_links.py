@@ -66,3 +66,44 @@ def test_extract_links_is_total(data):
     assert all(
         isinstance(l["href"], str) and isinstance(l["anchor"], str) for l in out
     )
+
+
+# ---- PDF link annotations ----------------------------------------------------
+
+from b_pdf_parser_spark.pdfmodel import PdfError, link_annotations
+from b_pdf_parser_spark.pdfwriter import build_pdf
+
+
+def test_pdf_link_annotations_roundtrip():
+    spans = [[(40.0, 700.0, "Hello")], [(40.0, 700.0, "Two")]]
+    links = [(0, "https://a.example/x"), (1, "https://c.example/(z)")]
+    for xs in (False, True):
+        pdf = build_pdf(spans, xref_stream=xs, links=links)
+        got = link_annotations(pdf)
+        assert got == [
+            {"page": 0, "uri": "https://a.example/x"},
+            {"page": 1, "uri": "https://c.example/(z)"},  # escaped parens survive
+        ]
+        assert link_annotations(build_pdf(spans, xref_stream=xs)) == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_link_annotations_never_raises_anything_but_pdferror(data):
+    try:
+        link_annotations(b"%PDF-" + data)
+    except PdfError:
+        pass
+
+
+def test_spark_pdf_outlinks(spark):
+    from b_pdf_parser_spark.operators.links import (
+        extract_pdf_outlinks,
+        synth_pdflink_doc_df,
+    )
+
+    edges = extract_pdf_outlinks(synth_pdflink_doc_df(spark, 40, num_partitions=4))
+    # sum over i<40 of i%4 = 10 * (0+1+2+3)
+    assert edges.count() == 60
+    r = {(e.doc_id, e.uri) for e in edges.collect()}
+    assert (7, "https://host14.example/d2") in r  # (7*2)%20 = 14
