@@ -817,14 +817,25 @@ def q_crawl_frontier(spark, sf):
     closes — extract, normalize, dedup, filter — all narrow ops plus one
     distinct shuffle and one broadcast join."""
     from b_pdf_parser_spark.functions.urls import canonical_url, url_host
-    from b_pdf_parser_spark.operators.links import extract_outlinks, synth_linkdoc_df
+    from b_pdf_parser_spark.operators.links import (
+        extract_outlinks,
+        extract_pdf_outlinks,
+        synth_linkdoc_df,
+        synth_pdflink_doc_df,
+    )
 
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    edges = extract_outlinks(synth_linkdoc_df(spark, 400))
+    html_edges = extract_outlinks(synth_linkdoc_df(spark, 400)).select(
+        F.col("href").alias("raw_url")
+    )
+    pdf_edges = extract_pdf_outlinks(synth_pdflink_doc_df(spark, 300)).select(
+        F.col("uri").alias("raw_url")
+    )
     cand = (
-        edges.select(canonical_url(F.col("href")).alias("url"))
+        html_edges.unionByName(pdf_edges)
+        .select(canonical_url(F.col("raw_url")).alias("url"))
         .withColumn("host", url_host(F.col("url")))
         .distinct()
     )
@@ -1762,12 +1773,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "crawl_frontier": """
-            WITH d AS (SELECT range AS i FROM range(0, 400)),
-            ks AS (SELECT i, CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
-                   FROM d),
-            urls AS (SELECT DISTINCT (i * k) % 20 AS h, k FROM ks)
-            SELECT 'host' || h || '.example' AS host,
-                   'https://host' || h || '.example/p' || k AS url
+            WITH hd AS (SELECT range AS i FROM range(0, 400)),
+            hks AS (SELECT i, CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                    FROM hd),
+            pd_ AS (SELECT range AS i FROM range(0, 300)),
+            pks AS (SELECT i, CAST(unnest(range(1, 1 + i % 4)) AS BIGINT) AS k
+                    FROM pd_),
+            urls AS (
+                SELECT DISTINCT * FROM (
+                    SELECT (i * k) % 20 AS h,
+                           'https://host' || (i * k) % 20 || '.example/p' || k
+                               AS url
+                    FROM hks
+                    UNION ALL
+                    SELECT (i * k) % 20 AS h,
+                           'https://host' || (i * k) % 20 || '.example/d' || k
+                               AS url
+                    FROM pks))
+            SELECT 'host' || h || '.example' AS host, url
             FROM urls WHERE h % 4 <> 0
         """,
         "length_histogram": """
