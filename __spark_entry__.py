@@ -985,6 +985,42 @@ def q_media_frame_sample(spark, sf):
     return frame_sample(synth_media_df(spark, 200), every=2)
 
 
+def q_intra_doc_repetition(spark, sf):
+    """Gopher repetition filters (top-2-gram fraction, duplicate-3-gram
+    fraction) per document — the within-document half of the MassiveText
+    quality rules. Linear explode+groupBy plan, unrounded int-ratio doubles
+    for a bit-identical oracle."""
+    from b_pdf_parser_spark.operators.textstats import intra_doc_repetition
+
+    return intra_doc_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_duplicate_spans(spark, sf):
+    """Substring-level dedup signal (Lee et al. ExactSubstr approximation):
+    per-doc fraction of rolling 8-token windows whose hash recurs in other
+    documents. Explode → hash groupBy → hash join-back; no all-pairs."""
+    from b_pdf_parser_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), "doc_id", "text", w=8).orderBy(
+        "doc_id"
+    )
+
+
+def q_compression_ratio(spark, sf):
+    """zlib compressed/raw byte ratio per document (RefinedWeb-style
+    redundancy signal). No SQL zlib exists → no DuckDB oracle (rows-only);
+    the value itself is pinned by ``tests/test_functions.py`` against direct
+    ``zlib.compress`` on the same strings."""
+    from b_pdf_parser_spark.operators.textstats import with_compression_ratio
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (
+        with_compression_ratio(d)
+        .select("doc_id", "zlib_ratio")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1027,6 +1063,9 @@ def queries() -> dict[str, _T]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontamination": q_decontamination,
         "repeated_lines": q_repeated_lines,
+        "intra_doc_repetition": q_intra_doc_repetition,
+        "duplicate_spans": q_duplicate_spans,
+        "compression_ratio": q_compression_ratio,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1535,6 +1574,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT line, COUNT(*) AS n_docs FROM l GROUP BY line
             HAVING COUNT(*) >= 3
             ORDER BY n_docs DESC, line ASC LIMIT 20
+        """,
+        "intra_doc_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            g2 AS (
+                SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS gram
+                FROM toks, unnest(range(greatest(len(ts)-1, 0))) AS u(i)),
+            c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_2gram_frac
+                   FROM c2 GROUP BY doc_id),
+            g3 AS (
+                SELECT doc_id, array_to_string(ts[i+1:i+3], ' ') AS gram
+                FROM toks, unnest(range(greatest(len(ts)-2, 0))) AS u(i)),
+            c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+            t3 AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)/SUM(c)
+                              AS dup_3gram_frac
+                   FROM c3 GROUP BY doc_id)
+            SELECT t2.doc_id, top_2gram_frac, dup_3gram_frac
+            FROM t2 JOIN t3 ON t2.doc_id = t3.doc_id
+            ORDER BY t2.doc_id
+        """,
+        "duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            w AS (SELECT doc_id, md5(array_to_string(ts[i+1:i+8], ' ')) AS h
+                  FROM toks, unnest(range(greatest(len(ts)-7, 0))) AS u(i)),
+            dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT w.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_windows,
+                   CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS dup_frac
+            FROM w LEFT JOIN dup ON w.h = dup.h
+            GROUP BY w.doc_id ORDER BY w.doc_id
         """,
         "simhash_neardup": """
             WITH toks AS (

@@ -30,6 +30,9 @@ __all__ = [
     "fingerprint",
     "langid",
     "unigram_logprob",
+    "word_ngrams",
+    "intra_doc_repetition",
+    "with_compression_ratio",
     "with_text_stats",
 ]
 
@@ -216,6 +219,90 @@ def unigram_logprob(
             F.count("*").alias("n_toks"),
         )
     )
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Array of word ``n``-grams of the lowercased text — a map-only array
+    expression (no explode/shuffle at this stage). Empty array for texts
+    with fewer than ``n`` tokens (``sequence`` would otherwise count
+    backwards and fabricate grams)."""
+    toks = _toks(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def intra_doc_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style *repetition* signals (Rae et al. 2021 §A1.1 — the other
+    half of the quality rules, which ``gopher_rules`` doesn't cover): per
+    document,
+
+    * ``top_2gram_frac`` — fraction of all word 2-gram instances taken by
+      the single most frequent 2-gram (Gopher drops docs > 0.2), and
+    * ``dup_3gram_frac`` — fraction of 3-gram instances whose gram occurs
+      more than once in the document (Gopher's duplicate-n-gram family).
+
+    Documents with fewer than 3 tokens have no 3-grams and are dropped.
+
+    Scale shape: per n, one explode + one ``(doc, gram)`` groupBy + one
+    ``(doc)`` groupBy — all map-side combined, linear in corpus size, no
+    self-join and no window over the whole document set. The fractions are
+    unrounded int/int IEEE doubles, so the DuckDB oracle is bit-identical.
+    """
+    def gram_counts(n: int) -> DataFrame:
+        grams = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        return grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+
+    top2 = gram_counts(2).groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top_2gram_frac")
+    )
+    dup3 = gram_counts(3).groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_3gram_frac")
+    )
+    return top2.join(dup3, "doc_id")
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "zlib_ratio", level: int = 6
+) -> DataFrame:
+    """zlib compressed-size / raw-size per document — the redundancy signal
+    RefinedWeb/MassiveText use to catch machine-generated or template text
+    (which compresses far below natural language's ~0.3–0.5 band).
+
+    No SQL engine exposes zlib, so this is the one textstats op without a
+    DuckDB oracle; it is instead pinned by a unit test against direct
+    ``zlib.compress`` on the same strings. Runs as an Arrow-batched
+    ``mapInPandas`` (one Python dispatch per batch; zlib itself is C), and
+    the compression level is pinned so results are reproducible across
+    runs and cluster sizes. Empty/null text → ratio 0.0.
+    """
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: float(len(zlib.compress(b, level))))
+            n = raw.str.len().astype("float64")
+            pdf[out_col] = (comp / n.where(n > 0, 1.0)).where(n > 0, 0.0)
+            yield pdf
+
+    return df.mapInPandas(ratios, schema=out_schema)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

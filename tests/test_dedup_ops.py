@@ -78,3 +78,45 @@ def test_winnowing_local_edit_preserves_most_fingerprints(spark):
     again = {r["fp"] for r in winnow_fingerprints(docs, "doc_id", "text").collect()
              if r["id"] == 1}
     assert again == a
+
+
+def test_duplicate_spans_flags_shared_window_and_drops_short_docs(spark):
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail alpha beta"),
+            (2, "head " + shared),
+            (3, "totally unrelated words nine ten eleven twelve thirteen fourteen"),
+            (4, "short doc"),  # < 8 tokens → no windows → dropped
+        ],
+        "doc_id long, text string",
+    )
+    from b_pdf_parser_spark.operators.dedup import duplicate_spans
+
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc1: 11 tokens → 4 windows, exactly one (the leading 8) shared with doc2
+    assert rows[1]["n_windows"] == 4 and rows[1]["dup_windows"] == 1
+    assert rows[1]["dup_frac"] == 0.25
+    # doc2: 9 tokens → 2 windows, the trailing one shared
+    assert rows[2]["n_windows"] == 2 and rows[2]["dup_windows"] == 1
+    assert rows[3]["dup_windows"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+def test_intra_doc_repetition_hand_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # 2-grams: ab ba ab ba → top 2/4; 3-grams: aba bab aba → dup 2/3
+            (2, "x y z w"),         # all grams unique
+            (3, "t u"),             # 2 tokens → no 3-grams → dropped
+        ],
+        "doc_id long, text string",
+    )
+    from b_pdf_parser_spark.operators.textstats import intra_doc_repetition
+
+    rows = {r["doc_id"]: r for r in intra_doc_repetition(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["top_2gram_frac"] == 0.5
+    assert rows[1]["dup_3gram_frac"] == 2 / 3
+    assert rows[2]["top_2gram_frac"] == 1 / 3
+    assert rows[2]["dup_3gram_frac"] == 0.0
