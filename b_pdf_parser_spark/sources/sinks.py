@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame
 from ..fields import METADATA_KEYS
 from ..functions.numbers import normalize_number_col
 
-__all__ = ["metadata_kv_table", "transactions_csv_table", "write_csv"]
+__all__ = [
+    "metadata_kv_table",
+    "transactions_csv_table",
+    "write_csv",
+    "write_bucketed",
+    "bucketed_join",
+]
 
 
 def metadata_kv_table(extracted: DataFrame) -> DataFrame:
@@ -61,6 +67,39 @@ def transactions_csv_table(txns: DataFrame) -> DataFrame:
         normalize_number_col(F.col("credit")).alias("Credit"),
         normalize_number_col(F.col("balance")).alias("Balance"),
     )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, path: str, key: str, buckets: int = 16
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-file sorted) on ``key``.
+
+    This is the co-location primitive for the repeatedly-joined tables of a
+    10^12-row corpus (url→doc joins, dedup-key joins): every table bucketed
+    on the same key with the same bucket count joins with **zero shuffle
+    exchanges** — the planner reads matching buckets side by side and, with
+    ``sortBy``, skips the sort too. Paying one write-time shuffle once
+    instead of one per downstream join is the standard Spark answer to
+    "this join is the bottleneck at scale".
+
+    ``tests/test_bucketed_join.py`` asserts the property on the physical
+    plan (no ``Exchange`` operator) rather than trusting the API. Bucketing
+    metadata lives in the session catalog, so this uses ``saveAsTable``
+    with an explicit ``path`` (external table); plain ``.parquet(path)``
+    writes cannot record bucket info.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Inner-join two same-bucketed catalog tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), key)
 
 
 def write_csv(df: DataFrame, path: str, *, order_by: str = "url") -> None:
