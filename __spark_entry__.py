@@ -985,6 +985,25 @@ def q_media_frame_sample(spark, sf):
     return frame_sample(synth_media_df(spark, 200), every=2)
 
 
+def q_quality_decisions(spark, sf):
+    """Auditable keep/drop decision table: first-failing quality rule per
+    document (word_count → mean_word_len → repetition → stopwords → ok)."""
+    from b_pdf_parser_spark.operators.textstats import quality_decisions
+
+    return quality_decisions(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_host_cap_sample(spark, sf):
+    """Per-host diversity cap: keep ≤ 15 docs per source, chosen by the
+    partitioning-independent md5(doc_id) order (anti-spam cap of CC
+    pipelines). One window shuffle keyed on the host."""
+    from b_pdf_parser_spark.operators.sampling import per_host_cap
+
+    return per_host_cap(
+        _t(spark, sf, "documents"), "doc_id", "source", cap=15
+    ).orderBy("doc_id")
+
+
 def q_intra_doc_repetition(spark, sf):
     """Gopher repetition filters (top-2-gram fraction, duplicate-3-gram
     fraction) per document — the within-document half of the MassiveText
@@ -1063,6 +1082,8 @@ def queries() -> dict[str, _T]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontamination": q_decontamination,
         "repeated_lines": q_repeated_lines,
+        "quality_decisions": q_quality_decisions,
+        "host_cap_sample": q_host_cap_sample,
         "intra_doc_repetition": q_intra_doc_repetition,
         "duplicate_spans": q_duplicate_spans,
         "compression_ratio": q_compression_ratio,
@@ -1574,6 +1595,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT line, COUNT(*) AS n_docs FROM l GROUP BY line
             HAVING COUNT(*) >= 3
             ORDER BY n_docs DESC, line ASC LIMIT 20
+        """,
+        "quality_decisions": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts, text FROM documents),
+            base AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS nt,
+                CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+                     ELSE round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                                / len(ts), 4) END AS mwl,
+                len(list_filter(ts, x -> x IN {_EN_STOP})) AS n_stop
+              FROM t),
+            g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS gram
+                   FROM t, unnest(range(greatest(len(ts)-1, 0))) AS u(i)),
+            c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+            rep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE)/SUM(c) AS top2
+                    FROM c2 GROUP BY doc_id),
+            r AS (SELECT base.doc_id,
+                    CASE WHEN nt < 30 THEN 'word_count'
+                         WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len'
+                         WHEN coalesce(top2, 0.0) > 0.06 THEN 'repetition'
+                         WHEN n_stop < 2 THEN 'stopwords'
+                         ELSE 'ok' END AS reason
+                  FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id)
+            SELECT doc_id, (reason = 'ok') AS keep, reason FROM r ORDER BY doc_id
+        """,
+        "host_cap_sample": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                       ) AS rk
+                FROM documents)
+            SELECT doc_id, source, (rk <= 15) AS keep FROM r ORDER BY doc_id
         """,
         "intra_doc_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

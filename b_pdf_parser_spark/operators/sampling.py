@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["hash_threshold", "hash_sample", "stratified_sample"]
+__all__ = ["hash_threshold", "hash_sample", "stratified_sample", "per_host_cap"]
 
 
 def hash_threshold(rate: float) -> str:
@@ -56,3 +56,31 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(hash_threshold(rate))).otherwise(thr)
     return df.filter(_bucket(key_col) < thr)
+
+
+def per_host_cap(
+    df: DataFrame, key_col: str, host_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per host — the anti-spam diversity cap CC
+    pipelines apply so one template-heavy domain can't dominate a training
+    mix. Rows are ranked inside each host by ``md5(key)`` (an unbiased,
+    partitioning-independent order: the SAME documents survive on 1 or
+    1,000 executors and in the DuckDB oracle) and flagged ``keep`` iff
+    rank ≤ cap.
+
+    Shape at scale: one hash-partitioned window on the host key. Per-host
+    state is only a running counter, but a mega-host (10^9 pages of one
+    domain) still lands on one task — at that scale either pre-filter with
+    ``hash_sample`` to bring hosts under a partition's size, or trade
+    exactness for a per-host threshold (cap/count quantile of the hash),
+    which this module's threshold machinery expresses with two linear
+    passes and no window. The exact window form is the contract here.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return df.select(
+        key_col, host_col, (F.row_number().over(w) <= cap).alias("keep")
+    )

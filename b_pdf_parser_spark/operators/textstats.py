@@ -32,6 +32,7 @@ __all__ = [
     "unigram_logprob",
     "word_ngrams",
     "intra_doc_repetition",
+    "quality_decisions",
     "with_compression_ratio",
     "with_text_stats",
 ]
@@ -272,6 +273,56 @@ def intra_doc_repetition(
         ).alias("dup_3gram_frac")
     )
     return top2.join(dup3, "doc_id")
+
+
+def quality_decisions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_tokens: int = 30, top2_max: float = 0.06,
+) -> DataFrame:
+    """Fused keep/drop verdict per document with the *first failing rule* as
+    the reason — the auditable filter-decision table a production corpus
+    pipeline materializes next to the data (so every dropped doc can answer
+    "why"). Rules, in order:
+
+    1. ``word_count``     — fewer than ``min_tokens`` tokens
+    2. ``mean_word_len``  — mean word length outside [3, 10]
+    3. ``repetition``     — top 2-gram fraction > ``top2_max`` (Gopher-style)
+    4. ``stopwords``      — fewer than 2 English stopword hits
+    5. ``ok``             — keep
+
+    Plan: the scalar rules are map-only codegen; the repetition signal
+    joins in via one explode + groupBy (left join — docs too short for
+    2-grams already failed rule 1, so a missing fraction is benign). The
+    CASE is mirrored verbatim in the DuckDB oracle; ``mean_word_len`` uses
+    the round-4 idiom already proven hash-identical by ``text_stats``.
+    """
+    c = F.col(text_col)
+    nt = token_count(c)
+    grams = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(word_ngrams(c, 2)).alias("gram"),
+    )
+    top2 = (
+        grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg((F.max("cnt") / F.sum("cnt")).alias("top2"))
+    )
+    base = df.select(
+        F.col(id_col),
+        nt.alias("nt"),
+        mean_word_len(c).alias("mwl"),
+        F.size(F.filter(_toks(c), lambda t: t.isin(*STOPWORDS["en"]))).alias("n_stop"),
+    )
+    reason = (
+        F.when(F.col("nt") < min_tokens, F.lit("word_count"))
+        .when((F.col("mwl") < 3.0) | (F.col("mwl") > 10.0), F.lit("mean_word_len"))
+        .when(F.coalesce(F.col("top2"), F.lit(0.0)) > top2_max, F.lit("repetition"))
+        .when(F.col("n_stop") < 2, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return base.join(top2, id_col, "left").select(
+        id_col, (reason == "ok").alias("keep"), reason.alias("reason")
+    )
 
 
 def with_compression_ratio(

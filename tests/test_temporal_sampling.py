@@ -181,3 +181,46 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     )
     out = {r.doc_id: r.nll_bits for r in unigram_logprob(df).collect()}
     assert out[2] > out[1]  # rare token → more surprising document
+
+
+def test_per_host_cap_exact_and_partitioning_independent(spark):
+    from b_pdf_parser_spark.operators.sampling import per_host_cap
+
+    rows = [(i, f"host{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = per_host_cap(df, "doc_id", "host", cap=4).collect()
+    kept = [r for r in out if r["keep"]]
+    assert len(out) == 30
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r["host"], set()).add(r["doc_id"])
+    assert all(len(v) == 4 for v in by_host.values())
+    # the SAME docs survive under a different partitioning (determinism —
+    # the property df.sample() does not have)
+    again = {(r["doc_id"], r["keep"])
+             for r in per_host_cap(df.repartition(7), "doc_id", "host", 4).collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in out}
+
+
+def test_quality_decisions_every_reason_reachable(spark):
+    from b_pdf_parser_spark.operators.textstats import quality_decisions
+
+    ok = "the cat and the dog ran off to a barn with hay and corn for all of them " \
+         "so they could rest and eat well " * 2
+    docs = [
+        (1, "too short"),                                     # word_count
+        (2, " ".join(["supercalifragilistic"] * 40)),         # mean_word_len (>10)
+        (3, " ".join(["alpha beta"] * 40)),                   # repetition (top2 ≫ 6%)
+        (4, " ".join(f"word{i}" for i in range(40))),         # stopwords (no hits)
+        (5, ok),                                              # ok
+        (6, ""),                                              # empty → word_count
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in quality_decisions(df).collect()}
+    assert got[1] == (False, "word_count")
+    assert got[2] == (False, "mean_word_len")
+    assert got[3] == (False, "repetition")
+    assert got[4] == (False, "stopwords")
+    assert got[5] == (True, "ok")
+    assert got[6] == (False, "word_count")
