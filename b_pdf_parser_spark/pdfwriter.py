@@ -25,8 +25,7 @@ Span = Tuple[float, float, str]  # (x, y, text)
 _FONT_DICT = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
 
 
-def _esc(text: str) -> bytes:
-    raw = text.encode("latin-1", "replace")
+def _esc_bytes(raw: bytes) -> bytes:
     out = bytearray()
     for b in raw:
         if b in (0x5C, 0x28, 0x29):
@@ -37,6 +36,10 @@ def _esc(text: str) -> bytes:
         else:
             out.append(b)
     return bytes(out)
+
+
+def _esc(text: str) -> bytes:
+    return _esc_bytes(text.encode("latin-1", "replace"))
 
 
 def _num(v: float) -> bytes:
@@ -143,6 +146,118 @@ def _tounicode_cmap(cm: Dict[str, int]) -> bytes:
     )
 
 
+# -- encryption emission (PDF 1.7 §7.6.3: RC4 V2/R3, empty user password) --
+# Key schedule / RC4 primitives are shared with the parser (public-spec
+# algorithms); the goldens pin the resulting bytes so both sides are checked.
+
+
+def _prep_encryption(bodies: Sequence[bytes], r2: bool = False) -> Dict[str, bytes]:
+    """Deterministic standard-security-handler material: the file ID is the
+    md5 of the plaintext objects, the owner password is fixed ('owner'),
+    the user password empty — the dominant shape of restricted web PDFs.
+    ``r2=True`` emits the legacy 40-bit V1/R2 variant (old web PDFs)."""
+    import hashlib
+
+    from .pdfmodel import _PW_PAD, _rc4, _std_file_key
+
+    id0 = hashlib.md5(b"".join(bodies)).digest()
+    okey = hashlib.md5((b"owner" + _PW_PAD)[:32]).digest()
+    if r2:
+        o = _rc4(okey[:5], _PW_PAD)  # Algorithm 3, R2: single RC4 pass
+        key = _std_file_key({"R": 2, "O": o, "P": -1}, id0)
+        u = _rc4(key, _PW_PAD)  # Algorithm 4
+        return {"key": key, "O": o, "U": u, "id0": id0, "r2": True}
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    okey = okey[:16]
+    o = _rc4(okey, _PW_PAD)  # Algorithm 3 with empty user password
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    key = _std_file_key({"R": 3, "Length": 128, "O": o, "P": -1}, id0)
+    x = hashlib.md5(_PW_PAD + id0).digest()  # Algorithm 5 (U entry)
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return {"key": key, "O": o, "U": x + b"\x00" * 16, "id0": id0}
+
+
+def _unesc(raw: bytes) -> bytes:
+    """Inverse of :func:`_esc_bytes` for our own emitted subset."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C:
+            nxt = raw[i + 1]
+            if 0x30 <= nxt <= 0x37:
+                out.append(int(raw[i + 1 : i + 4], 8))
+                i += 4
+            else:
+                out.append(nxt)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _map_literal_strings(body: bytes, fn) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == 0x28:  # '(' — balanced scan honoring backslash escapes
+            j = i + 1
+            depth = 1
+            while depth:
+                ch = body[j]
+                if ch == 0x5C:
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                j += 1
+            out += b"(" + fn(body[i + 1 : j - 1]) + b")"
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _encrypt_body(body: bytes, file_key: bytes, num: int) -> bytes:
+    """RC4-encrypt one emitted object: the stream payload wholesale (strings
+    inside it ride along, per spec) and each top-level literal string. RC4
+    is length-preserving, so /Length entries stay valid."""
+    from .pdfmodel import _object_key, _rc4
+
+    okey = _object_key(file_key, num, 0)
+    si = body.find(b"\nstream\n")
+    enc_str = lambda inner: _esc_bytes(_rc4(okey, _unesc(inner)))  # noqa: E731
+    if si >= 0:
+        head, payload = body[:si], body[si + 8 : -len(b"\nendstream")]
+        return (
+            _map_literal_strings(head, enc_str)
+            + b"\nstream\n" + _rc4(okey, payload) + b"\nendstream"
+        )
+    return _map_literal_strings(body, enc_str)
+
+
+def _encrypt_dict_body(enc: Dict[str, bytes]) -> bytes:
+    head = (b"<< /Filter /Standard /V 1 /R 2 /O (" if enc.get("r2")
+            else b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O (")
+    return (
+        head + _esc_bytes(enc["O"]) + b") /U (" + _esc_bytes(enc["U"]) + b") /P -1 >>"
+    )
+
+
+def _trailer_crypt(enc: Dict[str, bytes], enc_num: int) -> bytes:
+    idhex = enc["id0"].hex().encode("ascii")
+    return b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)
+
+
 def _stream_obj(d: bytes, payload: bytes, compress: bool) -> bytes:
     if compress:
         data = zlib.compress(payload)
@@ -178,8 +293,13 @@ def build_pdf(
     type0: bool = False,
     images: Sequence[Dict[str, object]] = (),
     links: Sequence[Tuple[int, str]] = (),
+    encrypt: bool = False,
 ) -> bytes:
     """Serialize positioned text spans into a complete PDF file.
+
+    ``encrypt=True`` → standard security handler, RC4 128-bit (V2/R3) with
+    an EMPTY user password (the restricted-but-openable shape that dominates
+    encrypted web PDFs); deterministic file ID from the plaintext objects.
 
     ``xref_stream=False`` → PDF-1.3-style classic xref table;
     ``xref_stream=True``  → PDF-1.7 cross-reference stream (``/W [1 2 2]``,
@@ -281,18 +401,33 @@ def build_pdf(
         )
         contents[tu_obj] = _stream_obj(b"<< >>", _tounicode_cmap(cm), compress)
 
+    enc = None
+    if encrypt:
+        all_nums = sorted(set(dicts) | set(contents))
+        enc = _prep_encryption(
+            [dicts.get(n) if n in dicts else contents[n] for n in all_nums],
+            r2=(encrypt == "rc4-40"),
+        )
     if not xref_stream:
-        return _emit_classic(dicts, contents)
-    return _emit_xref_stream(dicts, contents, compress)
+        return _emit_classic(dicts, contents, enc)
+    return _emit_xref_stream(dicts, contents, compress, enc)
 
 
-def _emit_classic(dicts: Dict[int, bytes], contents: Dict[int, bytes]) -> bytes:
+def _emit_classic(
+    dicts: Dict[int, bytes], contents: Dict[int, bytes], enc=None
+) -> bytes:
     buf = bytearray(b"%PDF-1.3\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
     offsets: Dict[int, int] = {}
+    enc_num = max(set(dicts) | set(contents)) + 1 if enc else 0
     for num in sorted(set(dicts) | set(contents)):
         body = dicts.get(num) if num in dicts else contents[num]
+        if enc:
+            body = _encrypt_body(body, enc["key"], num)
         offsets[num] = len(buf)
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    if enc:
+        offsets[enc_num] = len(buf)
+        buf += b"%d 0 obj\n" % enc_num + _encrypt_dict_body(enc) + b"\nendobj\n"
     size = max(offsets) + 1
     xref_pos = len(buf)
     buf += b"xref\n0 %d\n" % size
@@ -300,17 +435,22 @@ def _emit_classic(dicts: Dict[int, bytes], contents: Dict[int, bytes]) -> bytes:
     for num in range(1, size):
         buf += b"%010d 00000 n \n" % offsets.get(num, 0)
     buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (size, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, _trailer_crypt(enc, enc_num) if enc else b"", xref_pos)
     )
     return bytes(buf)
 
 
 def _emit_xref_stream(
-    dicts: Dict[int, bytes], contents: Dict[int, bytes], compress: bool
+    dicts: Dict[int, bytes], contents: Dict[int, bytes], compress: bool, enc=None
 ) -> bytes:
-    # pack all plain dictionaries into one ObjStm; streams stay top-level
+    # pack all plain dictionaries into one ObjStm; streams stay top-level.
+    # With encryption: top-level stream payloads are RC4'd per object, the
+    # ObjStm wholesale (strings packed inside it ride along — §7.6.2), and
+    # the xref stream + encryption dictionary stay plaintext per spec.
     packed = sorted(dicts)
-    objstm_num = max(max(dicts), max(contents)) + 1
+    enc_num = max(max(dicts), max(contents)) + 1 if enc else 0
+    objstm_num = max(max(dicts), max(contents), enc_num) + 1
     xref_num = objstm_num + 1
 
     header_parts: List[bytes] = []
@@ -332,8 +472,15 @@ def _emit_xref_stream(
     buf = bytearray(b"%PDF-1.7\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
     offsets: Dict[int, int] = {}
     for num in sorted(contents):
+        body = contents[num]
+        if enc:
+            body = _encrypt_body(body, enc["key"], num)
         offsets[num] = len(buf)
-        buf += b"%d 0 obj\n" % num + contents[num] + b"\nendobj\n"
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    if enc:
+        objstm = _encrypt_body(objstm, enc["key"], objstm_num)
+        offsets[enc_num] = len(buf)
+        buf += b"%d 0 obj\n" % enc_num + _encrypt_dict_body(enc) + b"\nendobj\n"
     offsets[objstm_num] = len(buf)
     buf += b"%d 0 obj\n" % objstm_num + objstm + b"\nendobj\n"
 
@@ -365,9 +512,10 @@ def _emit_xref_stream(
         prev = row
     xref_payload = zlib.compress(bytes(filtered))
     xref_obj = (
-        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 %d 2] /Index [0 %d] "
+        b"<< /Type /XRef /Size %d /Root 1 0 R%s /W [1 %d 2] /Index [0 %d] "
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> /Length %d >>"
-        % (size, w, size, cols, len(xref_payload))
+        % (size, _trailer_crypt(enc, enc_num) if enc else b"", w, size, cols,
+           len(xref_payload))
     )
     buf += b"%d 0 obj\n" % xref_num + xref_obj + b"\nstream\n" + xref_payload + b"\nendstream\nendobj\n"
     buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
@@ -382,6 +530,7 @@ def pdf_from_lines(
     td_ops: bool = False,
     type0: bool = False,
     images: Sequence[Dict[str, object]] = (),
+    encrypt: bool = False,
     x: float = 72.0,
     top: float = 760.0,
     leading: float = 14.0,
@@ -405,4 +554,4 @@ def pdf_from_lines(
                     spans.append((col_xs[j % len(col_xs)], yv, cell))
         pages.append(spans)
     return build_pdf(pages, xref_stream=xref_stream, compress=compress,
-                     td_ops=td_ops, type0=type0, images=images)
+                     td_ops=td_ops, type0=type0, images=images, encrypt=encrypt)

@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 5  # v5: ~20% of statement PDFs embed image XObjects
+CORPUS_VERSION = 6  # v6: +~15% of statement PDFs RC4-encrypted (empty user pw)
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -316,6 +316,16 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
                 )
                 for j in range(1 + irng.randrange(3))
             ]
+        # ~10% RC4-encrypted with an empty user password (the dominant shape
+        # of restricted web PDFs — CC surveys put encrypted PDFs around
+        # 5-10%; 1 in 5 of ours the legacy 40-bit R2). Forked rng again:
+        # the main stream and every pinned v4/v5 expectation stay
+        # byte-identical, and encryption does not change extracted text —
+        # only the bytes on disk.
+        erng = random.Random((seed << 34) ^ (i * 0x85EBCA6B) ^ 0x3C6EF)
+        encrypt: object = False
+        if erng.random() < 0.10:
+            encrypt = "rc4-40" if erng.random() < 0.2 else True
         payload = pdf_from_lines(
             pages,
             xref_stream=rng.random() < 0.5,
@@ -326,6 +336,7 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             # must really walk the CMap)
             type0=rng.random() < 0.25,
             images=images,
+            encrypt=encrypt,
         )
         # some urls embed the account number (filename-fallback path,
         # reference: pymupdf_parser.py:62-71)

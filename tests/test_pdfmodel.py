@@ -238,10 +238,11 @@ def test_utf16be_text_string():
     assert spans[0].text == "Hi! \U0001f600"  # surrogate pair decoded
 
 
-def test_encrypted_pdf_rejected():
+def test_bogus_encrypt_dict_rejected():
+    # /Encrypt pointing at a nonexistent object: still PdfError, not garbage
     pdf = pdf_from_lines([["secret"]])
     broken = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
-    with pytest.raises(pm.PdfError, match="encrypted"):
+    with pytest.raises(pm.PdfError, match="Encrypt"):
         pm.extract_pdf_text(broken)
 
 
@@ -291,5 +292,58 @@ def test_type0_decoder_total_on_garbage(raw, nbytes):
 def test_pages_and_tables_never_raises_anything_but_pdferror(data):
     try:
         pm.extract_pdf_pages_and_tables(b"%PDF-" + data)
+    except pm.PdfError:
+        pass
+
+
+# -- encryption (standard security handler, §7.6.3) -------------------------
+
+
+def _enc_sample(**kw):
+    from b_pdf_parser_spark.pdfwriter import pdf_from_lines
+
+    lines = [["Account Statement", "Account Number: 777-IDR",
+              "01.02.2023 10:11 Payment to ACME (cafe) 100,50 200,00"]]
+    return pdf_from_lines(lines, **kw)
+
+
+@pytest.mark.parametrize("mode", [True, "rc4-40"])
+@pytest.mark.parametrize("xs", [False, True])
+def test_encrypted_roundtrip_matches_plaintext(mode, xs):
+    plain = pm.extract_pdf_text(_enc_sample(xref_stream=xs))
+    got = pm.extract_pdf_text(_enc_sample(xref_stream=xs, encrypt=mode))
+    assert got == plain
+    assert "Account Number" in got
+
+
+def test_encrypted_strings_not_in_cleartext_on_disk():
+    # the point of the feature: without decryption the text is unreadable
+    data = _enc_sample(encrypt=True, compress=False)
+    assert b"Account Statement" not in data
+    assert pm.extract_pdf_text(data).startswith("Account Statement")
+
+
+def test_encrypted_wrong_user_password_raises():
+    data = _enc_sample(encrypt=True)
+    # corrupt the /U validator in place (same length → offsets stay valid)
+    i = data.find(b"/U (")
+    tampered = data[: i + 4] + bytes([data[i + 4] ^ 0xFF]) + data[i + 5 :]
+    with pytest.raises(pm.PdfError, match="password"):
+        pm.extract_pdf_text(tampered)
+
+
+def test_encrypted_aes_rejected_loud():
+    data = _enc_sample(encrypt=True).replace(b"/V 2 /R 3 /Length 128", b"/V 4 /R 4 /Length 128", 1)
+    with pytest.raises(pm.PdfError, match="AES|unsupported"):
+        pm.extract_pdf_text(data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=3000), st.binary(min_size=1, max_size=16))
+def test_encrypted_byte_splice_keeps_pdferror_contract(pos, junk):
+    data = _enc_sample(encrypt=True, xref_stream=True)
+    spliced = data[: pos % len(data)] + junk + data[pos % len(data) :]
+    try:
+        pm.extract_pdf_text(spliced)
     except pm.PdfError:
         pass

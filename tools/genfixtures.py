@@ -145,6 +145,15 @@ def main() -> None:
              for i in range(10)]
     freeze_pdf("d10_two_column", build_pdf([left + right]))
 
+    # d11: RC4-encrypted (standard security handler V2/R3, empty user
+    # password — the dominant restricted-web-PDF shape), stacked with the
+    # xref-stream + Type0 features so decryption is exercised under
+    # ObjStm/CMap machinery, not just flat classic files
+    pages, _ = statement_lines(random.Random(1111), n_pages=2, rows_per_page=5,
+                               with_user=True, summary="match", amount_format="id")
+    freeze_pdf("d11_encrypted_rc4",
+               pdf_from_lines(pages, xref_stream=True, type0=True, encrypt=True))
+
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
     freeze_html("d5_article", payload)
