@@ -985,6 +985,76 @@ def q_media_frame_sample(spark, sf):
     return frame_sample(synth_media_df(spark, 200), every=2)
 
 
+def q_host_pagerank(spark, sf):
+    """3-iteration host PageRank over REAL extracted edges (markup walk →
+    href host parse), in fixed-point BIGINT micro-units so the oracle's
+    recomputation from the generator formulas matches bit-for-bit."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        _HOST_PATTERN,
+        extract_outlinks,
+        host_pagerank,
+        synth_linkdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    links = extract_outlinks(synth_linkdoc_df(spark, 400))
+    edges = links.select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+        ).alias("src"),
+        F.regexp_extract("href", _HOST_PATTERN, 1).alias("dst"),
+    ).filter(F.col("dst") != "")
+    return host_pagerank(edges).orderBy(F.desc("rank"), F.asc("host"))
+
+
+def q_robots_filter(spark, sf):
+    """RFC 9309 robots decisions for REAL extracted outlink URLs against a
+    deterministic per-host ruleset: longest-prefix rule wins, ties allow,
+    no match allows. Join + window, no UDF."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        _HOST_PATTERN,
+        extract_outlinks,
+        robots_filter,
+        synth_linkdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    links = extract_outlinks(synth_linkdoc_df(spark, 400))
+    urls = (
+        links.select(
+            F.col("href").alias("url"),
+            F.regexp_extract("href", _HOST_PATTERN, 1).alias("host"),
+            F.regexp_extract("href", r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1).alias(
+                "path"
+            ),
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+    )
+    h = spark.range(0, 20).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        "id",
+    )
+    rules = (
+        h.select("host", F.lit("/").alias("rule_path"), F.lit(True).alias("allow"))
+        .unionByName(
+            h.filter(F.col("id") % 2 == 0).select(
+                "host", F.lit("/p").alias("rule_path"), F.lit(False).alias("allow")
+            )
+        )
+        .unionByName(
+            h.filter(F.col("id") % 4 == 0).select(
+                "host", F.lit("/p1").alias("rule_path"), F.lit(True).alias("allow")
+            )
+        )
+    )
+    return robots_filter(urls, rules).orderBy("url")
+
+
 def q_quality_decisions(spark, sf):
     """Auditable keep/drop decision table: first-failing quality rule per
     document (word_count → mean_word_len → repetition → stopwords → ok)."""
@@ -1084,6 +1154,8 @@ def queries() -> dict[str, _T]:
         "repeated_lines": q_repeated_lines,
         "quality_decisions": q_quality_decisions,
         "host_cap_sample": q_host_cap_sample,
+        "host_pagerank": q_host_pagerank,
+        "robots_filter": q_robots_filter,
         "intra_doc_repetition": q_intra_doc_repetition,
         "duplicate_spans": q_duplicate_spans,
         "compression_ratio": q_compression_ratio,
@@ -1595,6 +1667,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT line, COUNT(*) AS n_docs FROM l GROUP BY line
             HAVING COUNT(*) >= 3
             ORDER BY n_docs DESC, line ASC LIMIT 20
+        """,
+        "robots_filter": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            u AS (SELECT DISTINCT
+                      'https://host' || ((doc_id * k) % 20) || '.example/p' || k
+                          AS url,
+                      'host' || ((doc_id * k) % 20) || '.example' AS host,
+                      '/p' || k AS path
+                  FROM ks),
+            h AS (SELECT range AS id, 'host' || range || '.example' AS host
+                  FROM range(0, 20)),
+            rules AS (
+                SELECT host, '/' AS rule_path, TRUE AS allow FROM h
+                UNION ALL
+                SELECT host, '/p', FALSE FROM h WHERE id % 2 = 0
+                UNION ALL
+                SELECT host, '/p1', TRUE FROM h WHERE id % 4 = 0),
+            m AS (SELECT u.url, r.allow,
+                         row_number() OVER (
+                             PARTITION BY u.url
+                             ORDER BY length(r.rule_path) DESC, r.allow DESC
+                         ) AS rn
+                  FROM u JOIN rules r
+                    ON r.host = u.host AND starts_with(u.path, r.rule_path)),
+            best AS (SELECT url, allow FROM m WHERE rn = 1)
+            SELECT u.url, u.host, u.path, coalesce(b.allow, TRUE) AS allowed
+            FROM u LEFT JOIN best b ON b.url = u.url ORDER BY u.url
+        """,
+        "host_pagerank": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            e AS (SELECT DISTINCT
+                      'host' || (doc_id % 20) || '.example' AS src,
+                      'host' || ((doc_id * k) % 20) || '.example' AS dst
+                  FROM ks),
+            hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM hosts),
+            outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT host, CAST(1000000000000 // n AS BIGINT) AS rank
+                   FROM hosts CROSS JOIN nn),
+            c1 AS (SELECT e.dst AS host,
+                          CAST(SUM(r0.rank // o.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r0 ON r0.host = e.src
+                        JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT h.host,
+                          CAST((1000000000000 * 15 // 100) // n
+                               + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS rank
+                   FROM hosts h CROSS JOIN nn
+                   LEFT JOIN c1 ON c1.host = h.host),
+            c2 AS (SELECT e.dst AS host,
+                          CAST(SUM(r1.rank // o.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r1 ON r1.host = e.src
+                        JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT h.host,
+                          CAST((1000000000000 * 15 // 100) // n
+                               + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS rank
+                   FROM hosts h CROSS JOIN nn
+                   LEFT JOIN c2 ON c2.host = h.host),
+            c3 AS (SELECT e.dst AS host,
+                          CAST(SUM(r2.rank // o.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r2 ON r2.host = e.src
+                        JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT h.host,
+                          CAST((1000000000000 * 15 // 100) // n
+                               + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
+                   FROM hosts h CROSS JOIN nn
+                   LEFT JOIN c3 ON c3.host = h.host)
+            SELECT host, rank FROM r3 ORDER BY rank DESC, host ASC
         """,
         "quality_decisions": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS ts, text FROM documents),

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 __all__ = [
     "extract_outlinks",
     "host_degrees",
+    "host_pagerank",
+    "robots_filter",
     "synth_linkdoc_df",
     "synth_pdflink_doc_df",
     "extract_pdf_outlinks",
@@ -104,6 +106,91 @@ def host_degrees(edges: DataFrame) -> DataFrame:
             F.count("*").alias("n_inlinks"),
             F.count_distinct("doc_id").alias("n_docs"),
         )
+    )
+
+
+def host_pagerank(
+    edges: DataFrame, iters: int = 3, scale: int = 10**12, damping_pct: int = 85
+) -> DataFrame:
+    """Host-level PageRank over ``(src, dst)`` edges — the crawl-priority
+    signal schedulers rank frontiers by — in **fixed-point integer
+    arithmetic**: ranks are BIGINT micro-units of ``scale`` with truncating
+    division. Floating-point PageRank is partition-dependent (distributed
+    SUM order perturbs low bits); integer sums are order-independent, so
+    the same job gives bit-identical ranks on 1 or 1,000 executors and the
+    DuckDB oracle verifies exact values, not approximations.
+
+    Plan per iteration: one src-keyed equi-join + one dst-keyed groupBy,
+    both linear, partial-aggregated map-side. The rank/degree tables have
+    host cardinality (≪ edges) — broadcastable at web scale; the 1-row
+    host count enters as a broadcast crossJoin, never a driver collect.
+    Simplified model: dangling-host mass is not redistributed (mirrored in
+    the oracle).
+    """
+    e = edges.select("src", "dst").distinct()
+    # e feeds outdeg + every iteration's join; cut the re-computation
+    e = e.localCheckpoint(eager=False)
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n1 = hosts.agg(F.count("*").alias("n"))  # 1-row dimension
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    r = hosts.crossJoin(F.broadcast(n1)).select(
+        "host", F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("rank")
+    )
+    base = F.expr(f"(CAST({scale} AS BIGINT) * {100 - damping_pct} DIV 100) DIV n")
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("host", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("host"), F.expr("rank DIV outdeg").alias("c"))
+        )
+        summed = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        r = (
+            hosts.crossJoin(F.broadcast(n1))
+            .join(summed, "host", "left")
+            .select(
+                "host",
+                (
+                    base
+                    + F.expr(f"{damping_pct} * coalesce(s, CAST(0 AS BIGINT)) DIV 100")
+                ).alias("rank"),
+            )
+        )
+    return r
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """robots.txt decision per URL (RFC 9309 / Google semantics): among the
+    host's rules whose path is a prefix of the URL path, the MOST SPECIFIC
+    (longest) wins; length ties resolve to allow; a URL with no matching
+    rule is allowed.
+
+    ``urls``:  (url, host, path)   ``rules``: (host, rule_path, allow)
+
+    Pure relational plan — a host-keyed equi-join against the rules
+    dimension (per-host rulesets are tiny: broadcastable at any scale),
+    prefix test as a codegen'd ``startswith``, then one per-URL window to
+    pick the winning rule. No UDF, and the same ordering expression runs
+    verbatim in the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    matches = urls.join(rules, "host").filter(
+        F.col("path").startswith(F.col("rule_path"))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("rule_path").desc(), F.col("allow").desc()
+    )
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "allow")
+    )
+    return urls.join(best, "url", "left").select(
+        "url", "host", "path", F.coalesce("allow", F.lit(True)).alias("allowed")
     )
 
 

@@ -247,18 +247,21 @@ def main() -> None:
                     got = json.loads(res.stdout.strip().splitlines()[-1])["docs_per_sec"]
                     reps[cpus].append(got)
 
-            for _rep in range(5):
+            # 3 base reps keep the whole phase under ~5 min (each rep costs a
+            # full local[2] pass over the corpus, ~85 s with JVM startup —
+            # at 5+5 reps the driver-visible bench blew past 15 min)
+            for _rep in range(3):
                 _one_rep(_rep)
             # pre-declared retry rule: a >1.3× spread on the large side means
             # an external load spell squeezed part of the window (the small
             # side never shows it — 2 threads always have headroom). Extend
-            # the window with 5 more alternated reps so clean intervals get a
-            # vote; the median is then taken over all 10 pairs.
+            # the window with 3 more alternated reps so clean intervals get a
+            # vote; the median is then taken over all 6 pairs.
             big = reps[SCALE_N * 4]
             extended = False
             if max(big) / max(min(big), 1e-9) > 1.3:
                 extended = True
-                for _rep in range(5, 10):
+                for _rep in range(3, 6):
                     _one_rep(_rep)
             # efficiency from the MEDIAN paired ratio: the small/large runs
             # of one rep are adjacent in time and see similar co-tenant load,
@@ -292,7 +295,7 @@ def main() -> None:
                 "env_capacity_ratio": _env_capacity_ratio(SCALE_N),
                 "extended_reps": extended,
                 "method": "median paired ratio over order-alternated reps"
-                          " (5, +5 if large-side spread >1.3x signals an"
+                          " (3, +3 if large-side spread >1.3x signals an"
                           " external load spell) + best-of capability bound;"
                           " env_capacity_ratio is raw-CPU multiprocessing"
                           " throughput large/small measured in the same"

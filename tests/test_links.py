@@ -107,3 +107,67 @@ def test_spark_pdf_outlinks(spark):
     assert edges.count() == 60
     r = {(e.doc_id, e.uri) for e in edges.collect()}
     assert (7, "https://host14.example/d2") in r  # (7*2)%20 = 14
+
+
+def test_host_pagerank_matches_integer_reference(spark):
+    from b_pdf_parser_spark.operators.links import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["host"]: r["rank"] for r in host_pagerank(edges, iters=3).collect()}
+
+    # mirror of the fixed-point recurrence in plain Python ints
+    s = 10**12
+    outdeg = {"a": 2, "b": 1}
+    r = {h: s // 3 for h in "abc"}
+    for _ in range(3):
+        inbox = {"a": r["b"] // 1, "b": r["a"] // 2, "c": r["a"] // 2}
+        r = {h: (s * 15 // 100) // 3 + 85 * inbox.get(h, 0) // 100 for h in "abc"}
+    assert got == r
+    # dangling host c keeps only redistributed mass; a out-ranks it
+    assert got["a"] > got["c"]
+
+
+def test_host_pagerank_partitioning_independent(spark):
+    from b_pdf_parser_spark.operators.links import host_pagerank
+
+    rows = [(f"h{i % 7}", f"h{(i * 3) % 7}") for i in range(50) if i % 7 != (i * 3) % 7]
+    df1 = spark.createDataFrame(rows, "src string, dst string")
+    a = {(r["host"], r["rank"]) for r in host_pagerank(df1).collect()}
+    b = {(r["host"], r["rank"])
+         for r in host_pagerank(df1.repartition(13)).collect()}
+    assert a == b  # bit-identical under re-partitioning (the fixed-point claim)
+
+
+def test_robots_filter_longest_prefix_semantics(spark):
+    from b_pdf_parser_spark.operators.links import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a/x/secret", "a", "/x/secret"),   # /x disallow wins over /
+            ("https://a/x/pub/1", "a", "/x/pub/1"),     # /x/pub allow wins over /x
+            ("https://a/open", "a", "/open"),           # only / matches → allow
+            ("https://b/x/secret", "b", "/x/secret"),   # no rules for host b → allow
+            ("https://a/tie", "a", "/tie"),             # equal-length conflict → allow
+        ],
+        "url string, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a", "/", True),
+            ("a", "/x", False),
+            ("a", "/x/pub", True),
+            ("a", "/tie", False),
+            ("a", "/tie", True),
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        "https://a/x/secret": False,
+        "https://a/x/pub/1": True,
+        "https://a/open": True,
+        "https://b/x/secret": True,
+        "https://a/tie": True,
+    }
