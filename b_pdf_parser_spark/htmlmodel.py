@@ -142,6 +142,22 @@ def _classify(blocks: List[Block]) -> List[Block]:
     return out
 
 
+# WHATWG-style encoding sniff: BOM wins, then a prescan of the first 1024
+# bytes for a declared <meta charset> / http-equiv content-type, then UTF-8,
+# then windows-1252 (the WHATWG legacy default — latin-1 labels alias to it;
+# the 0x80-0x9F range is where real web text puts € and smart quotes), and
+# latin-1 as the never-fails last resort (cp1252 leaves 5 bytes unmapped).
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_-]+)", re.I
+)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-1": "cp1252", "latin-1": "cp1252", "latin1": "cp1252",
+    "us-ascii": "cp1252", "ascii": "cp1252",
+}
+
+
 def _decode_html_bytes(data: bytes) -> str:
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):  # UTF-16 BOM sniff
         try:
@@ -150,10 +166,20 @@ def _decode_html_bytes(data: bytes) -> str:
             return data.decode("latin-1")
     if data[:3] == b"\xef\xbb\xbf":
         data = data[3:]
-    try:
-        return data.decode("utf-8")
-    except UnicodeDecodeError:
-        return data.decode("latin-1")
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:
+        codec = _CHARSET_ALIASES.get(m.group(1).decode("ascii").lower())
+        if codec:
+            try:
+                return data.decode(codec)
+            except UnicodeDecodeError:
+                pass  # mis-declared page: fall through to the sniff chain
+    for codec in ("utf-8", "cp1252"):
+        try:
+            return data.decode(codec)
+        except UnicodeDecodeError:
+            continue
+    return data.decode("latin-1")
 
 
 def extract_html_blocks(data: bytes) -> List[Block]:

@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 6  # v6: +~15% of statement PDFs RC4-encrypted (empty user pw)
+CORPUS_VERSION = 7  # v7: +~15% of HTML as windows-1252 with declared charset
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -345,6 +345,24 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
         lang = "id"
     elif roll < 0.94:  # HTML page
         payload, golden = html_page(rng)
+        # ~15% of HTML re-encoded as windows-1252 with a declared
+        # <meta charset> and cp1252-only punctuation (€, em-dash, smart
+        # quotes — the 0x80-0x9F band where legacy web text lives), so the
+        # WHATWG prescan path runs for real in the corpus. Forked rng:
+        # the main stream and all other docs are byte-identical to v6.
+        crng = random.Random((seed << 35) ^ (i * 0xC2B2AE35) ^ 0x7F4A7)
+        if crng.random() < 0.15:
+            extra = (
+                "Update — the launch price starts at €99 and early "
+                "adopters said the “smart” punctuation isn’t a problem "
+                "for the extraction pipeline at any reasonable scale "
+                "according to everyone we asked twice…"
+            )
+            s = payload.decode("utf-8")
+            s = s.replace("<head>", '<head><meta charset="windows-1252">', 1)
+            s = s.replace("</article>", f"<p>{extra}</p>\n</article>", 1)
+            payload = s.encode("cp1252")
+            golden = golden + "\n" + extra
         text = golden  # crawler-provided text column ~ main content
         lang = "en"
     elif roll < 0.97:  # corrupt / truncated payloads → error column

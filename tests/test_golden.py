@@ -19,7 +19,7 @@ from tools.genfixtures import metadata_csv, transactions_csv
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
             "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid",
             "d10_two_column", "d11_encrypted_rc4"]
-HTML_DOCS = ["d5_article", "d6_entities"]
+HTML_DOCS = ["d5_article", "d6_entities", "d12_cp1252"]
 
 
 def _extract(payload):

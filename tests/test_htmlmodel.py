@@ -87,3 +87,37 @@ def test_html5_named_entities_decoded():
     assert "\u00e9 \u00c9 \u00e4 \u00df \u03b1 \u20ac" in text
     assert " x" in text            # nbsp keeps the frozen plain-space mapping
     assert "&bogusent;" in text    # unknown names stay literal
+
+
+def test_charset_meta_prescan_cp1252():
+    from b_pdf_parser_spark.htmlmodel import _decode_html_bytes
+
+    page = ('<html><head><meta charset="windows-1252"></head><body>'
+            "<p>€99 — “smart”</p></body></html>").encode("cp1252")
+    assert "€99" in _decode_html_bytes(page)
+    # same bytes without the meta: utf-8 fails, cp1252 sniff still wins
+    bare = page.replace(b'<meta charset="windows-1252">', b"")
+    assert "€99" in _decode_html_bytes(bare)
+
+
+def test_charset_precedence_bom_over_meta_over_sniff():
+    from b_pdf_parser_spark.htmlmodel import _decode_html_bytes
+
+    # BOM wins even when a meta declares something else
+    s = '<html><head><meta charset="windows-1252"></head><body>héllo</body></html>'
+    assert "héllo" in _decode_html_bytes("﻿".encode("utf-16") [:2] + s.encode("utf-16")[2:]) or \
+           "héllo" in _decode_html_bytes(s.encode("utf-16"))
+    # mis-declared meta (says cp1252, bytes are valid utf-8 with multibyte):
+    # declared codec decodes *something*, so it is honored — the prescan is
+    # syntactic, like browsers
+    lying = ('<html><head><meta charset="utf-8"></head><body>'
+             "<p>€ ok</p></body></html>").encode("cp1252")
+    # utf-8 decode of the cp1252 euro byte fails -> falls through to sniff
+    assert "€ ok" in _decode_html_bytes(lying)
+
+
+def test_latin1_last_resort_never_fails():
+    from b_pdf_parser_spark.htmlmodel import _decode_html_bytes
+
+    junk = bytes(range(256))
+    assert isinstance(_decode_html_bytes(junk), str)

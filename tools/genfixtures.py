@@ -157,6 +157,20 @@ def main() -> None:
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
     freeze_html("d5_article", payload)
+
+    # d12: windows-1252 page with declared <meta charset> and cp1252-only
+    # punctuation (€ — “ ” ’) in the 0x80-0x9F band — the WHATWG prescan
+    # path (BOM > meta > utf-8 > cp1252 > latin-1)
+    s12, _ = html_page(random.Random(1212))
+    s = s12.decode("utf-8").replace("<head>", '<head><meta charset="windows-1252">', 1)
+    s = s.replace(
+        "</article>",
+        "<p>Pricing update — early access starts at €99 with “smart” quotes "
+        "that aren’t ASCII and an ellipsis… for good measure in this "
+        "deliberately legacy-encoded paragraph</p>\n</article>",
+        1,
+    )
+    freeze_html("d12_cp1252", s.encode("cp1252"))
     freeze_html(
         "d6_entities",
         (
