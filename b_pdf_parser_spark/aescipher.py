@@ -1,0 +1,268 @@
+"""Pure-Python AES-CBC (FIPS-197 / SP 800-38A) for PDF standard-security
+decryption (PDF 1.7/2.0 §7.6.3: /AESV2 = AES-128-CBC, /AESV3 = AES-256-CBC,
+each string/stream carrying a 16-byte IV prefix and PKCS#7 padding).
+
+No crypto library exists in the runtime, so the cipher is implemented from
+the public spec. The S-box is *generated* (GF(2^8) inverse + affine map)
+rather than pasted, and the implementation is validated against the FIPS-197
+appendix C known-answer vectors in ``tests/test_pdfmodel.py``.
+
+Performance: this is a per-byte-table Python implementation (~0.5 MB/s) —
+three orders slower than hardware AES, but encrypted-PDF streams are a few
+KB and a small corpus fraction; the cost is bounded and measured in
+BENCH/BASELINE.md. Speed was deliberately traded for an auditable,
+dependency-free implementation.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+__all__ = ["aes_cbc_decrypt", "aes_cbc_encrypt", "aes_cbc_nopad_encrypt"]
+
+
+# -- S-box generation (GF(2^8) inverse + affine transform, FIPS-197 §5.1.1) --
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _make_sbox() -> tuple:
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if _gmul(x, y) == 1:
+                inv[x] = y
+                break
+    sbox = [0] * 256
+    for x in range(256):
+        b = inv[x]
+        s = 0
+        for i in range(8):
+            bit = (
+                (b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8)) ^ (0x63 >> i)
+            ) & 1
+            s |= bit << i
+        sbox[x] = s
+    isbox = [0] * 256
+    for x, s in enumerate(sbox):
+        isbox[s] = x
+    return tuple(sbox), tuple(isbox)
+
+
+_SBOX, _ISBOX = _make_sbox()
+_RCON = [1]
+for _ in range(13):
+    _RCON.append(_gmul(_RCON[-1], 2))
+
+# per-byte multiplication tables for MixColumns / InvMixColumns
+_M2 = tuple(_gmul(x, 2) for x in range(256))
+_M3 = tuple(_gmul(x, 3) for x in range(256))
+_M9 = tuple(_gmul(x, 9) for x in range(256))
+_M11 = tuple(_gmul(x, 11) for x in range(256))
+_M13 = tuple(_gmul(x, 13) for x in range(256))
+_M14 = tuple(_gmul(x, 14) for x in range(256))
+
+# 32-bit T-tables (the classic software-AES construction: one round =
+# 16 table lookups + xors on packed columns). ~5× the per-byte form in
+# CPython — this matters because the R6 KDF (Algorithm 2.B) runs ≥64
+# CBC passes over a multi-KB buffer per document.
+_TE = tuple(
+    tuple(
+        (_M2[s] << 24) | (s << 16) | (s << 8) | _M3[s]
+        for s in (_SBOX[x] for x in range(256))
+    )
+    for _ in (0,)
+)[0]
+_TE0 = _TE
+_TE1 = tuple(((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE0)
+_TE2 = tuple(((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _TE0)
+_TE3 = tuple(((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _TE0)
+_TD = tuple(
+    (_M14[x] << 24) | (_M9[x] << 16) | (_M13[x] << 8) | _M11[x] for x in range(256)
+)
+_TD0 = tuple(_TD[_ISBOX[x]] for x in range(256))
+_TD1 = tuple(((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TD0)
+_TD2 = tuple(((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _TD0)
+_TD3 = tuple(((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _TD0)
+
+
+def _expand_key(key: bytes) -> List[List[int]]:
+    nk = len(key) // 4
+    if nk not in (4, 6, 8):
+        raise ValueError("AES key must be 16/24/32 bytes")
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(words[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    # group into 16-byte round keys
+    return [sum(words[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
+
+
+def _enc_words(rk: List[List[int]]) -> List[List[int]]:
+    """Per-round big-endian 32-bit words of the expanded key."""
+    return [
+        [int.from_bytes(bytes(r[4 * i : 4 * i + 4]), "big") for i in range(4)]
+        for r in rk
+    ]
+
+
+def _dec_words(rk: List[List[int]]) -> List[List[int]]:
+    """Equivalent-inverse-cipher round keys: InvMixColumns applied to the
+    middle round keys (word form)."""
+    out = []
+    nr = len(rk) - 1
+    for rnd, r in enumerate(rk):
+        if rnd in (0, nr):
+            out.append(
+                [int.from_bytes(bytes(r[4 * i : 4 * i + 4]), "big") for i in range(4)]
+            )
+            continue
+        words = []
+        for i in range(4):
+            a, b, c, d = r[4 * i : 4 * i + 4]
+            words.append(
+                ((_M14[a] ^ _M11[b] ^ _M13[c] ^ _M9[d]) << 24)
+                | ((_M9[a] ^ _M14[b] ^ _M11[c] ^ _M13[d]) << 16)
+                | ((_M13[a] ^ _M9[b] ^ _M14[c] ^ _M11[d]) << 8)
+                | (_M11[a] ^ _M13[b] ^ _M9[c] ^ _M14[d])
+            )
+        out.append(words)
+    return out
+
+
+def _encrypt_block_w(kw: List[List[int]], block: bytes) -> bytes:
+    k = kw[0]
+    s0 = int.from_bytes(block[0:4], "big") ^ k[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ k[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ k[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ k[3]
+    nr = len(kw) - 1
+    T0, T1, T2, T3 = _TE0, _TE1, _TE2, _TE3
+    for rnd in range(1, nr):
+        k = kw[rnd]
+        t0 = T0[s0 >> 24] ^ T1[(s1 >> 16) & 255] ^ T2[(s2 >> 8) & 255] ^ T3[s3 & 255] ^ k[0]
+        t1 = T0[s1 >> 24] ^ T1[(s2 >> 16) & 255] ^ T2[(s3 >> 8) & 255] ^ T3[s0 & 255] ^ k[1]
+        t2 = T0[s2 >> 24] ^ T1[(s3 >> 16) & 255] ^ T2[(s0 >> 8) & 255] ^ T3[s1 & 255] ^ k[2]
+        t3 = T0[s3 >> 24] ^ T1[(s0 >> 16) & 255] ^ T2[(s1 >> 8) & 255] ^ T3[s2 & 255] ^ k[3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = kw[nr]
+    S = _SBOX
+    o0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 255] << 16)
+          | (S[(s2 >> 8) & 255] << 8) | S[s3 & 255]) ^ k[0]
+    o1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 255] << 16)
+          | (S[(s3 >> 8) & 255] << 8) | S[s0 & 255]) ^ k[1]
+    o2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 255] << 16)
+          | (S[(s0 >> 8) & 255] << 8) | S[s1 & 255]) ^ k[2]
+    o3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 255] << 16)
+          | (S[(s1 >> 8) & 255] << 8) | S[s2 & 255]) ^ k[3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
+
+
+def _decrypt_block_w(kw: List[List[int]], block: bytes) -> bytes:
+    nr = len(kw) - 1
+    k = kw[nr]
+    s0 = int.from_bytes(block[0:4], "big") ^ k[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ k[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ k[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ k[3]
+    T0, T1, T2, T3 = _TD0, _TD1, _TD2, _TD3
+    for rnd in range(nr - 1, 0, -1):
+        k = kw[rnd]
+        t0 = T0[s0 >> 24] ^ T1[(s3 >> 16) & 255] ^ T2[(s2 >> 8) & 255] ^ T3[s1 & 255] ^ k[0]
+        t1 = T0[s1 >> 24] ^ T1[(s0 >> 16) & 255] ^ T2[(s3 >> 8) & 255] ^ T3[s2 & 255] ^ k[1]
+        t2 = T0[s2 >> 24] ^ T1[(s1 >> 16) & 255] ^ T2[(s0 >> 8) & 255] ^ T3[s3 & 255] ^ k[2]
+        t3 = T0[s3 >> 24] ^ T1[(s2 >> 16) & 255] ^ T2[(s1 >> 8) & 255] ^ T3[s0 & 255] ^ k[3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = kw[0]
+    S = _ISBOX
+    o0 = ((S[s0 >> 24] << 24) | (S[(s3 >> 16) & 255] << 16)
+          | (S[(s2 >> 8) & 255] << 8) | S[s1 & 255]) ^ k[0]
+    o1 = ((S[s1 >> 24] << 24) | (S[(s0 >> 16) & 255] << 16)
+          | (S[(s3 >> 8) & 255] << 8) | S[s2 & 255]) ^ k[1]
+    o2 = ((S[s2 >> 24] << 24) | (S[(s1 >> 16) & 255] << 16)
+          | (S[(s0 >> 8) & 255] << 8) | S[s3 & 255]) ^ k[2]
+    o3 = ((S[s3 >> 24] << 24) | (S[(s2 >> 16) & 255] << 16)
+          | (S[(s1 >> 8) & 255] << 8) | S[s0 & 255]) ^ k[3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
+
+
+# byte-list compatibility wrappers (tests exercise both layers)
+def _encrypt_block(rk: List[List[int]], block: bytes) -> bytes:
+    return _encrypt_block_w(_enc_words(rk), block)
+
+
+def _decrypt_block(rk: List[List[int]], block: bytes) -> bytes:
+    return _decrypt_block_w(_dec_words(rk), block)
+
+
+def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
+    return _encrypt_block_w(_enc_words(_expand_key(key)), block)
+
+
+def aes_cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC without padding (exact multiple of 16 — the §7.6.4.3.4 KDF uses
+    this shape)."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a 16-byte multiple")
+    kw = _enc_words(_expand_key(key))
+    out = bytearray()
+    prev = int.from_bytes(iv, "big")
+    n = len(data)
+    for i in range(0, n, 16):
+        blk = (int.from_bytes(data[i : i + 16], "big") ^ prev).to_bytes(16, "big")
+        cip = _encrypt_block_w(kw, blk)
+        prev = int.from_bytes(cip, "big")
+        out += cip
+    return bytes(out)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF string/stream encryption: PKCS#7 pad, CBC, IV prepended."""
+    pad = 16 - len(data) % 16
+    return iv + aes_cbc_nopad_encrypt(key, iv, data + bytes([pad]) * pad)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF string/stream decryption: leading 16-byte IV, PKCS#7 unpad.
+    Malformed input degrades to best effort (empty/short data → b'') —
+    the caller's PdfError contract handles structural garbage upstream."""
+    if len(data) < 32 or (len(data) - 16) % 16:
+        return b""
+    kw = _dec_words(_expand_key(key))
+    out = bytearray()
+    prev = int.from_bytes(data[:16], "big")
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        cur = int.from_bytes(blk, "big")
+        out += (int.from_bytes(_decrypt_block_w(kw, blk), "big") ^ prev).to_bytes(
+            16, "big"
+        )
+        prev = cur
+    pad = out[-1]
+    if 1 <= pad <= 16:
+        out = out[:-pad]
+    return bytes(out)

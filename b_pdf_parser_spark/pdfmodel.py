@@ -451,6 +451,8 @@ def _std_file_key(enc: Dict[str, Any], file_id: bytes, user_pw: bytes = b"") -> 
     h.update(o[:32])
     h.update(struct.pack("<i", int(enc.get("P", -1))))
     h.update(file_id)
+    if r >= 4 and enc.get("EncryptMetadata", True) is False:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -475,12 +477,35 @@ def _std_user_check(enc: Dict[str, Any], file_id: bytes, file_key: bytes) -> boo
     return x == u[:16]
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key = MD5(file_key + objnum[3] + gen[2])."""
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key = MD5(file_key + objnum[3] + gen[2]);
+    /AESV2 appends the spec's 4-byte 'sAlT' before hashing."""
     import hashlib
 
     ext = (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+    if aes:
+        ext += b"sAlT"
     return hashlib.md5(file_key + ext).digest()[: min(len(file_key) + 5, 16)]
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Algorithm 2.B (ISO 32000-2 §7.6.4.3.4): the hardened SHA-2 hash for
+    R6 AES-256 keys — iterated SHA-256/384/512 selected by an AES-CBC
+    feedback block."""
+    import hashlib
+
+    from .aescipher import aes_cbc_nopad_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_nopad_encrypt(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +528,7 @@ class PdfDocument:
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         self._font_cache: Dict[Ref, Optional["_Type0Decoder"]] = {}
         self._file_key: Optional[bytes] = None
+        self._cipher = "rc4"
         try:
             self._load_xref_chain()
         except (PdfError, ValueError, IndexError):
@@ -519,10 +545,14 @@ class PdfDocument:
             self._setup_encryption()
 
     def _setup_encryption(self) -> None:
-        """Standard security handler, empty user password (§7.6.3). The
-        Encrypt dictionary is resolved BEFORE the key is installed, so its
-        own /O //U strings land in the object cache undecrypted (per spec
-        they are never encrypted)."""
+        """Standard security handler, empty user password (§7.6.3 and, for
+        R6, ISO 32000-2 §7.6.4). The Encrypt dictionary is resolved BEFORE
+        the key is installed, so its own /O //U strings land in the object
+        cache undecrypted (per spec they are never encrypted). Supported:
+        RC4 (V1/V2, R2/R3), AES-128 /AESV2 (V4/R4), AES-256 /AESV3
+        (V5/R6)."""
+        import hashlib
+
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
             raise PdfError("/Encrypt is not a dictionary")
@@ -530,30 +560,84 @@ class PdfDocument:
             raise PdfError(f"unsupported security handler {enc.get('Filter')!r}")
         v = int(self.resolve(enc.get("V", 0)) or 0)
         r = int(self.resolve(enc.get("R", 2)) or 2)
-        if v not in (1, 2) or r not in (2, 3):
-            # V4/V5 = AES (crypt filters); no AES implementation in the
-            # runtime — fail loud instead of emitting garbage text
-            raise PdfError(f"unsupported encryption V={v} R={r} (AES)")
         ids = self.resolve(self.trailer.get("ID"))
         file_id = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
-        key = _std_file_key(enc, file_id)
-        if not _std_user_check(enc, file_id, key):
-            raise PdfError("password-protected PDF (user password required)")
-        self._file_key = key
+        if v in (1, 2) and r in (2, 3):
+            key = _std_file_key(enc, file_id)
+            if not _std_user_check(enc, file_id, key):
+                raise PdfError("password-protected PDF (user password required)")
+            self._cipher = "rc4"
+            self._file_key = key
+            return
+        if v == 4 and r == 4:
+            cf = self.resolve(enc.get("CF")) or {}
+            stdcf = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) else None
+            cfm = str(self.resolve((stdcf or {}).get("CFM", "")))
+            if cfm not in ("AESV2", "V2"):
+                raise PdfError(f"unsupported V4 crypt filter {cfm!r}")
+            key = _std_file_key(dict(enc, Length=enc.get("Length", 128)), file_id)
+            if not _std_user_check(enc, file_id, key):
+                raise PdfError("password-protected PDF (user password required)")
+            self._cipher = "aesv2" if cfm == "AESV2" else "rc4"
+            self._file_key = key
+            return
+        if v == 5 and r == 6:
+            u = enc.get("U")
+            ue = enc.get("UE")
+            if not (isinstance(u, bytes) and len(u) >= 48 and isinstance(ue, bytes)):
+                raise PdfError("malformed R6 /U //UE entries")
+            vsalt, ksalt = u[32:40], u[40:48]
+            if _hash_2b(b"", vsalt, b"") != u[:32]:
+                raise PdfError("password-protected PDF (user password required)")
+            from .aescipher import aes_cbc_nopad_encrypt  # noqa: F401 (doc aid)
+            ikey = _hash_2b(b"", ksalt, b"")
+            self._file_key = self._aes_nopad_decrypt(ikey, ue[:32])
+            self._cipher = "aesv3"
+            return
+        raise PdfError(f"unsupported encryption V={v} R={r}")
+
+    @staticmethod
+    def _aes_nopad_decrypt(key: bytes, data: bytes) -> bytes:
+        """AES-256-CBC, zero IV, no padding — the UE→file-key unwrap."""
+        from .aescipher import _dec_words, _decrypt_block_w, _expand_key
+
+        kw = _dec_words(_expand_key(key))
+        out = bytearray()
+        prev = 0
+        for i in range(0, len(data), 16):
+            blk = data[i : i + 16]
+            out += (
+                int.from_bytes(_decrypt_block_w(kw, blk), "big") ^ prev
+            ).to_bytes(16, "big")
+            prev = int.from_bytes(blk, "big")
+        return bytes(out)
 
     def _decrypt_object(self, obj: Any, num: int, gen: int) -> Any:
-        """Apply the per-object RC4 key to every string and stream payload
+        """Apply the per-object cipher to every string and stream payload
         (strings inside object streams are excluded by construction — they
         are covered by the ObjStm's own stream encryption)."""
-        key = _object_key(self._file_key, num, gen)
+        cipher = self._cipher
+        if cipher == "rc4":
+            key = _object_key(self._file_key, num, gen)
+            dec = lambda b: _rc4(key, b)  # noqa: E731
+        elif cipher == "aesv2":
+            from .aescipher import aes_cbc_decrypt
+
+            key = _object_key(self._file_key, num, gen, aes=True)
+            dec = lambda b: aes_cbc_decrypt(key, b)  # noqa: E731
+        else:  # aesv3: the file key is used directly (ISO 32000-2)
+            from .aescipher import aes_cbc_decrypt
+
+            key = self._file_key
+            dec = lambda b: aes_cbc_decrypt(key, b)  # noqa: E731
 
         def walk(v: Any) -> Any:
             if isinstance(v, bytes):
-                return _rc4(key, v)
+                return dec(v)
             if isinstance(v, dict):
                 return {k: walk(x) for k, x in v.items()}
             if isinstance(v, StreamObject):
-                return StreamObject(walk(v.dict), _rc4(key, v.raw))
+                return StreamObject(walk(v.dict), dec(v.raw))
             if isinstance(v, list) and not isinstance(v, Ref):
                 return [walk(x) for x in v]
             return v

@@ -151,34 +151,55 @@ def _tounicode_cmap(cm: Dict[str, int]) -> bytes:
 # algorithms); the goldens pin the resulting bytes so both sides are checked.
 
 
-def _prep_encryption(bodies: Sequence[bytes], r2: bool = False) -> Dict[str, bytes]:
+def _prep_encryption(bodies: Sequence[bytes], mode: str = "rc4-128") -> Dict[str, object]:
     """Deterministic standard-security-handler material: the file ID is the
     md5 of the plaintext objects, the owner password is fixed ('owner'),
     the user password empty — the dominant shape of restricted web PDFs.
-    ``r2=True`` emits the legacy 40-bit V1/R2 variant (old web PDFs)."""
+    Modes: ``rc4-128`` (V2/R3), ``rc4-40`` (legacy V1/R2), ``aes-128``
+    (V4/R4 /AESV2), ``aes-256`` (V5/R6 /AESV3, ISO 32000-2)."""
     import hashlib
+    import struct
 
-    from .pdfmodel import _PW_PAD, _rc4, _std_file_key
+    from .pdfmodel import _PW_PAD, _hash_2b, _rc4, _std_file_key
 
     id0 = hashlib.md5(b"".join(bodies)).digest()
+    if mode == "aes-256":
+        from .aescipher import aes_cbc_nopad_encrypt, aes_encrypt_block
+
+        file_key = hashlib.sha256(id0 + b"file-key").digest()
+        vsalt, ksalt = id0[:8], id0[8:16]
+        u = _hash_2b(b"", vsalt, b"") + vsalt + ksalt
+        ue = aes_cbc_nopad_encrypt(_hash_2b(b"", ksalt, b""), bytes(16), file_key)
+        rev = id0[::-1]
+        ovs, oks = rev[:8], rev[8:16]
+        o = _hash_2b(b"owner", ovs, u) + ovs + oks
+        oe = aes_cbc_nopad_encrypt(_hash_2b(b"owner", oks, u), bytes(16), file_key)
+        perms = aes_encrypt_block(
+            file_key,
+            struct.pack("<i", -1) + b"\xff\xff\xff\xff" + b"Tadb" + id0[:4],
+        )
+        return {"key": file_key, "O": o, "U": u, "OE": oe, "UE": ue,
+                "Perms": perms, "id0": id0, "mode": "aes256"}
     okey = hashlib.md5((b"owner" + _PW_PAD)[:32]).digest()
-    if r2:
+    if mode == "rc4-40":
         o = _rc4(okey[:5], _PW_PAD)  # Algorithm 3, R2: single RC4 pass
         key = _std_file_key({"R": 2, "O": o, "P": -1}, id0)
         u = _rc4(key, _PW_PAD)  # Algorithm 4
-        return {"key": key, "O": o, "U": u, "id0": id0, "r2": True}
+        return {"key": key, "O": o, "U": u, "id0": id0, "mode": "rc4-40"}
     for _ in range(50):
         okey = hashlib.md5(okey).digest()
     okey = okey[:16]
     o = _rc4(okey, _PW_PAD)  # Algorithm 3 with empty user password
     for i in range(1, 20):
         o = _rc4(bytes(b ^ i for b in okey), o)
-    key = _std_file_key({"R": 3, "Length": 128, "O": o, "P": -1}, id0)
+    r = 4 if mode == "aes-128" else 3
+    key = _std_file_key({"R": r, "Length": 128, "O": o, "P": -1}, id0)
     x = hashlib.md5(_PW_PAD + id0).digest()  # Algorithm 5 (U entry)
     x = _rc4(key, x)
     for i in range(1, 20):
         x = _rc4(bytes(b ^ i for b in key), x)
-    return {"key": key, "O": o, "U": x + b"\x00" * 16, "id0": id0}
+    return {"key": key, "O": o, "U": x + b"\x00" * 16, "id0": id0,
+            "mode": "aes128" if mode == "aes-128" else "rc4-128"}
 
 
 def _unesc(raw: bytes) -> bytes:
@@ -227,30 +248,67 @@ def _map_literal_strings(body: bytes, fn) -> bytes:
     return bytes(out)
 
 
-def _encrypt_body(body: bytes, file_key: bytes, num: int) -> bytes:
-    """RC4-encrypt one emitted object: the stream payload wholesale (strings
-    inside it ride along, per spec) and each top-level literal string. RC4
-    is length-preserving, so /Length entries stay valid."""
+import re as _re
+
+_LENGTH_RE = _re.compile(rb"/Length \d+")
+
+
+def _encrypt_body(body: bytes, enc: Dict[str, object], num: int) -> bytes:
+    """Encrypt one emitted object: the stream payload wholesale (strings
+    inside it ride along, per spec) and each top-level literal string.
+    RC4 is length-preserving; AES grows payloads (IV + PKCS#7 pad), so the
+    head's /Length is rewritten to the ciphertext size."""
+    import hashlib
+
     from .pdfmodel import _object_key, _rc4
 
-    okey = _object_key(file_key, num, 0)
+    file_key: bytes = enc["key"]  # type: ignore[assignment]
+    mode = enc.get("mode", "rc4-128")
+    if mode in ("rc4-128", "rc4-40"):
+        okey = _object_key(file_key, num, 0)
+        E = lambda b: _rc4(okey, b)  # noqa: E731
+    else:
+        from .aescipher import aes_cbc_encrypt
+
+        iv = hashlib.md5(bytes(enc["id0"]) + b"iv%d" % num).digest()  # type: ignore[arg-type]
+        if mode == "aes128":
+            okey = _object_key(file_key, num, 0, aes=True)
+        else:  # aes256: the file key directly
+            okey = file_key
+        E = lambda b: aes_cbc_encrypt(okey, iv, b)  # noqa: E731
     si = body.find(b"\nstream\n")
-    enc_str = lambda inner: _esc_bytes(_rc4(okey, _unesc(inner)))  # noqa: E731
+    enc_str = lambda inner: _esc_bytes(E(_unesc(inner)))  # noqa: E731
     if si >= 0:
         head, payload = body[:si], body[si + 8 : -len(b"\nendstream")]
-        return (
-            _map_literal_strings(head, enc_str)
-            + b"\nstream\n" + _rc4(okey, payload) + b"\nendstream"
-        )
+        data = E(payload)
+        head = _map_literal_strings(head, enc_str)
+        head = _LENGTH_RE.sub(b"/Length %d" % len(data), head, count=1)
+        return head + b"\nstream\n" + data + b"\nendstream"
     return _map_literal_strings(body, enc_str)
 
 
-def _encrypt_dict_body(enc: Dict[str, bytes]) -> bytes:
-    head = (b"<< /Filter /Standard /V 1 /R 2 /O (" if enc.get("r2")
-            else b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O (")
-    return (
-        head + _esc_bytes(enc["O"]) + b") /U (" + _esc_bytes(enc["U"]) + b") /P -1 >>"
-    )
+def _encrypt_dict_body(enc: Dict[str, object]) -> bytes:
+    mode = enc.get("mode", "rc4-128")
+    s = lambda k: _esc_bytes(bytes(enc[k]))  # type: ignore[arg-type]  # noqa: E731
+    if mode == "rc4-40":
+        head = b"<< /Filter /Standard /V 1 /R 2 /O ("
+    elif mode == "rc4-128":
+        head = b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O ("
+    elif mode == "aes128":
+        head = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O ("
+        )
+    else:  # aes256
+        return (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O (" + s("O") + b") /U (" + s("U")
+            + b") /OE (" + s("OE") + b") /UE (" + s("UE")
+            + b") /Perms (" + s("Perms") + b") /P -1 >>"
+        )
+    return head + s("O") + b") /U (" + s("U") + b") /P -1 >>"
 
 
 def _trailer_crypt(enc: Dict[str, bytes], enc_num: int) -> bytes:
@@ -406,7 +464,7 @@ def build_pdf(
         all_nums = sorted(set(dicts) | set(contents))
         enc = _prep_encryption(
             [dicts.get(n) if n in dicts else contents[n] for n in all_nums],
-            r2=(encrypt == "rc4-40"),
+            mode=encrypt if isinstance(encrypt, str) else "rc4-128",
         )
     if not xref_stream:
         return _emit_classic(dicts, contents, enc)
@@ -422,7 +480,7 @@ def _emit_classic(
     for num in sorted(set(dicts) | set(contents)):
         body = dicts.get(num) if num in dicts else contents[num]
         if enc:
-            body = _encrypt_body(body, enc["key"], num)
+            body = _encrypt_body(body, enc, num)
         offsets[num] = len(buf)
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     if enc:
@@ -474,11 +532,11 @@ def _emit_xref_stream(
     for num in sorted(contents):
         body = contents[num]
         if enc:
-            body = _encrypt_body(body, enc["key"], num)
+            body = _encrypt_body(body, enc, num)
         offsets[num] = len(buf)
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     if enc:
-        objstm = _encrypt_body(objstm, enc["key"], objstm_num)
+        objstm = _encrypt_body(objstm, enc, objstm_num)
         offsets[enc_num] = len(buf)
         buf += b"%d 0 obj\n" % enc_num + _encrypt_dict_body(enc) + b"\nendobj\n"
     offsets[objstm_num] = len(buf)

@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 7  # v7: +~15% of HTML as windows-1252 with declared charset
+CORPUS_VERSION = 8  # v8: encrypted mix now includes /AESV2 (AES-128) PDFs
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -325,7 +325,17 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
         erng = random.Random((seed << 34) ^ (i * 0x85EBCA6B) ^ 0x3C6EF)
         encrypt: object = False
         if erng.random() < 0.10:
-            encrypt = "rc4-40" if erng.random() < 0.2 else True
+            mix = erng.random()
+            if mix < 0.2:
+                encrypt = "rc4-40"      # legacy 40-bit V1/R2
+            elif mix < 0.45:
+                encrypt = "aes-128"     # /AESV2 V4/R4 (modern restricted PDFs)
+            else:
+                encrypt = True          # RC4-128 V2/R3
+            # AES-256/R6 is supported and golden-pinned (d14) but kept out
+            # of the synthetic corpus: its Algorithm-2.B KDF costs ~0.5 s
+            # per doc in pure Python (BENCH notes), which would swamp the
+            # throughput signal the bench exists to measure
         payload = pdf_from_lines(
             pages,
             xref_stream=rng.random() < 0.5,

@@ -18,7 +18,8 @@ from tools.genfixtures import metadata_csv, transactions_csv
 
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
             "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid",
-            "d10_two_column", "d11_encrypted_rc4"]
+            "d10_two_column", "d11_encrypted_rc4", "d13_encrypted_aes128",
+            "d14_encrypted_aes256"]
 HTML_DOCS = ["d5_article", "d6_entities", "d12_cp1252"]
 
 
@@ -75,7 +76,8 @@ def test_golden_counts_stable(fixtures_dir):
     expected_counts = {"d1_classic_match": 6, "d2_xrefstm_mismatch": 10,
                        "d3_nouser_td": 7, "d4_multipage_raw": 12,
                        "d7_inline_rows": 6, "d8_table_rows": 10, "d9_type0_cid": 12,
-                       "d10_two_column": 0, "d11_encrypted_rc4": 10}
+                       "d10_two_column": 0, "d11_encrypted_rc4": 10,
+                       "d13_encrypted_aes128": 5, "d14_encrypted_aes256": 4}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
         _, _, txns = _extract(payload)

@@ -347,3 +347,41 @@ def test_encrypted_byte_splice_keeps_pdferror_contract(pos, junk):
         pm.extract_pdf_text(spliced)
     except pm.PdfError:
         pass
+
+
+def test_aes_known_answer_vectors():
+    # FIPS-197 Appendix C — validates the generated S-box, T-tables and key
+    # schedule for all three key sizes
+    from b_pdf_parser_spark.aescipher import (aes_cbc_decrypt, aes_cbc_encrypt,
+                                              aes_encrypt_block)
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vec = {
+        "000102030405060708090a0b0c0d0e0f": "69c4e0d86a7b0430d8cdb78070b4c55a",
+        "000102030405060708090a0b0c0d0e0f1011121314151617":
+            "dda97ca4864cdfe06eaf70a0ec0d7191",
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f":
+            "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for k, c in vec.items():
+        assert aes_encrypt_block(bytes.fromhex(k), pt).hex() == c
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes((i * 7) % 256 for i in range(n))
+        assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, iv, data)) == data
+
+
+@pytest.mark.parametrize("mode", ["aes-128", "aes-256"])
+def test_aes_encrypted_roundtrip_matches_plaintext(mode):
+    plain = pm.extract_pdf_text(_enc_sample(xref_stream=True))
+    got = pm.extract_pdf_text(_enc_sample(xref_stream=True, encrypt=mode))
+    assert got == plain
+
+
+def test_aes256_wrong_user_password_raises():
+    data = _enc_sample(encrypt="aes-256")
+    i = data.find(b"/U (")
+    tampered = data[: i + 4] + bytes([data[i + 4] ^ 0xFF]) + data[i + 5 :]
+    with pytest.raises(pm.PdfError, match="password"):
+        pm.extract_pdf_text(tampered)

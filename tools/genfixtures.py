@@ -154,6 +154,17 @@ def main() -> None:
     freeze_pdf("d11_encrypted_rc4",
                pdf_from_lines(pages, xref_stream=True, type0=True, encrypt=True))
 
+    # d13/d14: AES-encrypted variants — /AESV2 (AES-128, V4/R4) under an
+    # xref stream, and /AESV3 (AES-256, V5/R6, ISO 32000-2 Algorithm 2.B
+    # key derivation) classic; both empty-user-password like d11
+    pages, _ = statement_lines(random.Random(1313), n_pages=1, rows_per_page=5,
+                               with_user=True, summary="match", amount_format="id")
+    freeze_pdf("d13_encrypted_aes128",
+               pdf_from_lines(pages, xref_stream=True, encrypt="aes-128"))
+    pages, _ = statement_lines(random.Random(1414), n_pages=1, rows_per_page=4,
+                               with_user=True, summary="match", amount_format="id")
+    freeze_pdf("d14_encrypted_aes256", pdf_from_lines(pages, encrypt="aes-256"))
+
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
     freeze_html("d5_article", payload)
