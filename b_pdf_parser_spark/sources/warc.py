@@ -1,0 +1,194 @@
+"""WARC source/sink — Common Crawl's native container (ISO 28500 / the
+public WARC 1.0 spec). A crawl pipeline's first read is WARC segments, not
+parquet; this module lets the same extraction plan run straight off them.
+
+Format notes (matching how CC actually writes files, so a reader built here
+works on real segments):
+
+* each record = ``WARC/1.0`` header block + CRLF CRLF + payload (exactly
+  ``Content-Length`` bytes) + CRLF CRLF — record boundaries come from
+  Content-Length, NEVER from scanning for delimiters (payloads are binary);
+* ``response`` records wrap the payload in an HTTP/1.1 response envelope
+  (status line + headers + CRLF CRLF + body);
+* ``.warc.gz`` files are a CONCATENATION of independently-gzipped records
+  (one gzip member per record) so readers can split/seek without
+  decompressing the whole segment.
+
+Spark shape: writing runs inside ``mapInPandas`` — each Arrow batch
+serializes to one ``.warc.gz`` segment written executor-side, and the
+operator *returns a manifest row* (path, records, bytes) instead of
+collecting anything; reading is ``binaryFile`` scan → ``mapInPandas``
+record split (one Python dispatch per segment, Content-Length arithmetic —
+no regex over payload bytes). Both directions are linear and
+partition-parallel: 10^12 docs is just more segments.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["warc_record", "split_warc", "write_warc", "read_warc"]
+
+WARC_MANIFEST_DDL = "path STRING, n_records BIGINT, n_bytes BIGINT"
+WARC_ROWS_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY"
+
+
+def _http_envelope(payload: bytes, content_type: str) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + content_type.encode("ascii")
+        + b"\r\nContent-Length: %d\r\n\r\n" % len(payload)
+        + payload
+    )
+
+
+def warc_record(url: str, ts: datetime, payload: bytes,
+                content_type: str = "text/html") -> bytes:
+    """One uncompressed WARC ``response`` record (header + HTTP envelope)."""
+    body = _http_envelope(payload, content_type)
+    stamp = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        + b"WARC-Date: " + stamp.encode("ascii") + b"\r\n"
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body)
+    )
+    return head + body + b"\r\n\r\n"
+
+
+def _gzip_member(record: bytes) -> bytes:
+    buf = io.BytesIO()
+    # mtime pinned for byte-deterministic segments
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
+    out = bytearray()
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error:
+            break  # truncated / corrupt tail: keep the records already read
+        if d.unused_data == data:
+            break
+        data = d.unused_data
+    return bytes(out)
+
+
+def split_warc(data: bytes) -> List[Tuple[str, str, bytes]]:
+    """(url, date, payload) per response record. Content-Length-driven —
+    malformed headers end the walk rather than mis-framing payload bytes."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    out: List[Tuple[str, str, bytes]] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        if data[i : i + 5] != b"WARC/":
+            break
+        hdr_end = data.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in data[i:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        body = data[hdr_end + 4 : hdr_end + 4 + clen]
+        i = hdr_end + 4 + clen
+        while data[i : i + 2] == b"\r\n":  # record separator
+            i += 2
+        if headers.get(b"warc-type") != b"response":
+            continue
+        # strip the HTTP envelope: payload starts after its CRLF CRLF
+        http_end = body.find(b"\r\n\r\n")
+        payload = body[http_end + 4 :] if http_end >= 0 else body
+        out.append(
+            (
+                headers.get(b"warc-target-uri", b"").decode("utf-8", "replace"),
+                headers.get(b"warc-date", b"").decode("ascii", "replace"),
+                payload,
+            )
+        )
+    return out
+
+
+def write_warc(pages: DataFrame, out_dir: str) -> DataFrame:
+    """Serialize a pages DataFrame into ``.warc.gz`` segments, one per Arrow
+    batch, written from the executors; returns the manifest DataFrame
+    (path, n_records, n_bytes). Follows the repo's sink rule: no driver
+    collection — the manifest is itself a (tiny) distributed result."""
+    import os
+    import uuid
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for b in batches:
+            chunks = []
+            for url, ts, payload in zip(b["url"], b["warc_ts"], b["html"]):
+                if payload is None:
+                    continue
+                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                chunks.append(_gzip_member(warc_record(str(url), t, bytes(payload))))
+            if not chunks:
+                continue
+            seg = b"".join(chunks)
+            name = f"segment-{uuid.uuid4().hex[:12]}.warc.gz"
+            path = os.path.join(out_dir, name)
+            with open(path, "wb") as f:
+                f.write(seg)
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        emit, schema=WARC_MANIFEST_DDL
+    )
+
+
+def read_warc(spark, path_glob: str) -> DataFrame:
+    """Scan ``.warc(.gz)`` segments into (url, warc_ts, html) rows — the
+    same shape the parquet pages source yields, so the downstream
+    extraction plan is source-agnostic."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, stamps, payloads = [], [], []
+            for blob in b["content"]:
+                for url, date, payload in split_warc(bytes(blob)):
+                    urls.append(url)
+                    try:
+                        # kept naive: the writer strftime's the (naive)
+                        # column value, so the roundtrip is the identity
+                        # regardless of the Spark session timezone
+                        stamps.append(datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ"))
+                    except ValueError:
+                        stamps.append(None)
+                    payloads.append(payload)
+            yield pd.DataFrame({"url": urls, "warc_ts": stamps, "html": payloads})
+
+    return files.mapInPandas(parse, schema=WARC_ROWS_DDL)
