@@ -1055,6 +1055,40 @@ def q_robots_filter(spark, sf):
     return robots_filter(urls, rules).orderBy("url")
 
 
+def q_near_dup_keep_best(spark, sf):
+    """Retention policy over near-dup clusters: keep the HIGHEST-QUALITY
+    member (tie → lowest doc_id) — what a production pipeline actually
+    retains, vs. the min-id convention of the clustering demo. Cluster path
+    is the LSH → Jaccard → connected-components scale composition; the
+    quality join and per-cluster window are linear, keyed on cluster_id."""
+    from b_pdf_parser_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from b_pdf_parser_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf, "documents")
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    clusters = connected_components(edges).withColumnRenamed("id", "doc_id")
+    q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    best = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sizes = j.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        best.join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            "n_members",
+            F.col("quality").alias("best_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_quality_decisions(spark, sf):
     """Auditable keep/drop decision table: first-failing quality rule per
     document (word_count → mean_word_len → repetition → stopwords → ok)."""
@@ -1147,6 +1181,7 @@ def queries() -> dict[str, _T]:
         "dup_clusters": q_dup_clusters,
         "near_dup_pairs": q_near_dup_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_decisions": q_dedup_decisions,
         "vocab_df": q_vocab_df,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1606,6 +1641,46 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src)
             SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+        """,
+        "near_dup_keep_best": f"""
+            WITH RECURSIVE {_LSH_JACCARD_CTES},
+            conf AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM conf
+                UNION SELECT id_b, id_a FROM conf),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            cc AS (
+                SELECT id, id AS label FROM verts
+                UNION
+                SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+            clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+                         FROM cc GROUP BY id),
+            q AS (
+                SELECT doc_id,
+                       round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                    ELSE CAST(len(list_filter({_TOKS},
+                                             t -> t IN {_EN_STOP})) AS DOUBLE)
+                                         / len({_TOKS}) END)
+                           + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                                    ELSE CAST(length(replace(trim(text), ' ', ''))
+                                              AS DOUBLE) / len({_TOKS}) END) / 8.0, 1.0)
+                           + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                                    ELSE CAST(length(regexp_replace(text,
+                                             '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                         / length(text) END)), 4) AS quality
+                FROM documents),
+            j AS (SELECT c.cluster_id, c.doc_id, q.quality
+                  FROM clusters c JOIN q ON q.doc_id = c.doc_id),
+            ranked AS (
+                SELECT cluster_id, doc_id, quality,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY quality DESC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+                FROM j)
+            SELECT cluster_id, doc_id AS keep_id,
+                   CAST(n_members AS BIGINT) AS n_members,
+                   quality AS best_quality
+            FROM ranked WHERE rn = 1 ORDER BY cluster_id
         """,
         "simhash": """
             WITH toks AS (
