@@ -1089,6 +1089,74 @@ def q_near_dup_keep_best(spark, sf):
     )
 
 
+def q_crawl_schedule(spark, sf):
+    """Scheduling capstone: real extracted outlinks → robots allow →
+    fixed-point host-PageRank priority → per-host politeness slots (≤3).
+    Every stage is an already-oracled operator; this query pins their
+    composition — the actual fetch list a crawler would issue."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        _HOST_PATTERN,
+        extract_outlinks,
+        host_pagerank,
+        robots_filter,
+        synth_linkdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    links = extract_outlinks(synth_linkdoc_df(spark, 400))
+    links = links.localCheckpoint(eager=False)  # feeds urls AND the edge table
+    urls = (
+        links.select(
+            F.col("href").alias("url"),
+            F.regexp_extract("href", _HOST_PATTERN, 1).alias("host"),
+            F.regexp_extract("href", r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1).alias(
+                "path"
+            ),
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+    )
+    h = spark.range(0, 20).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        "id",
+    )
+    rules = (
+        h.select("host", F.lit("/").alias("rule_path"), F.lit(True).alias("allow"))
+        .unionByName(
+            h.filter(F.col("id") % 2 == 0).select(
+                "host", F.lit("/p").alias("rule_path"), F.lit(False).alias("allow")
+            )
+        )
+        .unionByName(
+            h.filter(F.col("id") % 4 == 0).select(
+                "host", F.lit("/p1").alias("rule_path"), F.lit(True).alias("allow")
+            )
+        )
+    )
+    allowed = (
+        robots_filter(urls, rules).filter(F.col("allowed")).select("url", "host")
+    )
+    edges = links.select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+        ).alias("src"),
+        F.regexp_extract("href", _HOST_PATTERN, 1).alias("dst"),
+    ).filter(F.col("dst") != "")
+    pr = host_pagerank(edges)
+    j = allowed.join(pr, "host", "left").select(
+        "url", "host", F.coalesce("rank", F.lit(0)).alias("rank")
+    )
+    w = Window.partitionBy("host").orderBy(F.asc("url"))
+    return (
+        j.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= 3)
+        .orderBy(F.desc("rank"), F.asc("host"), F.asc("url"))
+    )
+
+
 def q_quality_decisions(spark, sf):
     """Auditable keep/drop decision table: first-failing quality rule per
     document (word_count → mean_word_len → repetition → stopwords → ok)."""
@@ -1191,6 +1259,7 @@ def queries() -> dict[str, _T]:
         "host_cap_sample": q_host_cap_sample,
         "host_pagerank": q_host_pagerank,
         "robots_filter": q_robots_filter,
+        "crawl_schedule": q_crawl_schedule,
         "intra_doc_repetition": q_intra_doc_repetition,
         "duplicate_spans": q_duplicate_spans,
         "compression_ratio": q_compression_ratio,
@@ -1772,6 +1841,84 @@ def oracle_sql() -> dict[str, str]:
             best AS (SELECT url, allow FROM m WHERE rn = 1)
             SELECT u.url, u.host, u.path, coalesce(b.allow, TRUE) AS allowed
             FROM u LEFT JOIN best b ON b.url = u.url ORDER BY u.url
+        """,
+        "crawl_schedule": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            u AS (SELECT DISTINCT
+                      'https://host' || ((doc_id * k) % 20) || '.example/p' || k
+                          AS url,
+                      'host' || ((doc_id * k) % 20) || '.example' AS host,
+                      '/p' || k AS path
+                  FROM ks),
+            h AS (SELECT range AS id, 'host' || range || '.example' AS host
+                  FROM range(0, 20)),
+            rules AS (
+                SELECT host, '/' AS rule_path, TRUE AS allow FROM h
+                UNION ALL
+                SELECT host, '/p', FALSE FROM h WHERE id % 2 = 0
+                UNION ALL
+                SELECT host, '/p1', TRUE FROM h WHERE id % 4 = 0),
+            m AS (SELECT u.url, r.allow,
+                         row_number() OVER (
+                             PARTITION BY u.url
+                             ORDER BY length(r.rule_path) DESC, r.allow DESC
+                         ) AS rn
+                  FROM u JOIN rules r
+                    ON r.host = u.host AND starts_with(u.path, r.rule_path)),
+            best AS (SELECT url, allow FROM m WHERE rn = 1),
+            allowed AS (SELECT u.url, u.host
+                        FROM u LEFT JOIN best b ON b.url = u.url
+                        WHERE coalesce(b.allow, TRUE)),
+            e AS (SELECT DISTINCT
+                      'host' || (doc_id % 20) || '.example' AS src,
+                      'host' || ((doc_id * k) % 20) || '.example' AS dst
+                  FROM ks),
+            hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM hosts),
+            outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT host, CAST(1000000000000 // n AS BIGINT) AS rank
+                   FROM hosts CROSS JOIN nn),
+            c1 AS (SELECT e.dst AS host,
+                          CAST(SUM(r0.rank // o.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r0 ON r0.host = e.src
+                        JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT hh.host,
+                          CAST((1000000000000 * 15 // 100) // n
+                               + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS rank
+                   FROM hosts hh CROSS JOIN nn
+                   LEFT JOIN c1 ON c1.host = hh.host),
+            c2 AS (SELECT e.dst AS host,
+                          CAST(SUM(r1.rank // o.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r1 ON r1.host = e.src
+                        JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT hh.host,
+                          CAST((1000000000000 * 15 // 100) // n
+                               + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS rank
+                   FROM hosts hh CROSS JOIN nn
+                   LEFT JOIN c2 ON c2.host = hh.host),
+            c3 AS (SELECT e.dst AS host,
+                          CAST(SUM(r2.rank // o.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r2 ON r2.host = e.src
+                        JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT hh.host,
+                          CAST((1000000000000 * 15 // 100) // n
+                               + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
+                   FROM hosts hh CROSS JOIN nn
+                   LEFT JOIN c3 ON c3.host = hh.host),
+            j AS (SELECT a.url, a.host, coalesce(r3.rank, 0) AS rank
+                  FROM allowed a LEFT JOIN r3 ON r3.host = a.host),
+            ranked AS (SELECT url, host, rank,
+                              row_number() OVER (PARTITION BY host
+                                                 ORDER BY url ASC) AS slot
+                       FROM j)
+            SELECT url, host, rank, slot FROM ranked WHERE slot <= 3
+            ORDER BY rank DESC, host ASC, url ASC
         """,
         "host_pagerank": """
             WITH d AS (SELECT range AS i FROM range(0, 400)),
