@@ -1089,6 +1089,36 @@ def q_near_dup_keep_best(spark, sf):
     )
 
 
+def q_robots_rules(spark, sf):
+    """Parse REAL robots.txt bytes (comments, case-mixed directives,
+    bot-specific groups, merged UA runs, empty Disallow) into the
+    (host, rule_path, allow) rule table — relationally, no UDF. The oracle
+    recomputes the expected rules from the generator formulas, so parser
+    drift breaks the value hash."""
+    from b_pdf_parser_spark.operators.links import parse_robots
+
+    h = spark.range(0, 20)
+    i_s = F.col("id").cast("string")
+    txt = F.concat(
+        F.lit("# synthetic robots file\n"),
+        F.lit("User-agent: bot-"), i_s, F.lit("\nDisallow: /only-bot\n\n"),
+        F.when(F.col("id") % 5 == 0, F.lit("User-agent: helper\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("User-AGENT: *\nAllow: /\n"),
+        F.when(F.col("id") % 2 == 0, F.lit("disallow: /p\n")).otherwise(F.lit("")),
+        F.when(F.col("id") % 4 == 0, F.lit("Allow: /p1\n")).otherwise(F.lit("")),
+        F.lit("Disallow:\n"),
+        F.when(F.col("id") % 3 == 0,
+               F.lit("User-agent: other\nDisallow: /never\n")).otherwise(F.lit("")),
+    )
+    robots = h.select(
+        F.concat(F.lit("host"), i_s, F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return parse_robots(robots).orderBy("host", "rule_path")
+
+
 def q_crawl_schedule(spark, sf):
     """Scheduling capstone: real extracted outlinks → robots allow →
     fixed-point host-PageRank priority → per-host politeness slots (≤3).
@@ -1259,6 +1289,7 @@ def queries() -> dict[str, _T]:
         "host_cap_sample": q_host_cap_sample,
         "host_pagerank": q_host_pagerank,
         "robots_filter": q_robots_filter,
+        "robots_rules": q_robots_rules,
         "crawl_schedule": q_crawl_schedule,
         "intra_doc_repetition": q_intra_doc_repetition,
         "duplicate_spans": q_duplicate_spans,
@@ -1841,6 +1872,14 @@ def oracle_sql() -> dict[str, str]:
             best AS (SELECT url, allow FROM m WHERE rn = 1)
             SELECT u.url, u.host, u.path, coalesce(b.allow, TRUE) AS allowed
             FROM u LEFT JOIN best b ON b.url = u.url ORDER BY u.url
+        """,
+        "robots_rules": """
+            WITH h AS (SELECT range AS id, 'host' || range || '.example' AS host
+                       FROM range(0, 20))
+            SELECT host, '/' AS rule_path, TRUE AS allow FROM h
+            UNION ALL SELECT host, '/p', FALSE FROM h WHERE id % 2 = 0
+            UNION ALL SELECT host, '/p1', TRUE FROM h WHERE id % 4 = 0
+            ORDER BY host, rule_path
         """,
         "crawl_schedule": """
             WITH d AS (SELECT range AS i FROM range(0, 400)),

@@ -23,6 +23,7 @@ __all__ = [
     "extract_outlinks",
     "host_degrees",
     "host_pagerank",
+    "parse_robots",
     "robots_filter",
     "synth_linkdoc_df",
     "synth_pdflink_doc_df",
@@ -160,6 +161,65 @@ def host_pagerank(
             )
         )
     return r
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """robots.txt text → (host, rule_path, allow) rows, entirely relational
+    (RFC 9309 line grammar, no UDF): explode lines, strip comments, parse
+    ``User-agent/Allow/Disallow`` directives case-insensitively, assign each
+    line to its User-agent *group* (a maximal run of consecutive UA lines
+    starts a group — the running-sum window below), and keep the rules of
+    groups that name ``*``. Empty Disallow (the "allow all" idiom) is
+    dropped. Feeds :func:`robots_filter` directly.
+
+    Scale shape: one posexplode + two windows partitioned by host — robots
+    files are small and per-host, so partitions stay tiny at any corpus
+    size.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("kind"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    ).filter(F.col("kind").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.select(
+        "host", "pos", "kind", "value",
+        F.sum(
+            F.when(
+                (F.col("kind") == "user-agent")
+                & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "user-agent"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w).alias("grp"),
+    )
+    star = (
+        grouped.filter(F.col("kind") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(F.max(F.when(F.col("value") == "*", 1).otherwise(0)).alias("is_star"))
+        .filter(F.col("is_star") == 1)
+        .select("host", "grp")
+    )
+    return (
+        grouped.filter(F.col("kind").isin("allow", "disallow"))
+        .join(star, ["host", "grp"])
+        .filter(F.col("value") != "")
+        .select(
+            "host",
+            F.col("value").alias("rule_path"),
+            (F.col("kind") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
 
 
 def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:

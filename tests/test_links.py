@@ -171,3 +171,34 @@ def test_robots_filter_longest_prefix_semantics(spark):
         "https://b/x/secret": True,
         "https://a/tie": True,
     }
+
+
+def test_parse_robots_group_semantics(spark):
+    from b_pdf_parser_spark.operators.links import parse_robots
+
+    txt = (
+        "# comment\n"
+        "User-agent: googlebot\n"      # non-star group: its rules excluded
+        "Disallow: /google-only\n"
+        "\n"
+        "User-agent: helper\n"          # consecutive UA lines merge into one
+        "user-agent: *\n"               # group; '*' makes the group apply
+        "Allow: /\n"
+        "DISALLOW: /private # trailing comment\n"
+        "Disallow:\n"                   # empty Disallow = allow-all idiom, dropped
+        "\n"
+        "User-agent: other\n"           # later non-star group excluded again
+        "Disallow: /never\n"
+    )
+    df = spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    got = {(r["rule_path"], r["allow"]) for r in parse_robots(df).collect()}
+    assert got == {("/", True), ("/private", False)}
+
+
+def test_parse_robots_no_star_group_yields_nothing(spark):
+    from b_pdf_parser_spark.operators.links import parse_robots
+
+    df = spark.createDataFrame(
+        [("h", "User-agent: bot\nDisallow: /x\n")], "host string, robots_txt string"
+    )
+    assert parse_robots(df).count() == 0
