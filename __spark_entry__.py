@@ -1089,6 +1089,17 @@ def q_near_dup_keep_best(spark, sf):
     )
 
 
+def q_token_shards(spark, sf):
+    """Token-budget shard assignment (the corpus-chunking step before
+    tokenization): md5-ordered layout, integer running-sum offsets,
+    shard = offset DIV 2000 tokens."""
+    from b_pdf_parser_spark.operators.sampling import token_shards
+
+    return token_shards(_t(spark, sf, "documents"), "doc_id", "text", 2000).orderBy(
+        "doc_id"
+    )
+
+
 def q_robots_rules(spark, sf):
     """Parse REAL robots.txt bytes (comments, case-mixed directives,
     bot-specific groups, merged UA runs, empty Disallow) into the
@@ -1291,6 +1302,7 @@ def queries() -> dict[str, _T]:
         "robots_filter": q_robots_filter,
         "robots_rules": q_robots_rules,
         "crawl_schedule": q_crawl_schedule,
+        "token_shards": q_token_shards,
         "intra_doc_repetition": q_intra_doc_repetition,
         "duplicate_spans": q_duplicate_spans,
         "compression_ratio": q_compression_ratio,
@@ -1872,6 +1884,20 @@ def oracle_sql() -> dict[str, str]:
             best AS (SELECT url, allow FROM m WHERE rn = 1)
             SELECT u.url, u.host, u.path, coalesce(b.allow, TRUE) AS allowed
             FROM u LEFT JOIN best b ON b.url = u.url ORDER BY u.url
+        """,
+        "token_shards": f"""
+            WITH t AS (SELECT doc_id,
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len({_TOKS}) END AS n_toks,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                FROM documents),
+            o AS (SELECT doc_id, n_toks,
+                    SUM(n_toks) OVER (ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, n_toks,
+                   CAST((cum - n_toks) // 2000 AS BIGINT) AS shard
+            FROM o ORDER BY doc_id
         """,
         "robots_rules": """
             WITH h AS (SELECT range AS id, 'host' || range || '.example' AS host

@@ -23,7 +23,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["hash_threshold", "hash_sample", "stratified_sample", "per_host_cap"]
+__all__ = [
+    "hash_threshold",
+    "hash_sample",
+    "stratified_sample",
+    "per_host_cap",
+    "token_shards",
+]
 
 
 def hash_threshold(rate: float) -> str:
@@ -56,6 +62,46 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(hash_threshold(rate))).otherwise(thr)
     return df.filter(_bucket(key_col) < thr)
+
+
+def token_shards(
+    df: DataFrame, id_col: str, text_col: str, tokens_per_shard: int
+) -> DataFrame:
+    """Pack documents into ~equal-token shards (the training-data chunking
+    step before tokenization): docs are laid out in the deterministic
+    md5(id) order and a document starts the shard its running token offset
+    falls in — ``shard = (cumsum − n_toks) DIV tokens_per_shard``. Pure
+    integer arithmetic, so assignment is reproducible across engines and
+    cluster sizes.
+
+    Scale note: the exact global running sum is one ordered window —
+    inherently a single sorted pass. At 10^12 docs the standard move is
+    two-level packing (hash docs into ~10^4 coarse buckets first, apply
+    this operator per bucket — same code, ``partitionBy`` the bucket);
+    the global form here is the oracle-checked contract.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.textstats import token_count
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_toks"),
+        _bucket(id_col).alias("_h"),
+    )
+    cum = F.sum("n_toks").over(
+        Window.orderBy("_h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        t.withColumn("cum", cum)
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr(f"(cum - n_toks) DIV {int(tokens_per_shard)}").alias("shard"),
+        )
+    )
 
 
 def per_host_cap(

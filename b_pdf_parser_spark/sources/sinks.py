@@ -24,6 +24,7 @@ __all__ = [
     "metadata_kv_table",
     "transactions_csv_table",
     "write_csv",
+    "write_jsonl",
     "write_bucketed",
     "bucketed_join",
 ]
@@ -66,6 +67,25 @@ def transactions_csv_table(txns: DataFrame) -> DataFrame:
         normalize_number_col(F.col("debit")).alias("Debit"),
         normalize_number_col(F.col("credit")).alias("Credit"),
         normalize_number_col(F.col("balance")).alias("Balance"),
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, *, order_by: str = "doc_id",
+                shards: int = 0) -> None:
+    """Gzipped JSON-Lines export — the interchange format LLM training
+    stacks ingest. Uses Spark's native JSON writer (whole-stage codegen
+    serialization, no Python in the loop); ``shards`` > 0 repartitions by
+    hash of the order key so shard membership is partitioning-independent
+    and stable across cluster sizes; within-shard order follows
+    ``sortWithinPartitions`` for reproducible files."""
+    out = df
+    if shards > 0:
+        out = df.repartition(shards, F.crc32(F.col(order_by).cast("string")))
+    (
+        out.sortWithinPartitions(order_by)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
     )
 
 

@@ -87,3 +87,21 @@ def test_compression_ratio_matches_direct_zlib(spark):
             assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
     # the signal orders as intended: repetitive text ≪ natural text
     assert got[1] < got[5] < got[0]
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    from b_pdf_parser_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 3}") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    write_jsonl(df, str(tmp_path / "out"), order_by="doc_id", shards=4)
+    import glob
+    parts = glob.glob(str(tmp_path / "out" / "part-*.json.gz"))
+    assert len(parts) == 4
+    back = spark.read.json(str(tmp_path / "out"))
+    assert back.count() == 50
+    got = {(r["doc_id"], r["text"], r["source"]) for r in back.collect()}
+    exp = {(r["doc_id"], r["text"], r["source"]) for r in df.collect()}
+    assert got == exp

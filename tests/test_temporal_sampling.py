@@ -224,3 +224,25 @@ def test_quality_decisions_every_reason_reachable(spark):
     assert got[4] == (False, "stopwords")
     assert got[5] == (True, "ok")
     assert got[6] == (False, "word_count")
+
+
+def test_token_shards_offsets_and_budget(spark):
+    from b_pdf_parser_spark.operators.sampling import token_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = token_shards(docs, "doc_id", "text", tokens_per_shard=100).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["n_toks"])
+    # every shard except possibly the last starts within budget: a doc's
+    # start offset is < (shard+1)*budget by construction, and shard ids
+    # form a contiguous range from 0
+    assert min(by_shard) == 0 and set(by_shard) == set(range(len(by_shard)))
+    # determinism under repartition (hash-ordered layout, integer sums)
+    again = {(r["doc_id"], r["shard"])
+             for r in token_shards(docs.repartition(7), "doc_id", "text", 100).collect()}
+    assert again == {(r["doc_id"], r["shard"]) for r in out}
