@@ -1041,7 +1041,12 @@ _CTOK_RE = re.compile(
     # fused fast paths for the two dominant idioms of text streams: a full
     # "a b c d e f Tm" matrix set and an escape-free "(text) Tj" show —
     # each replaces 7 (resp. 2) generic-token iterations with one match
-    rb"(?:(?P<tm6>(?:" + _NUM_WS + rb"){6}Tm(?![A-Za-z0-9'\"*]))"
+    # fully fused "a b c d e f Tm (text) Tj" — the single dominant idiom of
+    # Tm-positioned text (one match replaces the tm6+tjs pair); falls back
+    # to tm6 via ordinary alternation when no escape-free show follows
+    rb"(?:(?P<tmtj>(?:" + _NUM_WS + rb"){6})Tm[\x00\t\n\x0c\r ]*"
+    rb"\((?P<tmtjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
+    rb"|(?P<tm6>(?:" + _NUM_WS + rb"){6}Tm(?![A-Za-z0-9'\"*]))"
     rb"|\((?P<tjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
     # fused "<hex> Tj" show (the dominant idiom of Type0/CID text streams)
     rb"|<(?P<tjh>[0-9A-Fa-f\x00\t\n\x0c\r ]*)>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
@@ -1084,6 +1089,13 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
         pos = end
         kind = m.lastgroup
         if kind is None:  # whitespace / comment / stray byte
+            continue
+        if kind == "tmtjs":
+            parts = m.group("tmtj").split()
+            yield ("tmtj",
+                   (float(parts[0]), float(parts[1]), float(parts[2]),
+                    float(parts[3]), float(parts[4]), float(parts[5])),
+                   m.group("tmtjs"))
             continue
         if kind == "tm6":
             parts = m.group("tm6").split()
@@ -1317,7 +1329,11 @@ def _extract_spans(
     for tok in _content_tokens(content):
         if type(tok) is tuple:  # fused fast-path tokens
             k0 = tok[0]
-            if k0 == "tm6":
+            if k0 == "tmtj":  # set matrix + show in one event
+                tm = tlm = tok[1]
+                if in_text:
+                    emit(tok[2])
+            elif k0 == "tm6":
                 tm = tlm = tok[1]
             elif k0 == "tj":
                 if in_text:
