@@ -35,7 +35,14 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["warc_record", "split_warc", "write_warc", "read_warc"]
+__all__ = [
+    "warc_record",
+    "split_warc",
+    "write_warc",
+    "write_warc_indexed",
+    "read_warc",
+    "fetch_warc_record",
+]
 
 WARC_MANIFEST_DDL = "path STRING, n_records BIGINT, n_bytes BIGINT"
 WARC_ROWS_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY"
@@ -162,6 +169,66 @@ def write_warc(pages: DataFrame, out_dir: str) -> DataFrame:
     return pages.select("url", "warc_ts", "html").mapInPandas(
         emit, schema=WARC_MANIFEST_DDL
     )
+
+
+WARC_INDEX_DDL = "url STRING, path STRING, offset BIGINT, length BIGINT"
+
+
+def write_warc_indexed(pages: DataFrame, out_dir: str) -> DataFrame:
+    """Like :func:`write_warc`, but returns the CDX-style per-record index
+    (url, path, offset, length) instead of the segment manifest — the
+    random-access pattern Common Crawl ships alongside its segments: one
+    record is fetched by reading ``length`` bytes at ``offset`` (an exact
+    gzip member) without touching the rest of the segment. The index is a
+    distributed result; persist it bucketed/sorted by url for O(1) lookups
+    at corpus scale."""
+    import os
+    import uuid
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for b in batches:
+            members: List[Tuple[str, bytes]] = []
+            for url, ts, payload in zip(b["url"], b["warc_ts"], b["html"]):
+                if payload is None:
+                    continue
+                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                members.append(
+                    (str(url), _gzip_member(warc_record(str(url), t, bytes(payload))))
+                )
+            if not members:
+                continue
+            name = f"segment-{uuid.uuid4().hex[:12]}.warc.gz"
+            path = os.path.join(out_dir, name)
+            urls, offs, lens = [], [], []
+            off = 0
+            with open(path, "wb") as f:
+                for url, member in members:
+                    f.write(member)
+                    urls.append(url)
+                    offs.append(off)
+                    lens.append(len(member))
+                    off += len(member)
+            yield pd.DataFrame(
+                {"url": urls, "path": [path] * len(urls), "offset": offs,
+                 "length": lens}
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        emit, schema=WARC_INDEX_DDL
+    )
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> Tuple[str, str, bytes]:
+    """Point lookup: read one gzip member at (offset, length) and parse it —
+    the consumer side of :func:`write_warc_indexed`."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    recs = split_warc(member)
+    if not recs:
+        raise ValueError(f"no WARC record at {path}:{offset}+{length}")
+    return recs[0]
 
 
 def read_warc(spark, path_glob: str) -> DataFrame:

@@ -61,3 +61,29 @@ def test_warc_roundtrip_and_extraction_equivalence(spark, tmp_path):
     b = {(r["url"], r["kind"], r["text"]) for r in
          via_df.select("url", "kind", "text").collect()}
     assert a == b
+
+
+def test_warc_index_point_lookup(spark, tmp_path):
+    from b_pdf_parser_spark.sources.pages import synth_pages_df
+    from b_pdf_parser_spark.sources.warc import fetch_warc_record, write_warc_indexed
+
+    pages = synth_pages_df(spark, 60, seed=11, num_partitions=3).filter(
+        F.col("html").isNotNull()
+    )
+    idx = {r["url"]: r for r in
+           write_warc_indexed(pages, str(tmp_path / "seg")).collect()}
+    orig = {r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()}
+    assert set(idx) == set(orig)
+    # every record is retrievable by (offset, length) alone — and offsets
+    # within a segment are disjoint ascending gzip members
+    for url in list(orig)[:10]:
+        r = idx[url]
+        u, _, payload = fetch_warc_record(r["path"], r["offset"], r["length"])
+        assert u == url and payload == orig[url]
+    by_path = {}
+    for r in idx.values():
+        by_path.setdefault(r["path"], []).append((r["offset"], r["length"]))
+    for spans in by_path.values():
+        spans.sort()
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2  # contiguous members, no gaps/overlap
