@@ -310,6 +310,69 @@ def _flate(data: bytes) -> bytes:
                 raise PdfError(f"flate decode failed: {e}") from e
 
 
+def _lzw(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF 1.7 §7.4.4 — the TIFF/GIF variable-code LZW with
+    9→12-bit codes, clear=256, EOD=257, and the spec's EarlyChange code-width
+    bump one code before the table fills). Common in 1990s-era web PDFs."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _runlength(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 1.7 §7.4.5): length byte 0-127 → copy n+1
+    literal bytes; 129-255 → repeat next byte 257-n times; 128 → EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - l)
+                i += 1
+    return bytes(out)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -887,6 +950,12 @@ class PdfDocument:
             if fname in ("FlateDecode", "Fl"):
                 data = _flate(data)
                 data = _apply_predictor(data, {k: self.resolve(v) for k, v in p.items()})
+            elif fname in ("LZWDecode", "LZW"):
+                data = _lzw(data, int(self.resolve(p.get("EarlyChange", 1)) or 0)
+                            if "EarlyChange" in p else 1)
+                data = _apply_predictor(data, {k: self.resolve(v) for k, v in p.items()})
+            elif fname in ("RunLengthDecode", "RL"):
+                data = _runlength(data)
             elif fname in ("ASCIIHexDecode", "AHx"):
                 data = _ascii_hex(data)
             elif fname in ("ASCII85Decode", "A85"):

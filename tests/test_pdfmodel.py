@@ -385,3 +385,95 @@ def test_aes256_wrong_user_password_raises():
     tampered = data[: i + 4] + bytes([data[i + 4] ^ 0xFF]) + data[i + 5 :]
     with pytest.raises(pm.PdfError, match="password"):
         pm.extract_pdf_text(tampered)
+
+
+# -- LZW / RunLength filters (§7.4.4 / §7.4.5) -------------------------------
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-variant LZW encoder (EarlyChange=1) for roundtrip tests."""
+    codes = []
+    width = 9
+
+    def emit(code):
+        codes.append((code, width))
+
+    d = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in d:
+            w += c
+            continue
+        emit(d[w])
+        d[w + c] = nxt
+        nxt += 1
+        if nxt >= (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(d[w])
+    emit(257)
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_known_answer():
+    # PDF 1.7 §7.4.4.2 example: '-----A---B' ⇒ codes 256 45 258 258 65 259 66 257
+    codes = [256, 45, 258, 258, 65, 259, 66, 257]
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert pm._lzw(bytes(out)) == b"-----A---B"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=600))
+def test_lzw_roundtrip(data):
+    assert pm._lzw(_lzw_encode(data)) == data
+
+
+def test_runlength_decode():
+    # 2 literals, a 4-run of 'x', EOD, trailing junk ignored
+    enc = bytes([1]) + b"ab" + bytes([253]) + b"x" + bytes([128]) + b"IGNORED"
+    assert pm._runlength(enc) == b"abxxxx"
+    assert pm._runlength(b"") == b""
+
+
+def test_decode_stream_lzw_and_runlength_filters():
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (lzw works) Tj ET"
+    lzw_pdf = (
+        b"%%PDF-1.3\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /LZWDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    ) % (len(_lzw_encode(content)), _lzw_encode(content))
+    # no xref at all → exercises the rebuild path too
+    assert pm.extract_pdf_text(lzw_pdf) == "lzw works\n\n"
+    rl = bytes([len(content) - 1]) + content + bytes([128])
+    rl_pdf = lzw_pdf.replace(b"/Filter /LZWDecode /Length %d" % len(_lzw_encode(content)),
+                             b"/Filter /RunLengthDecode /Length %d" % len(rl)).replace(
+        b"stream\n" + _lzw_encode(content), b"stream\n" + rl)
+    assert pm.extract_pdf_text(rl_pdf) == "lzw works\n\n"
