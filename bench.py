@@ -255,13 +255,17 @@ def main() -> None:
             # pre-declared retry rule: a >1.3× spread on the large side means
             # an external load spell squeezed part of the window (the small
             # side never shows it — 2 threads always have headroom). Extend
-            # the window with 3 more alternated reps so clean intervals get a
-            # vote; the median is then taken over all 6 pairs.
-            big = reps[SCALE_N * 4]
-            extended = False
-            if max(big) / max(min(big), 1e-9) > 1.3:
-                extended = True
-                for _rep in range(3, 6):
+            # the window with 3 more alternated reps, up to twice, so a
+            # clean interval gets a vote; the median is then taken over all
+            # pairs. (Observed: a single spell can outlast one extension.)
+            extended = 0
+            while extended < 2:
+                big = reps[SCALE_N * 4]
+                if max(big) / max(min(big), 1e-9) <= 1.3:
+                    break
+                start = len(big)
+                extended += 1
+                for _rep in range(start, start + 3):
                     _one_rep(_rep)
             # efficiency from the MEDIAN paired ratio: the small/large runs
             # of one rep are adjacent in time and see similar co-tenant load,
@@ -283,6 +287,13 @@ def main() -> None:
             # below; both are reported so neither estimator's failure mode
             # hides in a single number.
             best = max(reps[SCALE_N * 4]) / max(reps[SCALE_N])
+            # best adjacent-in-time pair: the strongest capability evidence
+            # when a load spell drags whole windows (max/max underestimates
+            # if the two sides' fastest runs land in different windows); the
+            # env capacity ratio caps it so one unlucky slow small-side rep
+            # cannot fabricate super-linearity
+            env_cap = _env_capacity_ratio(SCALE_N)
+            best_pair = min(max(pair_ratios), env_cap if env_cap > 0 else 4.0)
             out["scaling"] = {
                 "cpus_small": SCALE_N,
                 "cpus_large": SCALE_N * 4,
@@ -292,14 +303,22 @@ def main() -> None:
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / 4, 3),
                 "efficiency_best": round(best / 4, 3),
-                "env_capacity_ratio": _env_capacity_ratio(SCALE_N),
+                "efficiency_best_pair": round(best_pair / 4, 3),
+                "env_capacity_ratio": env_cap,
+                # raw-CPU multiprocessing only reached env_capacity_ratio×
+                # in this window — when that is well under 4.0 the window
+                # was squeezed by co-tenant load and the medians below
+                # under-report the engine (documented in BENCH/BASELINE.md)
+                "window_squeezed": bool(env_cap and env_cap < 3.8),
                 "extended_reps": extended,
                 "method": "median paired ratio over order-alternated reps"
-                          " (3, +3 if large-side spread >1.3x signals an"
-                          " external load spell) + best-of capability bound;"
-                          " env_capacity_ratio is raw-CPU multiprocessing"
-                          " throughput large/small measured in the same"
-                          " window (4.0 = environment could deliver 4x)",
+                          " (3, +3 up to twice while large-side spread >1.3x"
+                          " signals an external load spell) + best-of and"
+                          " best-pair capability bounds (best pair capped at"
+                          " env capacity); env_capacity_ratio is raw-CPU"
+                          " multiprocessing throughput large/small measured"
+                          " in the same window (4.0 = environment could"
+                          " deliver 4x)",
             }
         except Exception as e:  # a failed scaling probe must not eat the bench
             out["scaling_error"] = f"{type(e).__name__}: {e}"
