@@ -179,12 +179,17 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
     """
     from pyspark.sql import Window
 
+    # split on \r?\n and strip all edge whitespace explicitly — Spark's
+    # trim() removes only spaces, so CRLF files would otherwise leave a
+    # trailing \r inside every rule path
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+        F.posexplode(F.split(F.col(txt_col), r"\r?\n")).alias("pos", "raw"),
     ).select(
         "host", "pos",
-        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+        F.regexp_replace(
+            F.regexp_replace("raw", r"#.*$", ""), r"^\s+|\s+$", ""
+        ).alias("line"),
     )
     parsed = lines.select(
         "host", "pos",

@@ -202,3 +202,12 @@ def test_parse_robots_no_star_group_yields_nothing(spark):
         [("h", "User-agent: bot\nDisallow: /x\n")], "host string, robots_txt string"
     )
     assert parse_robots(df).count() == 0
+
+
+def test_parse_robots_crlf_and_tabs(spark):
+    from b_pdf_parser_spark.operators.links import parse_robots
+
+    txt = "User-agent: *\r\n\tAllow: /ok\t\r\nDisallow: /no \r\n"
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    got = {(r["rule_path"], r["allow"]) for r in parse_robots(df).collect()}
+    assert got == {("/ok", True), ("/no", False)}
