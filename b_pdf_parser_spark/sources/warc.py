@@ -151,7 +151,7 @@ def write_warc(pages: DataFrame, out_dir: str) -> DataFrame:
         for b in batches:
             chunks = []
             for url, ts, payload in zip(b["url"], b["warc_ts"], b["html"]):
-                if payload is None:
+                if payload is None or pd.isna(ts):
                     continue
                 t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
                 chunks.append(_gzip_member(warc_record(str(url), t, bytes(payload))))
@@ -190,7 +190,7 @@ def write_warc_indexed(pages: DataFrame, out_dir: str) -> DataFrame:
         for b in batches:
             members: List[Tuple[str, bytes]] = []
             for url, ts, payload in zip(b["url"], b["warc_ts"], b["html"]):
-                if payload is None:
+                if payload is None or pd.isna(ts):
                     continue
                 t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
                 members.append(
