@@ -248,10 +248,17 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """PDF string/stream decryption: leading 16-byte IV, PKCS#7 unpad.
-    Malformed input degrades to best effort (empty/short data → b'') —
-    the caller's PdfError contract handles structural garbage upstream."""
-    if len(data) < 32 or (len(data) - 16) % 16:
+
+    An empty payload (IV only, or nothing) is legal and yields ``b""`` —
+    PDF writers emit zero-length encrypted strings. Anything else that is
+    not block-aligned, or whose PKCS#7 pad bytes do not all match, raises
+    ``ValueError`` so a corrupted AES stream surfaces as an error row
+    (matching the RC4/flate PdfError contract) instead of silently passing
+    as truncated/empty text."""
+    if len(data) <= 16:
         return b""
+    if (len(data) - 16) % 16:
+        raise ValueError("AES-CBC payload is not a 16-byte multiple")
     kw = _dec_words(_expand_key(key))
     out = bytearray()
     prev = int.from_bytes(data[:16], "big")
@@ -263,6 +270,6 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
         )
         prev = cur
     pad = out[-1]
-    if 1 <= pad <= 16:
-        out = out[:-pad]
-    return bytes(out)
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad PKCS#7 padding in AES stream")
+    return bytes(out[:-pad])

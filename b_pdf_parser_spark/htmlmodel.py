@@ -299,25 +299,41 @@ def extract_links(data: bytes) -> List[dict]:
     out: List[dict] = []
     i = 0
     n = len(html)
+
+    def _next_anchor_open(p: int) -> int:
+        while True:
+            j = lower.find("<a", p)
+            if j < 0:
+                return -1
+            after = lower[j + 2 : j + 3]
+            if after in ("", " ", "\t", "\n", "\r", "\f", ">", "/"):
+                return j
+            p = j + 2  # <abbr>, <address>, ... — not an anchor
+
     while True:
-        j = lower.find("<a", i)
+        j = _next_anchor_open(i)
         if j < 0:
             break
-        after = lower[j + 2 : j + 3]
-        if after not in ("", " ", "\t", "\n", "\r", "\f", ">", "/"):
-            i = j + 2  # <abbr>, <address>, ... — not an anchor
-            continue
         gt = html.find(">", j + 1)
         if gt < 0:
             break
         m = _HREF_RE.search(html, j + 1, gt)
-        end = lower.find("</a", gt + 1)
+        # anchor text ends at </a> OR at the next <a> open tag — browsers
+        # implicitly close an open anchor when a new one starts, so
+        # '<a href=A>x <a href=B>y</a>' yields both A ("x") and B ("y")
+        # instead of A swallowing B's markup
+        close = lower.find("</a", gt + 1)
+        end = close if close >= 0 else n
+        nxt = _next_anchor_open(gt + 1)
+        if 0 <= nxt < end:
+            end = nxt
         if m:
             href = m.group(1) or m.group(2) or m.group(3) or ""
             href = _ENTITY_RE.sub(_decode_entity, href).strip()
-            inner = html[gt + 1 : end if end >= 0 else n]
+            inner = html[gt + 1 : end]
             anchor = _clean_text(_INNER_TAG_RE.sub(" ", inner)).strip()
             if href:
                 out.append({"href": href, "anchor": anchor})
-        i = (end + 3) if end >= 0 else n
+        # resume just past the open tag so a nested anchor is itself scanned
+        i = gt + 1
     return out

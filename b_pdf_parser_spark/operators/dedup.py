@@ -78,10 +78,16 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, seed, minhash) — minhash = min md5('<seed>:'||shingle) prefix."""
-    sh = shingles(df, id_col, text_col, n)
+    """(id, seed, minhash) — minhash = min md5('<seed>:'||shingle) prefix.
+
+    ``shingles_df`` (an (id, shingle) frame, typically checkpointed) lets a
+    caller that also needs the shingle sets for a confirm join compute the
+    explode+window subtree once instead of once per consumer.
+    """
+    sh = shingles(df, id_col, text_col, n) if shingles_df is None else shingles_df
     seeded = sh.select(
         "id", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed"), "shingle"
     )
@@ -103,15 +109,16 @@ def minhash_signature_string(
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = DEFAULT_K, bands: int = DEFAULT_BANDS, n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal band-key ⇒ candidate. Returns (id_a, id_b).
 
     The self-join shuffles on (band, band_key) — only hash-colliding docs
     co-locate, so the join stays linear-ish at 10^12 docs instead of the
-    quadratic all-pairs.
+    quadratic all-pairs. ``shingles_df`` forwards to `minhash_signatures`.
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n)
+    sig = minhash_signatures(df, id_col, text_col, k, n, shingles_df=shingles_df)
     banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     keys = banded.groupBy("id", "band").agg(
         F.array_join(F.array_sort(F.collect_list(F.concat_ws("=", "seed", "minhash"))), ",")
@@ -132,11 +139,21 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.0
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.0,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for LSH candidate pairs: (id_a, id_b, jaccard)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, n=n)
-    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)  # used 3×
+    """Exact n-gram Jaccard for LSH candidate pairs: (id_a, id_b, jaccard).
+
+    The shingle subtree (explode + lead window + distinct — the most
+    expensive piece of the whole near-dup path) is computed ONCE behind a
+    lazy checkpoint and shared by the minhash signatures, the intersection
+    probe, and the set sizes; previously the LSH candidates recomputed it.
+    """
+    sh = (
+        shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+        if shingles_df is None else shingles_df
+    )  # used 4×: minhash, intersection a-side, b-side, sizes
+    cands = lsh_candidate_pairs(df, id_col, text_col, n=n, shingles_df=sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -638,7 +638,18 @@ class PdfDocument:
             cfm = str(self.resolve((stdcf or {}).get("CFM", "")))
             if cfm not in ("AESV2", "V2"):
                 raise PdfError(f"unsupported V4 crypt filter {cfm!r}")
-            key = _std_file_key(dict(enc, Length=enc.get("Length", 128)), file_id)
+            # key length: the StdCF /Length (spec'd in BYTES for crypt
+            # filters, though some writers put bits there) wins over the
+            # top-level /Length — a V4 file declaring its key size only in
+            # StdCF would otherwise derive a wrong key and be misreported
+            # as password-protected
+            length = self.resolve((stdcf or {}).get("Length"))
+            if length is None:
+                length = self.resolve(enc.get("Length", 128))
+            length = int(length or 128)
+            if length <= 40:  # byte count (5..40) → bits
+                length *= 8
+            key = _std_file_key(dict(enc, Length=length), file_id)
             if not _std_user_check(enc, file_id, key):
                 raise PdfError("password-protected PDF (user password required)")
             self._cipher = "aesv2" if cfm == "AESV2" else "rc4"

@@ -81,27 +81,29 @@ def _gzip_member(record: bytes) -> bytes:
     return buf.getvalue()
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
-    out = bytearray()
+def _gunzip_member_list(data: bytes) -> List[bytes]:
+    """Decompress a concatenation of gzip members (the .warc.gz layout),
+    one decompressed blob per member — member boundaries ARE the recovery
+    points: a record with a mangled header only loses itself, because the
+    next member starts a fresh parse."""
+    out: List[bytes] = []
     while data:
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(data)
-            out += d.flush()
+            member = d.decompress(data) + d.flush()
         except zlib.error:
-            break  # truncated / corrupt tail: keep the records already read
+            break  # truncated / corrupt tail: keep the members already read
+        out.append(member)
         if d.unused_data == data:
             break
         data = d.unused_data
-    return bytes(out)
+    return out
 
 
-def split_warc(data: bytes) -> List[Tuple[str, str, bytes]]:
-    """(url, date, payload) per response record. Content-Length-driven —
-    malformed headers end the walk rather than mis-framing payload bytes."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+def _walk_records(data: bytes) -> List[Tuple[str, str, bytes]]:
+    """Content-Length-driven record walk over one uncompressed buffer.
+    A malformed header ends THIS buffer's walk (payloads are binary, so
+    scanning forward for delimiters would mis-frame records)."""
     out: List[Tuple[str, str, bytes]] = []
     i = 0
     n = len(data)
@@ -136,6 +138,21 @@ def split_warc(data: bytes) -> List[Tuple[str, str, bytes]]:
             )
         )
     return out
+
+
+def split_warc(data: bytes) -> List[Tuple[str, str, bytes]]:
+    """(url, date, payload) per response record.
+
+    ``.warc.gz`` input is parsed per gzip member (CC writes one member per
+    record), so a record with a missing/garbled Content-Length drops only
+    itself — every later member still parses. Uncompressed input has no
+    such recovery boundary; there a malformed header ends the walk."""
+    if data[:2] == b"\x1f\x8b":
+        out: List[Tuple[str, str, bytes]] = []
+        for member in _gunzip_member_list(data):
+            out.extend(_walk_records(member))
+        return out
+    return _walk_records(data)
 
 
 def write_warc(pages: DataFrame, out_dir: str) -> DataFrame:

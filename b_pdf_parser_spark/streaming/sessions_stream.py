@@ -64,16 +64,24 @@ def _session_fn(gap_seconds: int, max_events: int):
         else:
             start, last, n = None, None, 0
         closed = []
-        for pdf in pdfs:
-            for ts in pdf["ts"].sort_values():
-                t = int(ts.value // 1_000_000_000)  # epoch seconds
-                if last is not None and (t - last > gap_seconds or n >= max_events):
-                    closed.append((user_id, start, last, n, True))
-                    start, n = None, 0
-                if start is None:
-                    start = t
-                last = t
-                n += 1
+        # applyInPandasWithState may deliver one key's micro-batch rows as
+        # several pandas chunks; a per-chunk sort would let a later chunk
+        # carry earlier timestamps and silently mis-split sessions, so all
+        # chunks are concatenated and sorted once before the event walk
+        chunks = [pdf["ts"] for pdf in pdfs]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks else pd.Series([], dtype="datetime64[ns]")
+        )
+        for ts in all_ts.sort_values():
+            t = int(ts.value // 1_000_000_000)  # epoch seconds
+            if last is not None and (t - last > gap_seconds or n >= max_events):
+                closed.append((user_id, start, last, n, True))
+                start, n = None, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
         state.update((start, last, n))
         rows = closed + ([(user_id, start, last, n, False)] if n else [])
         if rows:

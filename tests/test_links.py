@@ -211,3 +211,20 @@ def test_parse_robots_crlf_and_tabs(spark):
     df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
     got = {(r["rule_path"], r["allow"]) for r in parse_robots(df).collect()}
     assert got == {("/ok", True), ("/no", False)}
+
+
+def test_extract_links_nested_and_implicitly_closed_anchors():
+    # browsers implicitly close an open <a> at the next <a> start tag: both
+    # hrefs must surface and neither anchor text swallows the other's markup
+    html = b'<a href="https://a.example/">x <a href="https://b.example/">y</a> tail'
+    links = extract_links(html)
+    assert [l["href"] for l in links] == ["https://a.example/", "https://b.example/"]
+    assert links[0]["anchor"] == "x"
+    assert links[1]["anchor"] == "y"
+    # an unclosed anchor followed by another anchor stops at the next open
+    html2 = b'<a href="https://c.example/">head <a href="https://d.example/">tail</a>'
+    got = extract_links(html2)
+    assert [(l["href"], l["anchor"]) for l in got] == [
+        ("https://c.example/", "head"),
+        ("https://d.example/", "tail"),
+    ]

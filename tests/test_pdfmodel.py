@@ -477,3 +477,35 @@ def test_decode_stream_lzw_and_runlength_filters():
                              b"/Filter /RunLengthDecode /Length %d" % len(rl)).replace(
         b"stream\n" + _lzw_encode(content), b"stream\n" + rl)
     assert pm.extract_pdf_text(rl_pdf) == "lzw works\n\n"
+
+
+def test_aes_bad_padding_raises():
+    # a corrupted AES stream must land in the error column, not silently
+    # decode to truncated/empty text (RC4/flate failures raise — AES should
+    # match that contract)
+    from b_pdf_parser_spark.aescipher import aes_cbc_decrypt, aes_cbc_encrypt
+
+    key = bytes(range(16))
+    iv = bytes(16)
+    ct = aes_cbc_encrypt(key, iv, b"some text payload")
+    assert aes_cbc_decrypt(key, ct) == b"some text payload"
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, ct[:-1] + bytes([ct[-1] ^ 0x5A]))  # broken pad
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, ct + b"x")  # not block-aligned
+    # zero-length encrypted strings remain legal (writers emit them)
+    assert aes_cbc_decrypt(key, b"") == b""
+    assert aes_cbc_decrypt(key, iv) == b""
+
+
+def test_aes_v4_key_length_from_stdcf_only():
+    # a V4 file may declare the key size only in the StdCF crypt filter
+    # (/Length there is a BYTE count per spec); blanking the top-level
+    # /Length with same-width spaces keeps every xref offset valid
+    plain = pm.extract_pdf_text(_enc_sample())
+    data = _enc_sample(encrypt="aes-128")
+    marker = b"/V 4 /R 4 /Length 128"
+    assert marker in data
+    stripped = data.replace(marker, b"/V 4 /R 4            ", 1)
+    assert len(stripped) == len(data)
+    assert pm.extract_pdf_text(stripped) == plain

@@ -97,3 +97,31 @@ def test_stateful_sessions_survive_restart(spark, tmp_path):
     drain()
     b = {(r["n_events"], r["closed"]) for r in spark.read.parquet(out).collect()}
     assert b == {(2, False), (4, False)}  # run-2 emission continues at 4
+
+
+def test_session_fn_sorts_across_chunks():
+    # applyInPandasWithState may hand one key's rows over as several pandas
+    # chunks; ordering must be global, not per-chunk (a later chunk carrying
+    # the earliest timestamp once produced a negative-gap "in-session" walk)
+    import pandas as pd
+
+    from b_pdf_parser_spark.streaming.sessions_stream import _session_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.v = v
+
+    fn = _session_fn(1800, 100)
+    t = pd.Timestamp
+    chunk1 = pd.DataFrame({"ts": [t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")]})
+    chunk2 = pd.DataFrame({"ts": [t("2024-01-01 08:00:00")]})  # earliest, last chunk
+    rows = pd.concat(list(fn((1,), iter([chunk1, chunk2]), FakeState())))
+    closed = rows[rows.closed]
+    assert len(closed) == 1  # 08:00 alone, closed by the >30min gap to 10:00
+    assert closed.iloc[0].session_start == int(t("2024-01-01 08:00:00").timestamp())
+    assert closed.iloc[0].n_events == 1
+    open_ = rows[~rows.closed]
+    assert open_.iloc[0].session_start == int(t("2024-01-01 10:00:00").timestamp())
+    assert open_.iloc[0].n_events == 2

@@ -87,3 +87,19 @@ def test_warc_index_point_lookup(spark, tmp_path):
         spans.sort()
         for (o1, l1), (o2, _) in zip(spans, spans[1:]):
             assert o1 + l1 == o2  # contiguous members, no gaps/overlap
+
+
+def test_split_warc_gz_bad_member_loses_only_itself():
+    # gzip member boundaries are recovery points: one record with a mangled
+    # Content-Length drops only itself, not every record after it
+    recs = [
+        (f"https://h/{i}", datetime(2024, 1, 1, 0, 0, i), b"payload%d" % i)
+        for i in range(5)
+    ]
+    members = [warc_record(u, t, p) for u, t, p in recs]
+    bad = members[2].replace(b"Content-Length:", b"Content-Lenxth:", 1)
+    gz = b"".join(
+        _gzip_member(m) for m in [members[0], members[1], bad, members[3], members[4]]
+    )
+    got = split_warc(gz)
+    assert [p for _, _, p in got] == [b"payload0", b"payload1", b"payload3", b"payload4"]
