@@ -28,7 +28,9 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "per_host_cap",
+    "per_host_cap_threshold",
     "token_shards",
+    "token_shards_bucketed",
 ]
 
 
@@ -104,6 +106,48 @@ def token_shards(
     )
 
 
+def token_shards_bucketed(
+    df: DataFrame, id_col: str, text_col: str, tokens_per_shard: int,
+    bucket_hex_len: int = 1,
+) -> DataFrame:
+    """Two-level shard packing — the 10^12-doc form of ``token_shards``.
+
+    ``token_shards``'s exact global running sum is one ordered window: a
+    single sorted pass that cannot parallelize. Here documents first hash
+    into ``16**bucket_hex_len`` coarse buckets (map-only, the leading hex
+    digits of the same md5 the layout order already uses), and the running
+    sum runs PER BUCKET (``partitionBy`` the bucket) — every bucket packs
+    independently on its own executor, so the operator scales linearly
+    with the cluster. Shard identity is the (bucket, shard) pair; each
+    bucket's shards are ~``tokens_per_shard`` sized, so the trade vs the
+    global form is only that shard numbering restarts per bucket and each
+    bucket's final partial shard may be under-full (≤ one per bucket).
+
+    Output: (doc_id, bucket, n_toks, shard). Pure integer + md5-hex
+    arithmetic → identical on any cluster size and in the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.textstats import token_count
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_toks"),
+        _bucket(id_col).alias("_h"),
+    ).withColumn("bucket", F.substring("_h", 1, bucket_hex_len))
+    cum = F.sum("n_toks").over(
+        Window.partitionBy("bucket").orderBy("_h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return t.withColumn("cum", cum).select(
+        "doc_id",
+        "bucket",
+        "n_toks",
+        F.expr(f"(cum - n_toks) DIV {int(tokens_per_shard)}").alias("shard"),
+    )
+
+
 def per_host_cap(
     df: DataFrame, key_col: str, host_col: str, cap: int
 ) -> DataFrame:
@@ -129,4 +173,44 @@ def per_host_cap(
     )
     return df.select(
         key_col, host_col, (F.row_number().over(w) <= cap).alias("keep")
+    )
+
+
+def per_host_cap_threshold(
+    df: DataFrame, key_col: str, host_col: str, cap: int
+) -> DataFrame:
+    """Windowless form of ``per_host_cap`` for mega-hosts.
+
+    ``per_host_cap``'s row_number window puts a whole host on one task — at
+    10^9 pages of one domain that task never finishes. This variant trades
+    the exact count for two LINEAR passes: (1) count rows per host (hash
+    groupBy, map-side combined), (2) keep rows whose md5(key) falls under
+    ``cap/count`` of the 32-bit hash space. Survivors are chosen by the
+    same partitioning-independent md5 order, hosts at or under the cap keep
+    everything exactly, and an over-cap host keeps ~``cap`` rows in
+    expectation (binomial, tight for large hosts). The per-host threshold
+    is pure integer/hex arithmetic, so the decision is reproducible on any
+    cluster size and in the DuckDB oracle. The count join broadcasts when
+    the host dimension is small; at web scale it is a plain hash join on
+    the host key.
+
+    Output mirrors ``per_host_cap``: (key, host, keep).
+    """
+    counts = df.groupBy(host_col).agg(F.count("*").alias("_n"))
+    # floor(cap * 2^32 / n) as an 8-hex threshold; doubles are exact here
+    # (cap * 2^32 ≲ 2^48 « 2^53)
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.lit(cap) * F.lit(float(2**32)) / F.col("_n")))),
+        8, "0",
+    )
+    return (
+        df.join(counts, host_col)
+        .select(
+            key_col,
+            host_col,
+            (
+                (F.col("_n") <= cap)
+                | (F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < thr)
+            ).alias("keep"),
+        )
     )

@@ -40,16 +40,27 @@ def _rows(df_pandas):
     return sorted(tuple(_canon(r[c]) for c in cols) for _, r in df_pandas.iterrows())
 
 
-ORACLES = entry.oracle_sql()
+# the driver checks queries()/oracle_sql(); the retired demos in
+# extra_queries()/extra_oracle_sql() keep full parity coverage here
+ORACLES = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+ALL_QUERIES = {**entry.queries(), **entry.extra_queries()}
 
 
 def test_every_oracle_key_has_a_query():
-    assert set(ORACLES) <= set(entry.queries())
+    assert set(entry.oracle_sql()) <= set(entry.queries())
+    assert set(entry.extra_oracle_sql()) <= set(entry.extra_queries())
+
+
+def test_driver_window_holds_every_registered_query():
+    # the driver's correctness window is 50 entries: anything past it gets
+    # no row (round-2 verdict #1) — the registry must never outgrow it
+    assert len(entry.queries()) <= 50
+    assert not set(entry.queries()) & set(entry.extra_queries())
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
-    q = entry.queries()[name]
+    q = ALL_QUERIES[name]
     got = q(spark, SF_DIR).toPandas()
     exp = duck.execute(ORACLES[name]).df()
     assert sorted(got.columns) == sorted(c.lower() for c in exp.columns), (
@@ -102,10 +113,33 @@ def test_mixed_case_matches_oracle(name, spark, tmp_path):
     assert _rows(got) == _rows(exp)
 
 
-@pytest.mark.parametrize("name", sorted(set(entry.queries()) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
-    df = entry.queries()[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+# oracle queries where an EMPTY (or trivially degenerate) result would still
+# hash-match: a vacuous green can't catch a regression in the operator it
+# gates (round-2 verdict #4 — repeated_lines matched on 0 rows for two
+# rounds). Every query here must return rows at the smallest SF.
+_MUST_BE_NONEMPTY = [
+    "repeated_lines",
+    "near_dup_pairs",
+    "near_dup_clusters",
+    "decontamination",
+    "duplicate_spans",
+    "exact_dedup",
+    "host_cap_threshold",
+    "token_shards_bucketed",
+]
+
+
+@pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
+def test_oracle_greens_are_not_vacuous(name, spark):
+    assert ALL_QUERIES[name](spark, SF_DIR).count() > 0, (
+        f"{name}: empty result — the oracle green would be vacuous"
+    )
 
 
 def test_entry_smoke(spark):

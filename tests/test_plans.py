@@ -14,6 +14,8 @@ import pytest
 
 import __spark_entry__ as entry
 
+ALL_Q = {**entry.queries(), **entry.extra_queries()}
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -61,12 +63,12 @@ def test_filter_pushdown_on_pages(spark, pages_parquet):
 
 def test_broadcast_joins_in_dimension_queries(spark):
     for name in ("top_customers", "regional_revenue"):
-        plan = _plan(entry.queries()[name](spark, "/root/testdata/sf0.001"))
+        plan = _plan(ALL_Q[name](spark, "/root/testdata/sf0.001"))
         assert "BroadcastHashJoin" in plan, name
 
 
 def test_partial_aggregation_present(spark):
-    plan = _plan(entry.queries()["pricing_summary"](spark, "/root/testdata/sf0.001"))
+    plan = _plan(ALL_Q["pricing_summary"](spark, "/root/testdata/sf0.001"))
     # Catalyst splits hash aggregates into partial + final around the exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan.lower() or "Partial" in plan
@@ -77,7 +79,7 @@ def test_wholestage_codegen_on_relational_path(spark):
     # nodes in the final executed plan, so run the query first)
     import re
 
-    df = entry.queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
+    df = ALL_Q["pricing_summary"](spark, "/root/testdata/sf0.001")
     df.collect()
     plan = _plan(df)
     # codegen stages render as "*(N) Operator" in the executed-plan string
@@ -85,10 +87,10 @@ def test_wholestage_codegen_on_relational_path(spark):
     # ...and even the higher-order-function query (not codegen-able) stays
     # JVM-side: no Python evaluation node anywhere in the hot path
     for name in ("text_stats", "langid", "pricing_summary", "sessionize_events"):
-        p = _plan(entry.queries()[name](spark, "/root/testdata/sf0.001"))
+        p = _plan(ALL_Q[name](spark, "/root/testdata/sf0.001"))
         assert "EvalPython" not in p, f"{name} must not drop into Python"
 
 
 def test_lsh_join_keyed_on_bucket(spark):
-    plan = _plan(entry.queries()["lsh_candidates"](spark, "/root/testdata/sf0.001"))
+    plan = _plan(ALL_Q["lsh_candidates"](spark, "/root/testdata/sf0.001"))
     assert "band" in plan  # join keys include the band/bucket, not doc pairs

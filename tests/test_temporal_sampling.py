@@ -246,3 +246,70 @@ def test_token_shards_offsets_and_budget(spark):
     again = {(r["doc_id"], r["shard"])
              for r in token_shards(docs.repartition(7), "doc_id", "text", 100).collect()}
     assert again == {(r["doc_id"], r["shard"]) for r in out}
+
+
+def test_per_host_cap_threshold_matches_exact_under_cap(spark):
+    # hosts at or under the cap keep everything — identical to the window
+    # form; the windowless variant must not drop anything there
+    from b_pdf_parser_spark.operators.sampling import (per_host_cap,
+                                                       per_host_cap_threshold)
+
+    rows = [(i, f"host{i % 5}") for i in range(15)]  # 3 per host, cap 4
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    thr = {(r["doc_id"], r["keep"])
+           for r in per_host_cap_threshold(df, "doc_id", "host", 4).collect()}
+    exact = {(r["doc_id"], r["keep"])
+             for r in per_host_cap(df, "doc_id", "host", 4).collect()}
+    assert thr == exact
+    assert all(k for _, k in thr)
+
+
+def test_per_host_cap_threshold_megahost_approx_and_deterministic(spark):
+    from b_pdf_parser_spark.operators.sampling import per_host_cap_threshold
+
+    # one 4000-row "mega host" + a tiny host; cap 40 → expect ~40 ± binomial
+    rows = [(i, "mega") for i in range(4000)] + [(9990 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = per_host_cap_threshold(df, "doc_id", "host", 40).collect()
+    kept_mega = [r["doc_id"] for r in out if r["host"] == "mega" and r["keep"]]
+    assert 20 <= len(kept_mega) <= 60  # ±>3σ of Binomial(4000, 0.01)
+    assert all(r["keep"] for r in out if r["host"] == "tiny")
+    # partitioning-independent: identical keeps on a different layout
+    again = {(r["doc_id"], r["keep"])
+             for r in per_host_cap_threshold(df.repartition(13), "doc_id", "host", 40).collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in out}
+
+
+def test_token_shards_bucketed_matches_global_within_bucket(spark):
+    # within one bucket the two-level packing IS the global packing of that
+    # bucket's docs: sizes ≈ tokens_per_shard, order is the md5 layout
+    from b_pdf_parser_spark.operators.sampling import (token_shards,
+                                                       token_shards_bucketed)
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 20))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_shards_bucketed(df, "doc_id", "text", 50).collect()
+    assert len(out) == 300
+    assert {r["bucket"] for r in out} <= set("0123456789abcdef")
+    # per-bucket running sums: every shard except a bucket's last must have
+    # total tokens in [tokens_per_shard - max_doc, tokens_per_shard + max_doc)
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for r in out:
+        by_bucket[r["bucket"]].append(r)
+    for bucket, rs in by_bucket.items():
+        tot = defaultdict(int)
+        for r in rs:
+            tot[r["shard"]] += r["n_toks"]
+        shards = sorted(tot)
+        assert shards == list(range(len(shards))), f"bucket {bucket}: gap in shard ids"
+        for s in shards[:-1]:
+            assert tot[s] >= 50 - 20, f"bucket {bucket} shard {s} underfull mid-stream"
+    # determinism across partitioning
+    again = {(r["doc_id"], r["bucket"], r["shard"])
+             for r in token_shards_bucketed(df.repartition(11), "doc_id", "text", 50).collect()}
+    assert again == {(r["doc_id"], r["bucket"], r["shard"]) for r in out}
+    # global single-level form still packs the identical doc universe
+    assert {r["doc_id"] for r in token_shards(df, "doc_id", "text", 50).collect()} == {
+        r["doc_id"] for r in out
+    }
