@@ -42,7 +42,7 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 8  # v8: encrypted mix now includes /AESV2 (AES-128) PDFs
+CORPUS_VERSION = 9  # v9: ~2.5% kitchen-sink intersection docs (enc+ObjStm+Type0+images)
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -336,15 +336,44 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             # of the synthetic corpus: its Algorithm-2.B KDF costs ~0.5 s
             # per doc in pure Python (BENCH notes), which would swamp the
             # throughput signal the bench exists to measure
+        # main-stream feature draws, in the exact order earlier corpus
+        # versions evaluated them (the draws must stay on the MAIN rng so
+        # every other doc remains byte-identical across corpus versions)
+        xs = rng.random() < 0.5
+        td = rng.random() < 0.3
+        comp = rng.random() < 0.9
+        # ~25% composite Identity-H fonts with /ToUnicode CMaps — the
+        # dominant font shape in web PDFs (CID ≠ codepoint, so decode
+        # must really walk the CMap)
+        t0 = rng.random() < 0.25
+        # v9: ~2.5% of statements are the INTERSECTION stratum (golden
+        # d15's shape): encryption + ObjStm xref stream + Type0 CMaps +
+        # image XObjects stacked in one document — walks break at feature
+        # intersections (encrypted ObjStm headers, CMaps that must decrypt
+        # before parsing), so the bench corpus must contain them, not just
+        # the goldens. Forked rng: only the selected docs' encodings change
+        # (their text/truth comes from the untouched main stream).
+        krng = random.Random((seed << 36) ^ (i * 0x27D4EB2F) ^ 0x5B349)
+        if krng.random() < 0.025:
+            xs = t0 = comp = True
+            if not encrypt:
+                encrypt = "aes-128" if krng.random() < 0.5 else True
+            if not images:
+                images = [
+                    make_image(
+                        krng.randrange(n_pages),
+                        16 + krng.randrange(80),
+                        16 + krng.randrange(60),
+                        "DCTDecode",
+                        seed=i * 17 + 1,
+                    )
+                ]
         payload = pdf_from_lines(
             pages,
-            xref_stream=rng.random() < 0.5,
-            td_ops=rng.random() < 0.3,
-            compress=rng.random() < 0.9,
-            # ~25% composite Identity-H fonts with /ToUnicode CMaps — the
-            # dominant font shape in web PDFs (CID ≠ codepoint, so decode
-            # must really walk the CMap)
-            type0=rng.random() < 0.25,
+            xref_stream=xs,
+            td_ops=td,
+            compress=comp,
+            type0=t0,
             images=images,
             encrypt=encrypt,
         )

@@ -19,7 +19,7 @@ from tools.genfixtures import metadata_csv, transactions_csv
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
             "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid",
             "d10_two_column", "d11_encrypted_rc4", "d13_encrypted_aes128",
-            "d14_encrypted_aes256"]
+            "d14_encrypted_aes256", "d15_kitchen_sink"]
 HTML_DOCS = ["d5_article", "d6_entities", "d12_cp1252"]
 
 
@@ -77,8 +77,36 @@ def test_golden_counts_stable(fixtures_dir):
                        "d3_nouser_td": 7, "d4_multipage_raw": 12,
                        "d7_inline_rows": 6, "d8_table_rows": 10, "d9_type0_cid": 12,
                        "d10_two_column": 0, "d11_encrypted_rc4": 10,
-                       "d13_encrypted_aes128": 5, "d14_encrypted_aes256": 4}
+                       "d13_encrypted_aes128": 5, "d14_encrypted_aes256": 4,
+                       "d15_kitchen_sink": 10}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
         _, _, txns = _extract(payload)
         assert len(txns) == n, name
+
+
+def test_d15_intersection_features_all_present(fixtures_dir):
+    """d15 is only meaningful if it genuinely stacks the features: AES-128
+    encryption, ObjStm-packed xref stream, Type0/CMap text, image XObjects
+    and table-strategy transactions — assert each is really in the file."""
+    from b_pdf_parser_spark.pdfmodel import image_inventory
+
+    payload = (fixtures_dir / "d15_kitchen_sink.pdf").read_bytes()
+    assert b"/AESV2" in payload and b"/ObjStm" in payload
+    # the Type0 font dict is packed INSIDE the encrypted+compressed ObjStm
+    # (that's the intersection) — so it must be invisible in raw bytes and
+    # resolvable through the object model
+    assert b"/Identity-H" not in payload
+    from b_pdf_parser_spark.pdfmodel import PdfDocument
+    doc = PdfDocument(payload)
+    assert doc.page_fonts(doc.pages()[0]), "Type0 decoder must resolve via ObjStm"
+    imgs = image_inventory(payload)
+    assert len(imgs) == 2
+    assert {i["filter"] for i in imgs} == {"DCTDecode", "CCITTFaxDecode"}
+    # the table strategy (not the column walk) must have produced the txns
+    pages, full, txns = _extract(payload)
+    from b_pdf_parser_spark.pdfmodel import extract_pdf_pages_and_tables
+    _, tables = extract_pdf_pages_and_tables(payload)
+    assert tables, "span-cluster table detection must fire through CMap text"
+    # encrypted bytes: the statement text must NOT appear in cleartext
+    assert b"Rekening" not in payload

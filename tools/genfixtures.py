@@ -165,6 +165,23 @@ def main() -> None:
                                with_user=True, summary="match", amount_format="id")
     freeze_pdf("d14_encrypted_aes256", pdf_from_lines(pages, encrypt="aes-256"))
 
+    # d15: the intersection case — AES-128 encryption AND xref stream with
+    # ObjStm-packed dictionaries AND Type0/Identity-H CMap text AND image
+    # XObjects AND positioned table rows, in ONE multipage document. Every
+    # feature is individually golden-pinned (d8/d9/d11/d13); walks break at
+    # feature INTERSECTIONS (encrypted ObjStm headers, CMap streams that
+    # must decrypt before parsing, image offsets under encryption), which
+    # is exactly what this fixture freezes
+    pages, _ = statement_lines(random.Random(1515), n_pages=2, rows_per_page=5,
+                               with_user=True, summary="match", amount_format="id",
+                               layout="table")
+    from b_pdf_parser_spark.pdfwriter import make_image
+    imgs = [make_image(0, 48, 32, "DCTDecode", seed=15),
+            make_image(1, 24, 24, "CCITTFaxDecode", seed=16)]
+    freeze_pdf("d15_kitchen_sink",
+               pdf_from_lines(pages, xref_stream=True, type0=True,
+                              images=imgs, encrypt="aes-128"))
+
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
     freeze_html("d5_article", payload)
