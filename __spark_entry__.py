@@ -391,17 +391,21 @@ def q_dedup_decisions(spark, sf):
 def q_vocab_df(spark, sf):
     """Vocabulary document-frequency table (the IDF denominator): tokens
     appearing in ≥ 5% of documents, with doc counts. One explode + one
-    distinct-agg shuffle keyed on the token."""
+    distinct-agg shuffle keyed on the token; the corpus size enters as a
+    broadcast 1-row crossJoin (same idiom as q_tfidf_top_terms) — no
+    driver action anywhere in the plan."""
     d = _t(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    n_docs = d.count()  # driver scalar: one count over the dimension table
+    n = d.agg(F.count("*").alias("n_docs"))
     return (
         toks.distinct()
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= int(0.05 * n_docs))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= F.floor(F.lit(0.05) * F.col("n_docs")).cast("long"))
+        .select("tok", "df")
         .orderBy(F.desc("df"), F.asc("tok"))
         .limit(50)
     )

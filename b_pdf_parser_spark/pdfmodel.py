@@ -1047,6 +1047,17 @@ class PdfDocument:
                         except PdfError:
                             pass
                     dec = _Type0Decoder(cmap, nbytes)
+                elif isinstance(font, dict):
+                    # simple font with an /Encoding /Differences table
+                    # (§9.6.6): codes named in the array decode through the
+                    # glyph-name map instead of the latin-1 default
+                    encd = self.resolve(font.get("Encoding"))
+                    if isinstance(encd, dict):
+                        diffs = self.resolve(encd.get("Differences"))
+                        if isinstance(diffs, list) and diffs:
+                            dec = _SimpleFontDecoder(
+                                [self.resolve(x) for x in diffs]
+                            )
                 if key is not None:
                     self._font_cache[key] = dec
                 if dec is not None:
@@ -1150,6 +1161,9 @@ _CTOK_RE = re.compile(
 # the overwhelmingly common case in text-operator streams
 _SIMPLE_STR_RE = re.compile(rb"([^()\\]*)\)")
 
+# end of an inline image's binary payload: whitespace-delimited EI operator
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?![A-Za-z0-9'\"*])")
+
 
 def _content_tokens(buf: bytes) -> Iterator[Any]:
     """Yield values and operator tokens (as ``_Op``) from a content stream.
@@ -1205,7 +1219,21 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
             tok = m.group("num")
             v: Any = float(tok) if b"." in tok else int(tok)
         elif kind == "op":
-            yield _Op(m.group("op"))
+            opb = m.group("op")
+            if opb == b"ID":
+                # inline image payload (BI <params> ID <binary> EI,
+                # §8.9.7): raw sample bytes that must be skipped wholesale
+                # — tokenizing them would let a stray '(' swallow the rest
+                # of the stream as a string or fabricate phantom text from
+                # pixel bytes that happen to spell '(x) Tj'. Data starts
+                # after the single whitespace byte following ID and ends
+                # at a whitespace-delimited EI (the same heuristic real
+                # readers use when /L is absent).
+                em = _INLINE_EI_RE.search(buf, pos)
+                pos = em.end() if em else n
+                yield _Op(b"EI")
+                continue
+            yield _Op(opb)
             continue
         elif kind == "name":
             raw = m.group("name")[1:]
@@ -1257,6 +1285,105 @@ def _decode_text(raw: bytes) -> str:
     """Single-byte font decode (corpus uses subset TrueType / standard Type1
     with single-byte encodings — see SURVEY §7.1); latin-1 is a superset map."""
     return raw.decode("latin-1")
+
+
+# -- simple-font /Differences encodings (PDF 1.7 §9.6.6, Annex D) ------------
+
+# Adobe Glyph List subset: the names real /Differences arrays use most —
+# WinAnsi's 0x80-0x9F band (typographic punctuation, € — the band where
+# legacy web PDFs put their "smart" characters), accented latin, and the
+# standard ASCII names so a fully-spelled Differences array round-trips.
+_AGL: Dict[str, str] = {
+    # typographic / symbol band
+    "Euro": "€", "emdash": "—", "endash": "–",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "ellipsis": "…", "bullet": "•", "dagger": "†",
+    "daggerdbl": "‡", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "trademark": "™", "florin": "ƒ", "fraction": "⁄",
+    "circumflex": "ˆ", "tilde": "˜",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+    # latin-1 supplement (common accented forms + signs)
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "exclamdown": "¡", "questiondown": "¿", "sterling": "£",
+    "yen": "¥", "cent": "¢", "currency": "¤",
+    "section": "§", "paragraph": "¶", "middot": "·",
+    "periodcentered": "·", "guillemotleft": "«",
+    "guillemotright": "»", "nbspace": " ",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ",
+    "ydieresis": "ÿ", "germandbls": "ß",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Ccedilla": "Ç", "Eacute": "É", "Egrave": "È",
+    "Ntilde": "Ñ", "Odieresis": "Ö", "Udieresis": "Ü",
+    # ASCII names (Annex D standard encoding names)
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+}
+# single letters name themselves (A-Z a-z)
+_AGL.update({c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"})
+
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$|^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_char(name: str, code: int) -> str:
+    """Glyph name → character: AGL subset, then uniXXXX/uXXXXXX forms, then
+    the base encoding's own byte (real readers fall back the same way)."""
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1) or m.group(2), 16))
+        except (ValueError, OverflowError):
+            pass
+    return chr(code)
+
+
+class _SimpleFontDecoder:
+    """Single-byte font with an /Encoding /Differences table: a 256-entry
+    char map (base = latin-1, the stack-wide simple-font baseline) with the
+    Differences names overriding their codes. Callable like _Type0Decoder
+    so the interpreter's ``cur_dec`` path needs no special case."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, differences: List[Any]):
+        self.table = [chr(i) for i in range(256)]
+        code = 0
+        for item in differences:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                if 0 <= code <= 255:
+                    self.table[code] = _glyph_char(str(item), code)
+                code += 1
+
+    def __call__(self, raw: bytes) -> str:
+        t = self.table
+        return "".join(t[b] for b in raw)
 
 
 # -- Type0 / CID fonts (PDF 1.7 §9.7) + /ToUnicode CMaps (§9.10.3) -----------

@@ -16,7 +16,7 @@ table source (``b_pdf_parser_spark/sources/pages.py``) and the benchmark.
 from __future__ import annotations
 
 import zlib
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 __all__ = ["build_pdf", "pdf_from_lines", "make_image"]
 
@@ -350,7 +350,9 @@ def build_pdf(
     td_ops: bool = False,
     type0: bool = False,
     images: Sequence[Dict[str, object]] = (),
+    inline_images: Sequence[Tuple[int, bytes]] = (),
     links: Sequence[Tuple[int, str]] = (),
+    differences: Optional[Dict[int, str]] = None,
     encrypt: bool = False,
 ) -> bytes:
     """Serialize positioned text spans into a complete PDF file.
@@ -372,6 +374,23 @@ def build_pdf(
     if type0:
         cm = _charmap(pages)
         show = _hex_show_fn(cm)
+    elif differences:
+        # /Differences re-encoding (§9.6.6): characters whose glyph name is
+        # remapped are shown by their REMAPPED code byte — the page bytes
+        # only decode correctly through the font's Differences table (the
+        # way legacy web PDFs carry €, em-dashes and smart quotes)
+        from .pdfmodel import _glyph_char
+
+        char2code = {
+            _glyph_char(str(g), int(c)): int(c) for c, g in differences.items()
+        }
+
+        def show(text: str) -> bytes:  # noqa: F811 — deliberate re-bind
+            mapped = "".join(
+                chr(char2code[ch]) if ch in char2code else ch for ch in text
+            )
+            return _lit_show(mapped)
+
     make_content = _content_td if td_ops else _content_tm
 
     # object numbering: 1 catalog, 2 pages, 3 font, then per page (dict,
@@ -400,10 +419,26 @@ def build_pdf(
     if images:
         img_base += len(images)  # type0 extras shift past the images
 
+    font_dict = _FONT_DICT
+    if differences and not type0:
+        # runs of consecutive codes share one leading number, exercising the
+        # reader's auto-increment walk (PDF 1.7 §9.6.6.1 array grammar)
+        parts: List[bytes] = []
+        prev = None
+        for code in sorted(differences):
+            if prev is None or code != prev + 1:
+                parts.append(b"%d" % code)
+            parts.append(b"/" + str(differences[code]).encode("ascii"))
+            prev = code
+        font_dict = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ " + b" ".join(parts) + b" ] >> >>"
+        )
     dicts: Dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
-        3: _FONT_DICT,
+        3: font_dict,
     }
     # URI link annotations (PDF 1.7 §12.5.6.5), inline in the page dict —
     # one stacked Rect per link so each is a distinct clickable region
@@ -430,10 +465,22 @@ def build_pdf(
             b"/Resources << /Font << /F1 3 0 R >> %s>> %s/Contents %d 0 R >>"
             % (xobj, annots, content_obj(i))
         )
+    # inline images (PDF 1.7 §8.9.7): BI <params> ID <raw binary> EI woven
+    # INTO the content stream before the text block — the payload is
+    # arbitrary binary that a text tokenizer must skip wholesale, not scan
+    inline_by_page: Dict[int, List[bytes]] = {}
+    for pg, payload in inline_images:
+        payload = bytes(payload)
+        w = max(1, len(payload) // 3)
+        inline_by_page.setdefault(int(pg), []).append(
+            b"q 8 0 0 8 40 700 cm BI /W %d /H 1 /CS /DeviceRGB /BPC 8 ID " % w
+            + payload + b" EI Q\n"
+        )
     contents: Dict[int, bytes] = {
         content_obj(i): _stream_obj(
             b"<< >>",
-            make_content(pages[i], show)
+            b"".join(inline_by_page.get(i, []))
+            + make_content(pages[i], show)
             + (b"".join(
                 b"\nq %d 0 0 %d 40 600 cm %s Do Q"
                 % (int(im["width"]), int(im["height"]), b"/Im%d" % j)
@@ -588,6 +635,8 @@ def pdf_from_lines(
     td_ops: bool = False,
     type0: bool = False,
     images: Sequence[Dict[str, object]] = (),
+    inline_images: Sequence[Tuple[int, bytes]] = (),
+    differences: Optional[Dict[int, str]] = None,
     encrypt: bool = False,
     x: float = 72.0,
     top: float = 760.0,
@@ -612,4 +661,6 @@ def pdf_from_lines(
                     spans.append((col_xs[j % len(col_xs)], yv, cell))
         pages.append(spans)
     return build_pdf(pages, xref_stream=xref_stream, compress=compress,
-                     td_ops=td_ops, type0=type0, images=images, encrypt=encrypt)
+                     td_ops=td_ops, type0=type0, images=images,
+                     inline_images=inline_images, differences=differences,
+                     encrypt=encrypt)

@@ -42,7 +42,8 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 9  # v9: ~2.5% kitchen-sink intersection docs (enc+ObjStm+Type0+images)
+CORPUS_VERSION = 10  # v9: ~2.5% kitchen-sink intersection docs; v10: inline
+# images (~4%) + /Differences code remapping (~6%) woven into statements
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -368,6 +369,25 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
                         seed=i * 17 + 1,
                     )
                 ]
+        # v10: content-stream hazard strata (forked rngs again): ~4% of
+        # statements weave an inline image (BI..ID..EI raw binary, §8.9.7)
+        # into the page content — pixel bytes the tokenizer must skip
+        # wholesale; ~6% remap live byte codes ('0'↔'A', € at 128) through
+        # /Encoding /Differences so decode must walk the glyph table (the
+        # writer ignores differences under type0, matching real files
+        # where composite fonts use CMaps instead)
+        hrng = random.Random((seed << 37) ^ (i * 0x9E3779B9) ^ 0x2F0ED)
+        inline_imgs: List[Tuple[int, bytes]] = []
+        if hrng.random() < 0.04:
+            start = hrng.randrange(251)
+            n_b = 40 + hrng.randrange(400)
+            # step-7 mod 251 bytes cannot contain the ' EI' terminator
+            inline_imgs = [
+                (hrng.randrange(n_pages), bytes((start + 7 * k) % 251 for k in range(n_b)))
+            ]
+        diffs = None
+        if hrng.random() < 0.06:
+            diffs = {48: "A", 65: "zero", 128: "Euro"}
         payload = pdf_from_lines(
             pages,
             xref_stream=xs,
@@ -375,6 +395,8 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             compress=comp,
             type0=t0,
             images=images,
+            inline_images=inline_imgs,
+            differences=diffs,
             encrypt=encrypt,
         )
         # some urls embed the account number (filename-fallback path,

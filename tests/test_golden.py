@@ -19,7 +19,7 @@ from tools.genfixtures import metadata_csv, transactions_csv
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
             "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid",
             "d10_two_column", "d11_encrypted_rc4", "d13_encrypted_aes128",
-            "d14_encrypted_aes256", "d15_kitchen_sink"]
+            "d14_encrypted_aes256", "d15_kitchen_sink", "d16_inline_diffs"]
 HTML_DOCS = ["d5_article", "d6_entities", "d12_cp1252"]
 
 
@@ -78,7 +78,8 @@ def test_golden_counts_stable(fixtures_dir):
                        "d7_inline_rows": 6, "d8_table_rows": 10, "d9_type0_cid": 12,
                        "d10_two_column": 0, "d11_encrypted_rc4": 10,
                        "d13_encrypted_aes128": 5, "d14_encrypted_aes256": 4,
-                       "d15_kitchen_sink": 10}
+                       "d15_kitchen_sink": 10,
+                       "d16_inline_diffs": 6}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
         _, _, txns = _extract(payload)
@@ -110,3 +111,21 @@ def test_d15_intersection_features_all_present(fixtures_dir):
     assert tables, "span-cluster table detection must fire through CMap text"
     # encrypted bytes: the statement text must NOT appear in cleartext
     assert b"Rekening" not in payload
+
+
+def test_d16_intersection_features_all_present(fixtures_dir):
+    """d16 must genuinely carry both content-stream hazards: an inline
+    image whose payload contains fake text operators, and a /Differences
+    table that remaps codes the text actually uses."""
+    from b_pdf_parser_spark.pdfmodel import PdfDocument, _SimpleFontDecoder
+
+    payload = (fixtures_dir / "d16_inline_diffs.pdf").read_bytes()
+    doc = PdfDocument(payload)
+    page = doc.pages()[0]
+    fonts = doc.page_fonts(page)
+    assert any(isinstance(v, _SimpleFontDecoder) for v in fonts.values())
+    content = doc.page_content(page)
+    assert b"BI /W" in content and b"(phantom) Tj" in content
+    text = "".join(p + "\n" for p in __import__("b_pdf_parser_spark.pdfmodel", fromlist=["x"]).extract_pdf_pages(payload))
+    assert "phantom" not in text and "swallow" not in text
+    assert "No. Rekening" in text

@@ -509,3 +509,54 @@ def test_aes_v4_key_length_from_stdcf_only():
     stripped = data.replace(marker, b"/V 4 /R 4            ", 1)
     assert len(stripped) == len(data)
     assert pm.extract_pdf_text(stripped) == plain
+
+
+def test_inline_images_skipped_not_tokenized():
+    # BI..ID..EI payloads are raw binary INSIDE the content stream; a
+    # tokenizer that scans them would let a stray '(' swallow the stream or
+    # fabricate text from pixel bytes spelling '(x) Tj'
+    from b_pdf_parser_spark.pdfwriter import pdf_from_lines
+
+    lines = [["Account Statement", "Account Number: 777-IDR",
+              "01.02.2023 10:11 Payment to ACME (cafe) 100,50 200,00"]]
+    plain = pm.extract_pdf_text(pdf_from_lines(lines))
+    evil = (bytes(range(256))
+            + b"(swallow) 1 0 0 1 5 5 Tm (phantom) Tj BT ET zzEIzz <be> Tj")
+    for compress in (False, True):
+        for enc in (False, "aes-128"):
+            data = pdf_from_lines(
+                lines, inline_images=[(0, evil), (0, b"\x00\x01EI9(")],
+                compress=compress, encrypt=enc)
+            assert pm.extract_pdf_text(data) == plain, (compress, enc)
+
+
+def test_differences_encoding_roundtrip():
+    # /Encoding /Differences carries chars outside latin-1 (€ “ ” — …) by
+    # remapping byte codes to glyph names — decode must walk the table
+    from b_pdf_parser_spark.pdfwriter import pdf_from_lines
+
+    diffs = {128: "Euro", 129: "quotedblleft", 130: "quotedblright",
+             131: "emdash", 132: "ellipsis", 200: "eacute", 201: "udieresis"}
+    lines = [["Price update €99 “smart” punctuation — café über…",
+              "Account Number: 777-IDR"]]
+    for xs in (False, True):
+        for enc in (False, "aes-128"):
+            got = pm.extract_pdf_text(
+                pdf_from_lines(lines, differences=diffs, xref_stream=xs, encrypt=enc))
+            assert "€99" in got and "“smart”" in got and "café über…" in got
+            assert "Account Number: 777-IDR" in got
+    # uniXXXX glyph names resolve; unknown names fall back to the base code
+    got = pm.extract_pdf_text(
+        pdf_from_lines([["X€Y"]], differences={140: "uni20AC", 141: "bogusname"}))
+    assert "X€Y" in got
+
+
+def test_differences_remap_of_ascii_codes():
+    # remapping codes ALREADY used by the text (digits, letters) means the
+    # shown bytes differ from latin-1 — proves decode really uses the table
+    from b_pdf_parser_spark.pdfwriter import pdf_from_lines
+
+    diffs = {65: "zero", 48: "A"}  # swap 'A' and '0'
+    data = pdf_from_lines([["A0A0 balance 100"]], differences=diffs, compress=False)
+    assert b"(0A0A" in data  # bytes on the page are swapped...
+    assert "A0A0 balance 100" in pm.extract_pdf_text(data)  # ...decode restores

@@ -182,6 +182,21 @@ def main() -> None:
                pdf_from_lines(pages, xref_stream=True, type0=True,
                               images=imgs, encrypt="aes-128"))
 
+    # d16: inline images (BI..ID..EI binary woven into the content stream,
+    # §8.9.7) + /Encoding /Differences simple-font remapping (§9.6.6) — the
+    # two content-stream hazards of legacy web PDFs: raw pixel bytes the
+    # tokenizer must skip wholesale, and byte codes that only decode through
+    # the glyph-name table (remapped digits prove the table is really used)
+    pages, _ = statement_lines(random.Random(1616), n_pages=1, rows_per_page=6,
+                               with_user=True, summary="match", amount_format="id")
+    evil = (bytes((7 * k + 13) % 251 for k in range(300))
+            + b"(swallow) 9 9 Td (phantom) Tj BT")
+    freeze_pdf("d16_inline_diffs",
+               pdf_from_lines(pages,
+                              inline_images=[(0, evil)],
+                              differences={48: "A", 65: "zero", 128: "Euro"},
+                              xref_stream=True))
+
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
     freeze_html("d5_article", payload)
