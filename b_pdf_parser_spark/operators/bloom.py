@@ -1,0 +1,156 @@
+"""Bloom-filter membership for crawl-frontier dedup at 10^12-URL scale.
+
+The exact frontier check (`dedup.incremental_dedup`) anti-joins candidates
+against the full crawl history — both sides shuffle on the hash key, every
+cycle. A Bloom filter collapses the history side into a fixed-size bitmap
+(m bits ≈ 1.2 GB covers 10^9 URLs at 1% FPR with k=7) that ships to every
+executor once; candidates are then tested MAP-SIDE. The guarantee that
+matters operationally is *no false negatives*: a candidate the bloom calls
+unseen is provably new and can be crawled without any join at all — only
+the small `maybe_seen` fraction (true hits + FPR) pays the exact anti-join.
+
+Spark shape (no per-row Python anywhere):
+
+* the two 32-bit hash halves come from ``F.md5`` JVM-side (whole-stage
+  codegen) — Python only ever sees integer columns;
+* partial bitmaps build per PARTITION inside ``mapInPandas`` with numpy
+  ``bitwise_or.at`` (vectorized); the merge shuffles one (m/8)-byte blob
+  per partition into a single-group ``applyInPandas`` OR-reduce;
+* probing wraps the bitmap in a ``mapInPandas`` closure (task-broadcast,
+  the standard pattern for read-only sidecar state) and tests all k
+  positions with numpy — linear, map-only, no shuffle.
+
+Bit positions use the Kirsch–Mitzenmacher double-hashing construction
+``pos_i = (h1 + i·h2) mod m`` (public result: two hashes simulate k with
+no FPR loss). Decisions are a pure function of (key, m, k): identical on
+1 or 1,000 executors and across retries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+__all__ = ["bloom_bitmap", "bloom_bitmap_bytes", "probe_bloom", "frontier_new_keys"]
+
+
+def _h1(key_col: str) -> F.Column:
+    return F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def _h2(key_col: str) -> F.Column:
+    # force h2 odd so (h1 + i*h2) cycles well for any m (h2=0 would probe
+    # one position k times)
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+    )
+
+
+def bloom_bitmap(df: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
+    """Build the bitmap distributedly → a 1-row DataFrame (bloom BINARY).
+
+    Partials are per-partition (numpy bit-set over the partition's Arrow
+    batches), so the merge shuffle carries ``num_partitions`` blobs of
+    m/8 bytes each — never row data.
+    """
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    n_bytes = m_bits // 8
+    hashed = df.select(_h1(key_col).alias("h1"), _h2(key_col).alias("h2"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            if not len(b):
+                continue
+            seen = True
+            h1 = b["h1"].to_numpy(np.int64)
+            h2 = b["h2"].to_numpy(np.int64)
+            for i in range(k):
+                pos = (h1 + i * h2) % m_bits
+                np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bloom": [bitmap.tobytes()]})
+
+    parts = hashed.mapInPandas(partials, schema="bloom binary")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]])
+        return pd.DataFrame({"bloom": [np.bitwise_or.reduce(stacked, axis=0).tobytes()]})
+
+    return (
+        parts.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _, pdf: merge(pdf), schema="bloom binary")
+    )
+
+
+def bloom_bitmap_bytes(df: DataFrame, key_col: str, m_bits: int, k: int) -> bytes:
+    """Driver-side blob of :func:`bloom_bitmap` — the ONE deliberate driver
+    object in this module (m/8 bytes, e.g. 12 MB at 10^8 bits), fetched so
+    the probe can close over it. Empty input → all-zero bitmap."""
+    rows = bloom_bitmap(df, key_col, m_bits, k).collect()
+    return bytes(rows[0]["bloom"]) if rows else bytes(m_bits // 8)
+
+
+def probe_bloom(
+    df: DataFrame, key_col: str, bloom: bytes, m_bits: int, k: int
+) -> DataFrame:
+    """Append ``maybe_seen`` (bloom membership) to ``df`` — map-only.
+
+    ``maybe_seen = false`` is definitive (no false negatives); ``true``
+    means "present or false positive" and wants an exact confirm if
+    exactness matters (see :func:`frontier_new_keys`).
+    """
+    if len(bloom) * 8 != m_bits:
+        raise ValueError(f"bitmap is {len(bloom) * 8} bits, expected {m_bits}")
+    cols = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("maybe_seen", BooleanType(), False)]
+    )
+    hashed = df.select("*", _h1(key_col).alias("_h1"), _h2(key_col).alias("_h2"))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.frombuffer(bloom, dtype=np.uint8)
+        for b in batches:
+            h1 = b["_h1"].to_numpy(np.int64)
+            h2 = b["_h2"].to_numpy(np.int64)
+            ok = np.ones(len(b), dtype=bool)
+            for i in range(k):
+                pos = (h1 + i * h2) % m_bits
+                ok &= ((bm[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+            out = b[cols].copy()
+            out["maybe_seen"] = ok
+            yield out
+
+    return hashed.mapInPandas(probe, schema=out_schema)
+
+
+def frontier_new_keys(
+    base: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Exactly-new candidates, bloom-accelerated: rows the bloom clears are
+    new by construction (zero joins); only ``maybe_seen`` rows (true dups +
+    the ~FPR sliver) pay the exact anti-join against the base. Result is
+    IDENTICAL to the plain anti-join — the bloom changes the cost, not the
+    answer."""
+    bloom = bloom_bitmap_bytes(base, key_col, m_bits, k)
+    probed = probe_bloom(candidates.select(key_col).distinct(), key_col, bloom, m_bits, k)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = suspects.join(
+        base.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return fresh.unionByName(confirmed)

@@ -37,10 +37,14 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "warc_record",
+    "wet_record",
     "split_warc",
+    "split_wet",
     "write_warc",
     "write_warc_indexed",
+    "write_wet",
     "read_warc",
+    "read_wet",
     "fetch_warc_record",
 ]
 
@@ -73,6 +77,23 @@ def warc_record(url: str, ts: datetime, payload: bytes,
     return head + body + b"\r\n\r\n"
 
 
+def wet_record(url: str, ts: datetime, text: str) -> bytes:
+    """One uncompressed WARC ``conversion`` record — the WET shape Common
+    Crawl ships extracted text in (same container, no HTTP envelope,
+    Content-Type text/plain)."""
+    body = text.encode("utf-8")
+    stamp = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        + b"WARC-Date: " + stamp.encode("ascii") + b"\r\n"
+        + b"Content-Type: text/plain\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body)
+    )
+    return head + body + b"\r\n\r\n"
+
+
 def _gzip_member(record: bytes) -> bytes:
     buf = io.BytesIO()
     # mtime pinned for byte-deterministic segments
@@ -100,7 +121,9 @@ def _gunzip_member_list(data: bytes) -> List[bytes]:
     return out
 
 
-def _walk_records(data: bytes) -> List[Tuple[str, str, bytes]]:
+def _walk_records(
+    data: bytes, want_type: bytes = b"response", strip_http: bool = True
+) -> List[Tuple[str, str, bytes]]:
     """Content-Length-driven record walk over one uncompressed buffer.
     A malformed header ends THIS buffer's walk (payloads are binary, so
     scanning forward for delimiters would mis-frame records)."""
@@ -125,11 +148,13 @@ def _walk_records(data: bytes) -> List[Tuple[str, str, bytes]]:
         i = hdr_end + 4 + clen
         while data[i : i + 2] == b"\r\n":  # record separator
             i += 2
-        if headers.get(b"warc-type") != b"response":
+        if headers.get(b"warc-type") != want_type:
             continue
-        # strip the HTTP envelope: payload starts after its CRLF CRLF
-        http_end = body.find(b"\r\n\r\n")
-        payload = body[http_end + 4 :] if http_end >= 0 else body
+        payload = body
+        if strip_http:
+            # strip the HTTP envelope: payload starts after its CRLF CRLF
+            http_end = body.find(b"\r\n\r\n")
+            payload = body[http_end + 4 :] if http_end >= 0 else body
         out.append(
             (
                 headers.get(b"warc-target-uri", b"").decode("utf-8", "replace"),
@@ -140,19 +165,31 @@ def _walk_records(data: bytes) -> List[Tuple[str, str, bytes]]:
     return out
 
 
-def split_warc(data: bytes) -> List[Tuple[str, str, bytes]]:
-    """(url, date, payload) per response record.
-
-    ``.warc.gz`` input is parsed per gzip member (CC writes one member per
-    record), so a record with a missing/garbled Content-Length drops only
-    itself — every later member still parses. Uncompressed input has no
-    such recovery boundary; there a malformed header ends the walk."""
+def _split_records(
+    data: bytes, want_type: bytes, strip_http: bool
+) -> List[Tuple[str, str, bytes]]:
+    """``.warc.gz`` input is parsed per gzip member (CC writes one member
+    per record), so a record with a missing/garbled Content-Length drops
+    only itself — every later member still parses. Uncompressed input has
+    no such recovery boundary; there a malformed header ends the walk."""
     if data[:2] == b"\x1f\x8b":
         out: List[Tuple[str, str, bytes]] = []
         for member in _gunzip_member_list(data):
-            out.extend(_walk_records(member))
+            out.extend(_walk_records(member, want_type, strip_http))
         return out
-    return _walk_records(data)
+    return _walk_records(data, want_type, strip_http)
+
+
+def split_warc(data: bytes) -> List[Tuple[str, str, bytes]]:
+    """(url, date, payload) per ``response`` record (HTTP envelope
+    stripped) — the page-fetch side of the container."""
+    return _split_records(data, b"response", True)
+
+
+def split_wet(data: bytes) -> List[Tuple[str, str, bytes]]:
+    """(url, date, utf-8 text bytes) per ``conversion`` record — the WET
+    (extracted-text) side; conversion records carry no HTTP envelope."""
+    return _split_records(data, b"conversion", False)
 
 
 def write_warc(pages: DataFrame, out_dir: str) -> DataFrame:
@@ -246,6 +283,70 @@ def fetch_warc_record(path: str, offset: int, length: int) -> Tuple[str, str, by
     if not recs:
         raise ValueError(f"no WARC record at {path}:{offset}+{length}")
     return recs[0]
+
+
+def write_wet(docs: DataFrame, out_dir: str) -> DataFrame:
+    """Serialize (url, warc_ts, text) rows into ``.warc.wet.gz`` segments —
+    the WET generation job Common Crawl itself runs after extraction. Same
+    sink rules as :func:`write_warc`: one segment per Arrow batch, one gzip
+    member per record, executor-side writes, a manifest DataFrame back (no
+    driver collection). Rows with a null text or timestamp are skipped (an
+    extraction error row has nothing to convert)."""
+    import os
+    import uuid
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for b in batches:
+            chunks = []
+            for url, ts, text in zip(b["url"], b["warc_ts"], b["text"]):
+                if text is None or pd.isna(ts):
+                    continue
+                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                chunks.append(_gzip_member(wet_record(str(url), t, str(text))))
+            if not chunks:
+                continue
+            seg = b"".join(chunks)
+            name = f"segment-{uuid.uuid4().hex[:12]}.warc.wet.gz"
+            path = os.path.join(out_dir, name)
+            with open(path, "wb") as f:
+                f.write(seg)
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
+            )
+
+    return docs.select("url", "warc_ts", "text").mapInPandas(
+        emit, schema=WARC_MANIFEST_DDL
+    )
+
+
+WET_ROWS_DDL = "url STRING, warc_ts TIMESTAMP, text STRING"
+
+
+def read_wet(spark, path_glob: str) -> DataFrame:
+    """Scan ``.warc.wet(.gz)`` segments into (url, warc_ts, text) rows —
+    the extracted-text twin of :func:`read_warc`."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, stamps, texts = [], [], []
+            for blob in b["content"]:
+                for url, date, payload in split_wet(bytes(blob)):
+                    urls.append(url)
+                    try:
+                        stamps.append(datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ"))
+                    except ValueError:
+                        stamps.append(None)
+                    texts.append(payload.decode("utf-8", "replace"))
+            yield pd.DataFrame({"url": urls, "warc_ts": stamps, "text": texts})
+
+    return files.mapInPandas(parse, schema=WET_ROWS_DDL)
 
 
 def read_warc(spark, path_glob: str) -> DataFrame:

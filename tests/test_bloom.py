@@ -1,0 +1,95 @@
+"""Bloom-filter frontier operator: the no-false-negative guarantee, a sane
+false-positive rate, partition determinism, and exact-equivalence of the
+accelerated frontier check."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from b_pdf_parser_spark.operators.bloom import (
+    bloom_bitmap,
+    bloom_bitmap_bytes,
+    frontier_new_keys,
+    probe_bloom,
+)
+
+M = 1 << 14  # 16384 bits
+K = 7
+
+
+def _urls(spark, lo, hi, parts=4):
+    return spark.range(lo, hi, 1, parts).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url")
+    )
+
+
+def test_no_false_negatives_ever(spark):
+    base = _urls(spark, 0, 500)
+    bloom = bloom_bitmap_bytes(base, "url", M, K)
+    probed = probe_bloom(base, "url", bloom, M, K)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_false_positive_rate_near_theory(spark):
+    n = 500
+    base = _urls(spark, 0, n)
+    bloom = bloom_bitmap_bytes(base, "url", M, K)
+    fresh = _urls(spark, 10_000, 12_000)  # disjoint key range
+    fp = probe_bloom(fresh, "url", bloom, M, K).filter("maybe_seen").count()
+    fpr = fp / 2_000
+    theory = (1 - math.exp(-K * n / M)) ** K  # ~0.0035 at these params
+    assert fpr <= max(3 * theory, 0.02), (fpr, theory)
+
+
+def test_bitmap_deterministic_across_partitioning(spark):
+    base = _urls(spark, 0, 300, parts=1)
+    b1 = bloom_bitmap_bytes(base, "url", M, K)
+    b8 = bloom_bitmap_bytes(_urls(spark, 0, 300, parts=8), "url", M, K)
+    assert b1 == b8  # bit-OR merge is order/partition independent
+    assert len(b1) == M // 8
+
+
+def test_frontier_matches_exact_antijoin(spark):
+    # overlap: candidates 200..700 vs base 0..500 → exactly 500..700 are new
+    base = _urls(spark, 0, 500)
+    cand = _urls(spark, 200, 700)
+    got = sorted(r["url"] for r in frontier_new_keys(base, cand, "url", M, K).collect())
+    exact = sorted(
+        r["url"]
+        for r in cand.join(base, "url", "left_anti").distinct().collect()
+    )
+    assert got == exact
+    assert len(got) == 200
+
+
+def test_probe_preserves_all_columns_and_rows(spark):
+    base = _urls(spark, 0, 100)
+    bloom = bloom_bitmap_bytes(base, "url", M, K)
+    df = _urls(spark, 0, 50).withColumn("depth", F.length("url"))
+    out = probe_bloom(df, "url", bloom, M, K)
+    assert out.columns == ["url", "depth", "maybe_seen"]
+    assert out.count() == 50
+
+
+def test_empty_base_probes_all_new(spark):
+    empty = _urls(spark, 0, 0)
+    bloom = bloom_bitmap_bytes(empty, "url", M, K)
+    assert bloom == bytes(M // 8)
+    probed = probe_bloom(_urls(spark, 0, 100), "url", bloom, M, K)
+    assert probed.filter("maybe_seen").count() == 0
+
+
+def test_build_plan_shuffles_blobs_not_rows(spark):
+    # the merge exchange carries one (m/8)-byte blob per partition — the
+    # plan must show a single-key hash partitioning over the partials, and
+    # the probe plan must be join-free
+    base = _urls(spark, 0, 200, parts=8)
+    plan = bloom_bitmap(base, "url", M, K)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+    bloom = bloom_bitmap_bytes(base, "url", M, K)
+    probe_plan = (
+        probe_bloom(_urls(spark, 0, 10), "url", bloom, M, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in probe_plan and "Exchange" not in probe_plan

@@ -103,3 +103,50 @@ def test_split_warc_gz_bad_member_loses_only_itself():
     )
     got = split_warc(gz)
     assert [p for _, _, p in got] == [b"payload0", b"payload1", b"payload3", b"payload4"]
+
+
+def test_wet_roundtrip_and_mixed_segments(spark, tmp_path):
+    # WET conversion records: write extracted text, read it back
+    # byte-identically; response and conversion records in ONE buffer are
+    # routed to their own readers
+    from b_pdf_parser_spark.sources.warc import (read_wet, split_wet,
+                                                 wet_record, write_wet)
+
+    docs = spark.createDataFrame(
+        [("https://a/x", datetime(2024, 1, 2, 3, 4, 5), "extracted text\nwith lines"),
+         ("https://b/y", datetime(2024, 2, 3, 4, 5, 6), "unicode € — text"),
+         ("https://c/z", datetime(2024, 3, 4, 5, 6, 7), None),       # error row
+         ("https://d/w", None, "no timestamp")],                     # skipped
+        "url string, warc_ts timestamp, text string",
+    )
+    manifest = write_wet(docs, str(tmp_path / "wet")).collect()
+    assert sum(m["n_records"] for m in manifest) == 2
+    back = {r["url"]: r for r in read_wet(spark, str(tmp_path / "wet")).collect()}
+    assert back["https://a/x"]["text"] == "extracted text\nwith lines"
+    assert back["https://b/y"]["text"] == "unicode € — text"
+    assert back["https://a/x"]["warc_ts"] == datetime(2024, 1, 2, 3, 4, 5)
+    # mixed-type buffer: each splitter picks only its record type
+    mixed = (warc_record("https://p/1", datetime(2024, 1, 1), b"<html>x</html>")
+             + wet_record("https://p/1", datetime(2024, 1, 1), "x"))
+    assert [u for u, _, _ in split_warc(mixed)] == ["https://p/1"]
+    assert [(u, p) for u, _, p in split_wet(mixed)] == [("https://p/1", b"x")]
+
+
+def test_wet_generation_job_end_to_end(spark, tmp_path):
+    # the CC WET pipeline shape: pages -> extraction -> write_wet -> read_wet
+    # must reproduce the extraction's text column byte-for-byte
+    import pyspark.sql.functions as F
+
+    from b_pdf_parser_spark.operators.extract import extract_pages
+    from b_pdf_parser_spark.sources.pages import synth_pages_df
+    from b_pdf_parser_spark.sources.warc import read_wet, write_wet
+
+    pages = synth_pages_df(spark, 60, seed=11, num_partitions=4)
+    ext = extract_pages(pages, num_partitions=4).select("url", "warc_ts", "text")
+    write_wet(ext, str(tmp_path / "wet")).collect()
+    back = read_wet(spark, str(tmp_path / "wet"))
+    src = ext.filter(F.col("text").isNotNull() & F.col("warc_ts").isNotNull())
+    joined = src.alias("s").join(back.alias("b"), "url")
+    n_src = src.count()
+    assert back.count() == n_src
+    assert joined.filter(F.col("s.text") != F.col("b.text")).count() == 0
