@@ -29,7 +29,7 @@ import gzip
 import io
 import zlib
 from datetime import datetime, timezone
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -285,39 +285,51 @@ def fetch_warc_record(path: str, offset: int, length: int) -> Tuple[str, str, by
     return recs[0]
 
 
-def write_wet(docs: DataFrame, out_dir: str) -> DataFrame:
+def write_wet(
+    docs: DataFrame, out_dir: str, partition_col: Optional[str] = None
+) -> DataFrame:
     """Serialize (url, warc_ts, text) rows into ``.warc.wet.gz`` segments —
     the WET generation job Common Crawl itself runs after extraction. Same
     sink rules as :func:`write_warc`: one segment per Arrow batch, one gzip
     member per record, executor-side writes, a manifest DataFrame back (no
     driver collection). Rows with a null text or timestamp are skipped (an
-    extraction error row has nothing to convert)."""
+    extraction error row has nothing to convert).
+
+    ``partition_col`` routes each record into a ``<col>=<value>/`` subdir
+    (hive-style) — the checkpoint unit the resumable job needs: a wave can
+    clear and rewrite exactly its partition ids' segments, keeping WET
+    output idempotent under kill/resume."""
     import os
     import uuid
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        os.makedirs(out_dir, exist_ok=True)
         for b in batches:
-            chunks = []
-            for url, ts, text in zip(b["url"], b["warc_ts"], b["text"]):
-                if text is None or pd.isna(ts):
+            groups = b.groupby(partition_col) if partition_col else [(None, b)]
+            for key, g in groups:
+                chunks = []
+                for url, ts, text in zip(g["url"], g["warc_ts"], g["text"]):
+                    if text is None or pd.isna(ts):
+                        continue
+                    t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                    chunks.append(_gzip_member(wet_record(str(url), t, str(text))))
+                if not chunks:
                     continue
-                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                chunks.append(_gzip_member(wet_record(str(url), t, str(text))))
-            if not chunks:
-                continue
-            seg = b"".join(chunks)
-            name = f"segment-{uuid.uuid4().hex[:12]}.warc.wet.gz"
-            path = os.path.join(out_dir, name)
-            with open(path, "wb") as f:
-                f.write(seg)
-            yield pd.DataFrame(
-                {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
-            )
+                target = (
+                    os.path.join(out_dir, f"{partition_col}={int(key)}")
+                    if key is not None else out_dir
+                )
+                os.makedirs(target, exist_ok=True)
+                seg = b"".join(chunks)
+                name = f"segment-{uuid.uuid4().hex[:12]}.warc.wet.gz"
+                path = os.path.join(target, name)
+                with open(path, "wb") as f:
+                    f.write(seg)
+                yield pd.DataFrame(
+                    {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
+                )
 
-    return docs.select("url", "warc_ts", "text").mapInPandas(
-        emit, schema=WARC_MANIFEST_DDL
-    )
+    cols = ["url", "warc_ts", "text"] + ([partition_col] if partition_col else [])
+    return docs.select(*cols).mapInPandas(emit, schema=WARC_MANIFEST_DDL)
 
 
 WET_ROWS_DDL = "url STRING, warc_ts TIMESTAMP, text STRING"
@@ -329,6 +341,7 @@ def read_wet(spark, path_glob: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.wet*")
+        .option("recursiveFileLookup", "true")  # hive-style partition dirs
         .load(path_glob)
         .select("path", "content")
     )

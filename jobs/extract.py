@@ -87,10 +87,18 @@ def run_extract_job(
     lineage: str = "",
     verify: bool = True,
     target_wave_seconds: Optional[float] = None,
+    wet_dir: Optional[str] = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict including
     which partition ids were processed by THIS invocation (resume tests use
     it to prove nothing is reprocessed).
+
+    With ``wet_dir`` set, each wave also emits Common-Crawl-style WET
+    (extracted-text conversion) segments under
+    ``wet_dir/partition_id=K/`` — derived from the wave's just-written
+    parquet (the extraction UDF runs ONCE per wave), and idempotent under
+    kill/resume because a wave clears exactly its partition ids' WET
+    subdirectories before rewriting them.
 
     With ``target_wave_seconds`` set, wave sizes adapt at runtime: the first
     wave uses the static ``waves`` split, then each next wave is sized from
@@ -148,6 +156,22 @@ def run_extract_job(
             .collect()
         )
         by_pid = {r["partition_id"]: r for r in stats}
+        if wet_dir:
+            import shutil
+
+            from b_pdf_parser_spark.sources.warc import write_wet
+
+            for pid in ids:
+                shutil.rmtree(
+                    Path(wet_dir) / f"partition_id={int(pid)}", ignore_errors=True
+                )
+            wave_rows = (
+                spark.read.schema(EXTRACTED_SCHEMA).parquet(out_data)
+                .filter(F.col("partition_id").isin(list(ids)))
+                .select("url", "warc_ts", "text", "partition_id")
+            )
+            # the tiny per-segment manifest is the write's action
+            write_wet(wave_rows, wet_dir, partition_col="partition_id").collect()
         t1 = time.time()
         for pid in ids:
             r = by_pid.get(pid)
@@ -202,6 +226,9 @@ def main() -> None:
                     help="skip turnover verification (verification column null)")
     ap.add_argument("--target-wave-seconds", type=float, default=None,
                     help="adapt wave sizes to land near this duration")
+    ap.add_argument("--wet-dir", default=None,
+                    help="also emit Common-Crawl WET (extracted-text) "
+                         "segments per partition id under this directory")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("extract-job").getOrCreate()
@@ -218,6 +245,7 @@ def main() -> None:
         checkpoint_partitions=args.checkpoint_partitions, waves=args.waves,
         verify=not args.no_verify,
         target_wave_seconds=args.target_wave_seconds,
+        wet_dir=args.wet_dir,
         lineage=f"input={args.input_parquet or f'synth:{args.n_docs}:{args.seed}'}",
     )
     print(json.dumps(summary))

@@ -114,3 +114,36 @@ def test_adaptive_waves_respect_max_waves(spark, tmp_path):
     assert set(resumed["processed_partitions"]).isdisjoint(
         summary["processed_partitions"]
     )
+
+
+def test_wet_output_resumes_without_duplicates(spark, tmp_path):
+    # WET segments are wave-derived output: an interrupted job must resume
+    # into exactly-once WET coverage (per-pid subdirs cleared and rewritten)
+    import pyspark.sql.functions as F
+
+    from b_pdf_parser_spark.sources.pages import synth_pages_df
+    from b_pdf_parser_spark.sources.warc import read_wet
+
+    pages = synth_pages_df(spark, 200, seed=5, num_partitions=4)
+    out = str(tmp_path / "job")
+    wet = str(tmp_path / "wet")
+    P = 8
+    # partial run: only half the waves
+    run_extract_job(spark, pages, out, checkpoint_partitions=P, waves=4,
+                    num_partitions=4, max_waves=2, wet_dir=wet)
+    partial = read_wet(spark, wet).count()
+    # resume to completion
+    summary = run_extract_job(spark, pages, out, checkpoint_partitions=P,
+                              waves=4, num_partitions=4, wet_dir=wet)
+    assert summary["complete"]
+    got = read_wet(spark, wet)
+    n = got.count()
+    assert n > partial
+    # exactly one WET record per extracted row that has text+timestamp
+    ext = spark.read.parquet(f"{out}/extracted")
+    expect = ext.filter(F.col("text").isNotNull() & F.col("warc_ts").isNotNull())
+    assert n == expect.count()
+    assert got.select("url").distinct().count() == n  # no duplicates
+    # text byte-identity against the parquet truth
+    j = got.alias("w").join(expect.alias("e"), "url")
+    assert j.filter(F.col("w.text") != F.col("e.text")).count() == 0
