@@ -411,6 +411,32 @@ def q_vocab_df(spark, sf):
     )
 
 
+def _docs_with_footers(spark, sf):
+    """documents with the per-site footer stratum appended to every text —
+    the boilerplate model both `repeated_lines` (detector) and
+    `strip_boilerplate` (remover) run on; mirrored in their oracles."""
+    return _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(". Subscribe to the "),
+            F.col("source"),
+            F.lit(" newsletter for daily updates and exclusive offers."),
+        ),
+    )
+
+
+def q_strip_boilerplate(spark, sf):
+    """Boilerplate line REMOVAL (C4 §2.2 rule): sentences shared by ≥3
+    documents are cut and the text rebuilt in order — the operator acting
+    on `repeated_lines`' signal. Linear explode/groupBy/join-back plan."""
+    from b_pdf_parser_spark.operators.textstats import strip_boilerplate_lines
+
+    return strip_boilerplate_lines(
+        _docs_with_footers(spark, sf), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
 def q_repeated_lines(spark, sf):
     """Boilerplate detector: lines repeated across ≥ 3 distinct documents
     (the paragraph-level dedup signal CC pipelines strip). Returns the top
@@ -421,15 +447,7 @@ def q_repeated_lines(spark, sf):
     site's footer sentence (derived from ``source``). The detection plan is
     unchanged — the stratum exists so a green row proves the detector FINDS
     boilerplate rather than proving its absence (round-2 verdict item #4)."""
-    d = _t(spark, sf, "documents").withColumn(
-        "text",
-        F.concat(
-            "text",
-            F.lit(". Subscribe to the "),
-            F.col("source"),
-            F.lit(" newsletter for daily updates and exclusive offers."),
-        ),
-    )
+    d = _docs_with_footers(spark, sf)
     lines = d.select(
         "doc_id", F.explode(F.split("text", r"\.\s+")).alias("line")
     ).select("doc_id", F.trim("line").alias("line")).filter(F.length("line") >= 20)
@@ -1354,6 +1372,7 @@ def queries() -> dict[str, _T]:
         "quality_decisions": q_quality_decisions,
         "intra_doc_repetition": q_intra_doc_repetition,
         "repeated_lines": q_repeated_lines,
+        "strip_boilerplate": q_strip_boilerplate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_logprob": q_doc_logprob,
         "pii_scrub": q_pii_scrub,
@@ -1365,7 +1384,6 @@ def queries() -> dict[str, _T]:
         "token_shards": q_token_shards,
         "token_shards_bucketed": q_token_shards_bucketed,
         "source_stats": q_source_stats,
-        "length_histogram": q_length_histogram,
         # -- temporal -----------------------------------------------------
         "asof_last_order": q_asof_last_order,
         # -- relational core (agg / join / window / golden byte-identity) --
@@ -1409,6 +1427,7 @@ def extra_queries() -> dict[str, _T]:
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
         "link_hosts": q_link_hosts,
+        "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "embedding_neardup": q_embedding_neardup,
         "compression_ratio": q_compression_ratio,
@@ -1930,6 +1949,38 @@ def _all_oracles() -> dict[str, str]:
             SELECT tok, df FROM dfreq
             WHERE df >= FLOOR(0.05 * (SELECT COUNT(*) FROM documents))
             ORDER BY df DESC, tok ASC LIMIT 50
+        """,
+        "strip_boilerplate": """
+            WITH docs AS (
+                SELECT doc_id,
+                       text || '. Subscribe to the ' || source ||
+                       ' newsletter for daily updates and exclusive offers.'
+                           AS text
+                FROM documents),
+            arrs AS (SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS a
+                     FROM docs),
+            l AS (
+                SELECT doc_id, unnest(a) AS line,
+                       generate_subscripts(a, 1) AS pos
+                FROM arrs),
+            t AS (SELECT doc_id, pos, line, trim(line) AS tline FROM l),
+            bp AS (
+                SELECT tline FROM t
+                WHERE length(tline) >= 20
+                GROUP BY tline HAVING COUNT(DISTINCT doc_id) >= 3),
+            m AS (
+                SELECT t.doc_id, t.pos, t.line,
+                       (bp.tline IS NOT NULL) AS is_bp
+                FROM t LEFT JOIN bp ON bp.tline = t.tline)
+            SELECT doc_id,
+                   coalesce(
+                       string_agg(CASE WHEN NOT is_bp THEN line END,
+                                  '. ' ORDER BY pos),
+                       '') AS clean_text,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped
+            FROM m GROUP BY doc_id ORDER BY doc_id
         """,
         "repeated_lines": """
             WITH docs AS (

@@ -33,6 +33,7 @@ __all__ = [
     "word_ngrams",
     "intra_doc_repetition",
     "quality_decisions",
+    "strip_boilerplate_lines",
     "with_compression_ratio",
     "with_text_stats",
 ]
@@ -322,6 +323,53 @@ def quality_decisions(
     )
     return base.join(top2, id_col, "left").select(
         id_col, (reason == "ok").alias("keep"), reason.alias("reason")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str,
+    min_docs: int = 3, min_len: int = 20,
+) -> DataFrame:
+    """Boilerplate line REMOVAL — the C4 cleanup rule (Raffel et al. 2020
+    §2.2 dropped lines occurring ≥3 times in the corpus): sentences shared
+    by ≥ ``min_docs`` distinct documents are cut from every document, and
+    the text is rebuilt in original order. The detector twin is
+    ``q_repeated_lines``; this is the operator that acts on its signal.
+
+    Returns (doc_id, clean_text, n_lines, n_dropped). ``clean_text`` joins
+    surviving sentences with ``". "`` — a normalized (not byte-preserving)
+    reconstruction, deterministic across engines and cluster sizes.
+
+    Scale shape: one explode, one hash groupBy on the trimmed line (map-side
+    combined — the count-distinct is over doc ids per line), one hash join
+    back, one per-doc re-aggregation. All linear; the hot key (a footer
+    shared by 10^9 pages) is a build-side key AQE splits.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias("pos", "line"),
+    ).withColumn("tline", F.trim("line"))
+    lines = lines.localCheckpoint(eager=False)  # reused: bp build + probe
+    boiler = (
+        lines.filter(F.length("tline") >= min_len)
+        .groupBy("tline")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("tline", F.lit(True).alias("bp"))
+    )
+    marked = lines.join(boiler, "tline", "left")
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("bp").isNull(), F.struct("pos", "line")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s["line"]), ". "
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("bp"), 1).otherwise(0)).alias("n_dropped"),
+        )
     )
 
 

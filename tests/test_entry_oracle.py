@@ -145,3 +145,13 @@ def test_oracle_greens_are_not_vacuous(name, spark):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_strip_boilerplate_actually_removes(spark):
+    # the remover must FIRE on the footer stratum: every doc drops ≥1 line
+    # and no clean_text still contains the footer phrase
+    import pyspark.sql.functions as F
+
+    out = ALL_QUERIES["strip_boilerplate"](spark, SF_DIR)
+    assert out.filter(F.col("n_dropped") < 1).count() == 0
+    assert out.filter(F.col("clean_text").contains("newsletter for daily")).count() == 0
