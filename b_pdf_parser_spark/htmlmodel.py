@@ -23,7 +23,8 @@ from __future__ import annotations
 import re
 from typing import List, NamedTuple
 
-__all__ = ["Block", "extract_html_blocks", "extract_html_text", "extract_links"]
+__all__ = ["Block", "extract_html_blocks", "extract_html_text",
+           "extract_html_tables", "extract_links"]
 
 
 class Block(NamedTuple):
@@ -274,6 +275,103 @@ def extract_html_blocks(data: bytes) -> List[Block]:
 def extract_html_text(data: bytes) -> str:
     """Main-content text: classified content blocks joined with ``"\\n"``."""
     return "\n".join(b.text for b in extract_html_blocks(data) if b.is_content)
+
+
+def extract_html_tables(data: bytes) -> List[List[List[str]]]:
+    """``<table>`` structure → rows of entity-decoded, tag-stripped cell
+    strings — the HTML twin of the PDF span-cluster table detection, so an
+    HTML bank statement feeds the SAME table→transactions strategy chain
+    (``fields.transactions_from_table_rows``) as a PDF one.
+
+    Tolerances matching real markup: unclosed ``<td>``/``<tr>`` (implicitly
+    closed by the next cell/row/table boundary, as browsers do), ``<th>``
+    treated as a cell, nested tables (inner table is its own entry; its
+    cells don't leak into the outer row), raw-text elements dropped,
+    comments skipped. Tables with no rows are omitted.
+    """
+    html = _decode_html_bytes(data)
+    lower = html.lower()
+    out: List[List[List[str]]] = []
+    # stack of open tables: each is [rows, cur_row_or_None, cell_pieces_or_None]
+    stack: List[list] = []
+
+    def close_cell() -> None:
+        t = stack[-1]
+        if t[2] is not None:
+            t[1].append(_clean_text("".join(t[2])).strip())
+            t[2] = None
+
+    def close_row() -> None:
+        t = stack[-1]
+        close_cell()
+        if t[1] is not None:
+            if any(c for c in t[1]):
+                t[0].append(t[1])
+            t[1] = None
+
+    i = 0
+    n = len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if stack and stack[-1][2] is not None:
+                stack[-1][2].append(html[i:])
+            break
+        if lt > i and stack and stack[-1][2] is not None:
+            stack[-1][2].append(html[i:lt])
+        i = lt
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end < 0 else end + 3
+            continue
+        gt = html.find(">", i + 1)
+        if gt < 0:
+            break
+        tag_body = html[i + 1 : gt]
+        i = gt + 1
+        m = _TAG_NAME_RE.match(tag_body)
+        if not m:
+            continue
+        name = m.group(1).lower()
+        closing = tag_body.startswith("/")
+        self_closing = tag_body.rstrip().endswith("/") or name in _VOID_TAGS
+        if not closing and name in _RAW_TEXT_TAGS and not self_closing:
+            end = lower.find("</" + name, i)
+            if end < 0:
+                break
+            i = lower.find(">", end)
+            i = n if i < 0 else i + 1
+            continue
+        if name == "table":
+            if closing:
+                if stack:
+                    close_row()
+                    rows = stack.pop()[0]
+                    if rows:
+                        out.append(rows)
+            elif not self_closing:
+                stack.append([[], None, None])
+            continue
+        if not stack:
+            continue
+        if name == "tr":
+            close_row()
+            if not closing:
+                stack[-1][1] = []
+        elif name in ("td", "th"):
+            close_cell()
+            if not closing:
+                if stack[-1][1] is None:  # cell before any <tr>: implicit row
+                    stack[-1][1] = []
+                stack[-1][2] = []
+        # all other tags inside a cell are stripped (their text flows through)
+    # truncated markup: close whatever is still open, outermost last
+    while stack:
+        close_row()
+        rows = stack.pop()[0]
+        if rows:
+            out.append(rows)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 )
 
 from .. import fields
-from ..htmlmodel import extract_html_text
+from ..htmlmodel import extract_html_blocks, extract_html_tables
 from ..pdfmodel import PdfError, extract_pdf_pages_and_tables
 
 __all__ = ["EXTRACTED_SCHEMA", "extract_pages", "make_extract_batch", "DEFAULT_SKEW_THRESHOLD"]
@@ -115,9 +115,18 @@ def _extract_one(url: str, payload: Optional[bytes]) -> dict:
             row["tables"] = tables
         else:
             row["kind"] = "html"
-            row["text"] = extract_html_text(payload)
-            row["first_page"] = row["text"]
+            blocks = extract_html_blocks(payload)
+            row["text"] = "\n".join(b.text for b in blocks if b.is_content)
+            # label scans (metadata, summary totals) run over ALL blocks:
+            # header label/value lines are short and link-poor, so the
+            # boilerplate classifier rightly drops them from the content
+            # text — but they are exactly what the field extractor needs
+            row["first_page"] = "\n".join(b.text for b in blocks)
             row["n_pages"] = 1
+            # HTML <table> rows feed the same table→transactions strategy
+            # as PDF span-cluster tables (an HTML bank statement and a PDF
+            # one are the same document to the field layer)
+            row["tables"] = extract_html_tables(payload)
     except PdfError as e:
         row["kind"] = "error"
         row["error"] = f"pdf: {e}"
@@ -181,9 +190,15 @@ def make_extract_batch(verify: bool = True):
                     txns = fields.extract_transactions_inline(full_text)
                     if txns:
                         strategy = "inline"
+                # summary labels live in ALL blocks for html (the content
+                # classifier rightly drops short label lines); for pdf the
+                # full multi-page text is the scan surface
+                scan_text = (
+                    (d["first_page"] or "") if d["kind"] == "html" else full_text
+                )
                 summary = (
-                    fields.extract_summary_totals(full_text)
-                    if full_text
+                    fields.extract_summary_totals(scan_text)
+                    if scan_text
                     else dict.fromkeys(
                         ("total_debit", "total_credit", "opening_balance", "closing_balance")
                     )

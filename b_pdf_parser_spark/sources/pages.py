@@ -34,6 +34,7 @@ __all__ = [
     "PAGES_SCHEMA_DDL",
     "statement_lines",
     "html_page",
+    "html_statement_page",
     "make_page_row",
     "synth_pages_df",
 ]
@@ -42,8 +43,9 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 10  # v9: ~2.5% kitchen-sink intersection docs; v10: inline
-# images (~4%) + /Differences code remapping (~6%) woven into statements
+CORPUS_VERSION = 11  # v9: ~2.5% kitchen-sink intersection docs; v10: inline
+# images (~4%) + /Differences remaps (~6%); v11: ~10% of HTML docs are bank
+# statements with transaction <table>s (the html face of the field layer)
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -236,6 +238,45 @@ def report_pdf(rng: random.Random) -> bytes:
     )
 
 
+def html_statement_page(rng: random.Random) -> Tuple[bytes, Dict[str, Any]]:
+    """Bank statement rendered as a real web page: header label/value lines
+    as paragraphs, transactions as an HTML ``<table>``, summary totals as
+    trailing paragraphs, wrapped in nav/footer boilerplate. The SAME
+    document the PDF statements carry, in the other markup the web uses —
+    the extraction chain must produce the same fields from either."""
+    pages, truth = statement_lines(
+        rng,
+        n_pages=1,
+        rows_per_page=rng.randint(4, 10),
+        summary=rng.choice(["match", "match", "match", "mismatch"]),
+        amount_format="id",
+        layout="table",
+    )
+    header_ps: List[str] = []
+    table_rows: List[List[str]] = []
+    tail_ps: List[str] = []
+    for ln in pages[0]:
+        if isinstance(ln, str):
+            (tail_ps if table_rows else header_ps).append(ln)
+        else:
+            table_rows.append([str(c) for c in ln])
+    nav = " ".join(f'<a href="/{w}">{w}</a>' for w in rng.sample(_EN_WORDS, 4))
+    hdr = "".join(f"<p>{h}</p>\n" for h in header_ps)
+    rows_html = "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>\n" for r in table_rows
+    )
+    tail = "".join(f"<p>{t}</p>\n" for t in tail_ps)
+    html = (
+        "<!DOCTYPE html><html><head><title>Account Statement</title>"
+        "<style>td{padding:2px}</style></head><body>\n"
+        f"<nav>{nav}</nav>\n"
+        f"<article>\n{hdr}<table>\n{rows_html}</table>\n{tail}</article>\n"
+        "<footer>Copyright 2026 Synth Bank <a href='/tos'>Terms</a></footer>\n"
+        "</body></html>"
+    )
+    return html.encode("utf-8"), truth
+
+
 def html_page(rng: random.Random) -> Tuple[bytes, str]:
     """Boilerplate-wrapped article; returns (html bytes, golden main text)."""
     n_paras = rng.randint(2, 5)
@@ -406,6 +447,20 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
         lang = "id"
     elif roll < 0.94:  # HTML page
         payload, golden = html_page(rng)
+        # v11: ~10% of HTML docs are bank statements rendered as real web
+        # pages (label paragraphs + a transactions <table> + summary) — the
+        # same document the PDF stratum carries, in the web's other markup;
+        # the table→transactions chain must produce identical fields from
+        # either. Forked rng: every other doc is byte-identical to v10.
+        srng = random.Random((seed << 39) ^ (i * 0x85EBCA77) ^ 0x61C88)
+        if srng.random() < 0.10:
+            payload, struth = html_statement_page(srng)
+            if srng.random() < 0.3:  # filename-fallback path, like the PDFs
+                url = f"https://synth.example/{seed}/stmt_{struth['account_no']}.html"
+            text = None  # no crawler-provided text for statement pages
+            lang = "id"
+            return {"url": url, "warc_ts": ts, "html": payload, "text": text,
+                    "lang": lang}
         # ~15% of HTML re-encoded as windows-1252 with a declared
         # <meta charset> and cp1252-only punctuation (€, em-dash, smart
         # quotes — the 0x80-0x9F band where legacy web text lives), so the

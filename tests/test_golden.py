@@ -129,3 +129,51 @@ def test_d16_intersection_features_all_present(fixtures_dir):
     text = "".join(p + "\n" for p in __import__("b_pdf_parser_spark.pdfmodel", fromlist=["x"]).extract_pdf_pages(payload))
     assert "phantom" not in text and "swallow" not in text
     assert "No. Rekening" in text
+
+
+def test_d17_html_statement_full_contract(fixtures_dir):
+    """The html face of the field layer: an HTML statement must satisfy the
+    SAME meta/txns/verify contracts as the PDF goldens, via the html table
+    path, and its content text stays byte-frozen."""
+    from b_pdf_parser_spark.htmlmodel import (extract_html_blocks,
+                                              extract_html_tables)
+
+    payload = (fixtures_dir / "d17_html_statement.html").read_bytes()
+    blocks = extract_html_blocks(payload)
+    content = "\n".join(b.text for b in blocks if b.is_content)
+    assert content.encode("utf-8") == (
+        fixtures_dir / "d17_html_statement.expected_text.txt").read_bytes()
+    all_blocks = "\n".join(b.text for b in blocks)
+    tables = extract_html_tables(payload)
+    assert tables and len(tables) == 1
+    txns = fields.transactions_from_table_rows(tables)
+    assert len(txns) == 10
+    meta = fields.extract_metadata(all_blocks)
+    meta["account_no"] = fields.account_no_from_url("d17_html_statement",
+                                                    meta["account_no"])
+    summary = fields.extract_summary_totals(all_blocks)
+    for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+        meta[k] = summary.get(k) or ""
+    assert metadata_csv(meta).encode() == (
+        fixtures_dir / "d17_html_statement.expected_meta.csv").read_bytes()
+    assert transactions_csv(txns).encode() == (
+        fixtures_dir / "d17_html_statement.expected_txns.csv").read_bytes()
+    ver = fields.verify_turnover(txns, 0.01, summary=summary)
+    assert ver == json.loads(
+        (fixtures_dir / "d17_html_statement.expected_verify.json").read_text())
+    assert ver["status"] == "passed"
+
+
+def test_html_statement_operator_parity(fixtures_dir):
+    """Through the real operator body (_extract_one + strategy chain): an
+    html statement lands strategy='table' with a verified turnover, exactly
+    like its PDF twin."""
+    from b_pdf_parser_spark.operators.extract import _extract_one
+
+    payload = (fixtures_dir / "d17_html_statement.html").read_bytes()
+    d = _extract_one("https://x/stmt.html", payload)
+    assert d["kind"] == "html" and d["error"] is None
+    txns = fields.transactions_from_table_rows(d["tables"])
+    assert len(txns) == 10
+    meta = fields.extract_metadata(d["first_page"])
+    assert meta["account_no"].isdigit() and len(meta["account_no"]) == 13

@@ -121,3 +121,37 @@ def test_latin1_last_resort_never_fails():
 
     junk = bytes(range(256))
     assert isinstance(_decode_html_bytes(junk), str)
+
+
+def test_extract_html_tables_edge_cases():
+    from b_pdf_parser_spark.htmlmodel import extract_html_tables
+
+    h = b"""<table><tr><th>Date</th><th>Desc</th></tr>
+    <tr><td>01/01/24</td><td>A &amp; B</td></tr>
+    <tr><td>02/01/24<td>unclosed cells
+    <tr><td><b>bold</b> text</td><td>y</td>
+    </table>
+    <table><tr><td>t2a</td><td><table><tr><td>inner</td></tr></table></td><td>t2b</td></tr></table>
+    <table></table>
+    <script>var x = "<table><tr><td>fake</td></tr></table>"</script>
+    <table><tr><td>tail without close"""
+    got = extract_html_tables(h)
+    assert got[0] == [["Date", "Desc"], ["01/01/24", "A & B"],
+                      ["02/01/24", "unclosed cells"], ["bold text", "y"]]
+    assert [["inner"]] in got               # nested table is its own entry
+    assert [["t2a", "", "t2b"]] in got      # ...and doesn't leak outward
+    assert [["tail without close"]] in got  # truncated markup closed at EOF
+    assert len(got) == 4                    # the empty table is omitted
+    assert extract_html_tables(b"no tables here") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_html_tables_total(data):
+    from b_pdf_parser_spark.htmlmodel import extract_html_tables
+
+    out = extract_html_tables(data)
+    assert isinstance(out, list)
+    for t in out:
+        for row in t:
+            assert all(isinstance(c, str) for c in row)

@@ -92,6 +92,29 @@ def freeze_html(name: str, payload: bytes) -> None:
     print(f"{name}: {len(payload)}B html, {len(text)} chars")
 
 
+def freeze_html_statement(name: str, payload: bytes) -> None:
+    """HTML statement page: freezes the FULL field contract (meta/txns/
+    verify CSVs, like freeze_pdf) through the html table path."""
+    from b_pdf_parser_spark.htmlmodel import extract_html_blocks, extract_html_tables
+
+    (FIXDIR / f"{name}.html").write_bytes(payload)
+    blocks = extract_html_blocks(payload)
+    content = "\n".join(b.text for b in blocks if b.is_content)
+    all_blocks = "\n".join(b.text for b in blocks)  # the label-scan surface
+    txns = fields.transactions_from_table_rows(extract_html_tables(payload))
+    meta = fields.extract_metadata(all_blocks)
+    meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
+    summary = fields.extract_summary_totals(all_blocks)
+    for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+        meta[k] = summary.get(k) or ""
+    ver = fields.verify_turnover(txns, 0.01, summary=summary)
+    (FIXDIR / f"{name}.expected_text.txt").write_bytes(content.encode("utf-8"))
+    (FIXDIR / f"{name}.expected_meta.csv").write_text(metadata_csv(meta), newline="")
+    (FIXDIR / f"{name}.expected_txns.csv").write_text(transactions_csv(txns), newline="")
+    (FIXDIR / f"{name}.expected_verify.json").write_text(json.dumps(ver, indent=1, sort_keys=True))
+    print(f"{name}: {len(payload)}B html-statement, {len(txns)} txns, verify={ver['status']}")
+
+
 def main() -> None:
     FIXDIR.mkdir(parents=True, exist_ok=True)
 
@@ -196,6 +219,14 @@ def main() -> None:
                               inline_images=[(0, evil)],
                               differences={48: "A", 65: "zero", 128: "Euro"},
                               xref_stream=True))
+
+    # d17: bank statement as a WEB PAGE — header label paragraphs, a
+    # transactions <table>, summary paragraphs, nav/footer boilerplate.
+    # Pins the html face of the field layer: table→transactions through
+    # extract_html_tables, metadata/summary over the all-blocks text
+    from b_pdf_parser_spark.sources.pages import html_statement_page
+    payload17, _ = html_statement_page(random.Random(1717))
+    freeze_html_statement("d17_html_statement", payload17)
 
     # d5/d6: html pages (template + adversarial)
     payload, _ = html_page(random.Random(505))
