@@ -94,3 +94,35 @@ def test_wholestage_codegen_on_relational_path(spark):
 def test_lsh_join_keyed_on_bucket(spark):
     plan = _plan(ALL_Q["lsh_candidates"](spark, "/root/testdata/sf0.001"))
     assert "band" in plan  # join keys include the band/bucket, not doc pairs
+
+
+def test_token_shards_bucketed_has_no_global_sort(spark):
+    # the whole point of the two-level form: the running-sum window
+    # partitions on the bucket (hash exchange), never a single-partition
+    # global sort — the plan must show it
+    from b_pdf_parser_spark.operators.sampling import (token_shards,
+                                                       token_shards_bucketed)
+
+    df = spark.range(0, 500, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y "), F.col("id").cast("string")).alias("text"),
+    )
+    g = _plan(token_shards(df, "doc_id", "text", 100))
+    b = _plan(token_shards_bucketed(df, "doc_id", "text", 100))
+    assert "SinglePartition" in g          # the global form's inherent cost
+    assert "SinglePartition" not in b
+    assert "hashpartitioning(bucket" in b  # per-bucket window exchange
+
+
+def test_host_cap_threshold_is_windowless(spark):
+    from b_pdf_parser_spark.operators.sampling import (per_host_cap,
+                                                       per_host_cap_threshold)
+
+    df = spark.range(0, 200, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+    )
+    w = _plan(per_host_cap(df, "doc_id", "host", 3))
+    t = _plan(per_host_cap_threshold(df, "doc_id", "host", 3))
+    assert "Window" in w
+    assert "Window" not in t  # two linear passes, no per-host task
