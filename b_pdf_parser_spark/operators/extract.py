@@ -43,8 +43,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+import re as _re
+
 from .. import fields
 from ..htmlmodel import extract_html_blocks, extract_html_tables
+
+_TABLE_HINT_RE = _re.compile(rb"<table", _re.I)
 from ..pdfmodel import PdfError, extract_pdf_pages_and_tables
 
 __all__ = ["EXTRACTED_SCHEMA", "extract_pages", "make_extract_batch", "DEFAULT_SKEW_THRESHOLD"]
@@ -125,8 +129,12 @@ def _extract_one(url: str, payload: Optional[bytes]) -> dict:
             row["n_pages"] = 1
             # HTML <table> rows feed the same table→transactions strategy
             # as PDF span-cluster tables (an HTML bank statement and a PDF
-            # one are the same document to the field layer)
-            row["tables"] = extract_html_tables(payload)
+            # one are the same document to the field layer). One cheap
+            # C-level byte scan gates the full table walk — most pages have
+            # no table at all (charset note: every supported encoding is
+            # ASCII-compatible, so the tag bytes are literal)
+            if _TABLE_HINT_RE.search(payload):
+                row["tables"] = extract_html_tables(payload)
     except PdfError as e:
         row["kind"] = "error"
         row["error"] = f"pdf: {e}"
