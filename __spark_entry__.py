@@ -1160,6 +1160,44 @@ def q_host_cap_threshold(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_sitemap_urls(spark, sf):
+    """Parse REAL sitemap XML bytes (whitespace noise, optional fields,
+    escaped ampersands, attributes on <url>) into (host, loc, lastmod,
+    changefreq, priority) rows — relationally, no UDF. The oracle
+    recomputes the expected rows from the generator formulas, so parser
+    drift breaks the value hash (robots_rules' pattern)."""
+    from b_pdf_parser_spark.operators.links import parse_sitemaps
+
+    h = spark.range(0, 10)
+    i_s = F.col("id").cast("string")
+    entry_xml = F.transform(
+        F.sequence(F.lit(1), (F.lit(1) + F.col("id") % 4).cast("int")),
+        lambda k: F.concat(
+            F.lit("  <url><loc>\n    https://host"), i_s, F.lit(".example/p"),
+            k.cast("string"), F.lit("?a=1&amp;b="), k.cast("string"),
+            F.lit("\n  </loc>"),
+            F.when(k % 2 == 0, F.concat(
+                F.lit("<lastmod> 2024-01-0"),
+                ((k % 9) + 1).cast("string"), F.lit(" </lastmod>"))
+            ).otherwise(F.lit("")),
+            F.when(k % 3 == 0,
+                   F.lit("<changefreq>DAILY</changefreq>"
+                         "<priority>0.8</priority>")).otherwise(F.lit("")),
+            F.lit("</url>\n"),
+        ),
+    )
+    sitemaps = h.select(
+        F.concat(F.lit("host"), i_s, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/'
+                  'schemas/sitemap/0.9">\n'),
+            F.array_join(entry_xml, ""),
+            F.lit("</urlset>\n"),
+        ).alias("xml"),
+    )
+    return parse_sitemaps(sitemaps).orderBy("host", "loc")
+
+
 def q_robots_rules(spark, sf):
     """Parse REAL robots.txt bytes (comments, case-mixed directives,
     bot-specific groups, merged UA runs, empty Disallow) into the
@@ -1427,6 +1465,7 @@ def extra_queries() -> dict[str, _T]:
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
         "link_hosts": q_link_hosts,
+        "sitemap_urls": q_sitemap_urls,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "embedding_neardup": q_embedding_neardup,
@@ -2068,6 +2107,19 @@ def _all_oracles() -> dict[str, str]:
                    (t.n <= 3
                     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr) AS keep
             FROM documents d JOIN t ON d.source = t.source ORDER BY d.doc_id
+        """,
+        "sitemap_urls": """
+            WITH h AS (SELECT range AS id FROM range(0, 10)),
+            ks AS (SELECT id, CAST(unnest(range(1, 2 + id % 4)) AS BIGINT) AS k
+                   FROM h)
+            SELECT 'host' || id || '.example' AS host,
+                   'https://host' || id || '.example/p' || k || '?a=1&b=' || k
+                       AS loc,
+                   CASE WHEN k % 2 = 0 THEN '2024-01-0' || ((k % 9) + 1) END
+                       AS lastmod,
+                   CASE WHEN k % 3 = 0 THEN 'daily' END AS changefreq,
+                   CASE WHEN k % 3 = 0 THEN 0.8 ELSE 0.5 END AS priority
+            FROM ks ORDER BY host, loc
         """,
         "robots_rules": """
             WITH h AS (SELECT range AS id, 'host' || range || '.example' AS host

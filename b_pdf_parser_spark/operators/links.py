@@ -24,6 +24,8 @@ __all__ = [
     "host_degrees",
     "host_pagerank",
     "parse_robots",
+    "parse_sitemaps",
+    "sitemap_index_urls",
     "robots_filter",
     "synth_linkdoc_df",
     "synth_pdflink_doc_df",
@@ -257,6 +259,77 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     return urls.join(best, "url", "left").select(
         "url", "host", "path", F.coalesce("allow", F.lit(True)).alias("allowed")
     )
+
+
+def _xml_unescape(c: F.Column) -> F.Column:
+    """The five XML predefined entities (sitemap locs escape & as &amp;).
+    amp last, so '&amp;lt;' decodes to the literal '&lt;' like real parsers."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """XML sitemap (sitemaps.org protocol) → one row per ``<url>`` entry:
+    (host, loc, lastmod, changefreq, priority) — entirely relational, the
+    discovery-side complement of :func:`parse_robots` (robots says what may
+    be crawled; sitemaps say what exists and how fresh it is).
+
+    Tolerances matching real feeds: arbitrary whitespace/newlines inside
+    entries, missing optional fields (lastmod/changefreq → null, priority →
+    the protocol's 0.5 default), XML-escaped ampersands in locs, attributes
+    on the ``<urlset>``/``<url>`` tags. Entries with no ``<loc>`` are
+    dropped. ``<![CDATA[...]]>`` locs are not supported (rare in practice
+    and regex-hostile; a feed using them parses to no rows, never garbage).
+
+    Scale shape: regexp_extract_all + explode is map-only per sitemap doc;
+    sitemap files cap at 50k urls / 50 MB by protocol, so one document is
+    always one task's worth of work. The same (?s) RE2 patterns run
+    verbatim in the DuckDB oracle.
+    """
+    blocks = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.expr(f"regexp_extract_all({xml_col}, '(?s)<url[ >](.*?)</url>', 1)")
+        ).alias("entry"),
+    )
+    loc = F.regexp_extract("entry", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("entry", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    freq = F.regexp_extract("entry", r"(?s)<changefreq>\s*(.*?)\s*</changefreq>", 1)
+    prio = F.regexp_extract("entry", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    return (
+        blocks.select(
+            "host",
+            _xml_unescape(loc).alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            F.when(freq != "", F.lower(freq)).alias("changefreq"),
+            F.coalesce(prio.try_cast("double"), F.lit(0.5)).alias("priority"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def sitemap_index_urls(
+    df: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """Sitemap INDEX files → (host, sitemap_loc): the recursion edge a
+    crawler follows to fetch child sitemaps (protocol: index files wrap
+    ``<sitemap><loc>`` entries instead of ``<url>``)."""
+    locs = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({xml_col},"
+                " '(?s)<sitemap[ >].*?<loc>\\\\s*(.*?)\\\\s*</loc>.*?</sitemap>', 1)"
+            )
+        ).alias("raw"),
+    )
+    return locs.select(
+        "host", _xml_unescape(F.col("raw")).alias("sitemap_loc")
+    ).filter(F.col("sitemap_loc") != "")
 
 
 # ---------------------------------------------------------------------------

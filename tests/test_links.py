@@ -228,3 +228,35 @@ def test_extract_links_nested_and_implicitly_closed_anchors():
         ("https://c.example/", "head"),
         ("https://d.example/", "tail"),
     ]
+
+
+def test_parse_sitemaps_edge_cases(spark):
+    from b_pdf_parser_spark.operators.links import (parse_sitemaps,
+                                                    sitemap_index_urls)
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc> https://h.example/a?x=1&amp;y=2 </loc><lastmod>2024-01-02</lastmod>
+           <changefreq>DAILY</changefreq><priority>0.8</priority></url>
+      <url>
+        <loc>https://h.example/b</loc>
+      </url>
+      <url><lastmod>2024-01-01</lastmod></url>
+      <url data-x="1"><loc>https://h.example/c</loc><priority>bogus</priority></url>
+    </urlset>"""
+    df = spark.createDataFrame([("h.example", xml)], "host string, xml string")
+    rows = {r["loc"]: r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {"https://h.example/a?x=1&y=2", "https://h.example/b",
+                         "https://h.example/c"}  # loc-less entry dropped
+    a = rows["https://h.example/a?x=1&y=2"]
+    assert (a["lastmod"], a["changefreq"], a["priority"]) == ("2024-01-02", "daily", 0.8)
+    b = rows["https://h.example/b"]
+    assert (b["lastmod"], b["changefreq"], b["priority"]) == (None, None, 0.5)
+    assert rows["https://h.example/c"]["priority"] == 0.5  # bogus -> default
+
+    idx = ("<sitemapindex><sitemap><loc>https://h.example/s1.xml</loc></sitemap>"
+           "<sitemap><loc> https://h.example/s2.xml?a=1&amp;b=2 </loc>"
+           "<lastmod>2024</lastmod></sitemap></sitemapindex>")
+    di = spark.createDataFrame([("h.example", idx)], "host string, xml string")
+    assert sorted(r["sitemap_loc"] for r in sitemap_index_urls(di).collect()) == [
+        "https://h.example/s1.xml", "https://h.example/s2.xml?a=1&b=2"]
