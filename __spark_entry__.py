@@ -1462,6 +1462,7 @@ def extra_queries() -> dict[str, _T]:
         "vocab_df": q_vocab_df,
         "simhash": q_simhash,
         "quality_filter": q_quality_filter,
+        "robots_filter": q_robots_filter,
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
         "link_hosts": q_link_hosts,

@@ -74,6 +74,12 @@ _ENTITIES = {
 _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});")
 _WS_RUN_RE = re.compile(r"[ \t\r\n\f\v ]+")
 _TAG_NAME_RE = re.compile(r"^/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# length-preserving lowercase for offset-sharing scans: str.lower() can CHANGE
+# string length (e.g. Turkish İ U+0130 → 'i' + combining dot, 2 chars), which
+# would desync every offset computed on the lowered copy against the original;
+# tag names are ASCII, so translating only A-Z is both safe and exact
+_ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "abcdefghijklmnopqrstuvwxyz")
 
 
 def _decode_entity(m: re.Match) -> str:
@@ -191,7 +197,7 @@ def extract_html_blocks(data: bytes) -> List[Block]:
     cur = _BlockBuilder("body")
     container_stack: List[str] = []
     link_depth = 0
-    lower = html.lower()
+    lower = html.translate(_ASCII_LOWER)
 
     def flush() -> None:
         nonlocal cur
@@ -290,7 +296,7 @@ def extract_html_tables(data: bytes) -> List[List[List[str]]]:
     comments skipped. Tables with no rows are omitted.
     """
     html = _decode_html_bytes(data)
-    lower = html.lower()
+    lower = html.translate(_ASCII_LOWER)
     out: List[List[List[str]]] = []
     # stack of open tables: each is [rows, cur_row_or_None, cell_pieces_or_None]
     stack: List[list] = []
@@ -393,7 +399,7 @@ def extract_links(data: bytes) -> List[dict]:
     anchor, and links without an href (skipped).
     """
     html = _decode_html_bytes(data)
-    lower = html.lower()
+    lower = html.translate(_ASCII_LOWER)
     out: List[dict] = []
     i = 0
     n = len(html)
@@ -408,6 +414,16 @@ def extract_links(data: bytes) -> List[dict]:
                 return j
             p = j + 2  # <abbr>, <address>, ... — not an anchor
 
+    def _next_anchor_close(p: int) -> int:
+        while True:
+            j = lower.find("</a", p)
+            if j < 0:
+                return -1
+            after = lower[j + 3 : j + 4]
+            if after in ("", ">", " ", "\t", "\n", "\r", "\f"):
+                return j
+            p = j + 3  # </abbr>, </address>, </article> — not an anchor close
+
     while True:
         j = _next_anchor_open(i)
         if j < 0:
@@ -420,7 +436,7 @@ def extract_links(data: bytes) -> List[dict]:
         # implicitly close an open anchor when a new one starts, so
         # '<a href=A>x <a href=B>y</a>' yields both A ("x") and B ("y")
         # instead of A swallowing B's markup
-        close = lower.find("</a", gt + 1)
+        close = _next_anchor_close(gt + 1)
         end = close if close >= 0 else n
         nxt = _next_anchor_open(gt + 1)
         if 0 <= nxt < end:

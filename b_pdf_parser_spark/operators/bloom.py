@@ -147,7 +147,11 @@ def frontier_new_keys(
     IDENTICAL to the plain anti-join — the bloom changes the cost, not the
     answer."""
     bloom = bloom_bitmap_bytes(base, key_col, m_bits, k)
-    probed = probe_bloom(candidates.select(key_col).distinct(), key_col, bloom, m_bits, k)
+    # referenced by BOTH branches below — checkpoint so the candidate
+    # distinct + hash + bitmap probe subtree runs once, not per branch
+    probed = probe_bloom(
+        candidates.select(key_col).distinct(), key_col, bloom, m_bits, k
+    ).localCheckpoint(eager=False)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = suspects.join(

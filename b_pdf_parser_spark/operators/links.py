@@ -383,7 +383,10 @@ def extract_pdf_outlinks(docs: DataFrame, id_col: str = "doc_id", pdf_col: str =
                 try:
                     for rec in link_annotations(bytes(payload)):
                         rows.append({"doc_id": int(did), **rec})
-                except PdfError:
+                except Exception:  # same contract as the extraction
+                    # operator (S10): a corrupt document (PdfError, or e.g.
+                    # a ValueError from a mangled AES stream) must
+                    # contribute no rows, never fail the task
                     continue
             yield pd.DataFrame(rows, columns=cols)
 

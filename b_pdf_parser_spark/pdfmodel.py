@@ -642,13 +642,16 @@ class PdfDocument:
             # filters, though some writers put bits there) wins over the
             # top-level /Length — a V4 file declaring its key size only in
             # StdCF would otherwise derive a wrong key and be misreported
-            # as password-protected
+            # as password-protected. The bytes→bits scaling applies ONLY to
+            # the StdCF value: the top-level /Length is defined in bits and
+            # 40 is a legal bit count there (RC4-40).
             length = self.resolve((stdcf or {}).get("Length"))
-            if length is None:
-                length = self.resolve(enc.get("Length", 128))
-            length = int(length or 128)
-            if length <= 40:  # byte count (5..40) → bits
-                length *= 8
+            if length is not None:
+                length = int(length or 128)
+                if length <= 40:  # crypt-filter byte count (5..40) → bits
+                    length *= 8
+            else:
+                length = int(self.resolve(enc.get("Length", 128)) or 128)
             key = _std_file_key(dict(enc, Length=length), file_id)
             if not _std_user_check(enc, file_id, key):
                 raise PdfError("password-protected PDF (user password required)")

@@ -192,36 +192,60 @@ def split_wet(data: bytes) -> List[Tuple[str, str, bytes]]:
     return _split_records(data, b"conversion", False)
 
 
+def _write_segments(
+    docs: DataFrame,
+    out_dir: str,
+    value_col: str,
+    record_fn,
+    suffix: str,
+    partition_col: Optional[str] = None,
+) -> DataFrame:
+    """Shared executor-side segment writer for both container sinks: rows →
+    per-record gzip members → one segment file per (Arrow batch, optional
+    partition value), yielding one manifest row per segment. Rows with a
+    null value or timestamp are skipped (nothing to serialize). Keeping one
+    implementation means a hardening fix (timestamp coercion, atomic write)
+    can never silently miss the other sink."""
+    import os
+    import uuid
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            groups = b.groupby(partition_col) if partition_col else [(None, b)]
+            for key, g in groups:
+                chunks = []
+                for url, ts, val in zip(g["url"], g["warc_ts"], g[value_col]):
+                    if val is None or pd.isna(ts):
+                        continue
+                    t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                    chunks.append(_gzip_member(record_fn(str(url), t, val)))
+                if not chunks:
+                    continue
+                target = (
+                    os.path.join(out_dir, f"{partition_col}={int(key)}")
+                    if key is not None else out_dir
+                )
+                os.makedirs(target, exist_ok=True)
+                seg = b"".join(chunks)
+                path = os.path.join(target, f"segment-{uuid.uuid4().hex[:12]}{suffix}")
+                with open(path, "wb") as f:
+                    f.write(seg)
+                yield pd.DataFrame(
+                    {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
+                )
+
+    cols = ["url", "warc_ts", value_col] + ([partition_col] if partition_col else [])
+    return docs.select(*cols).mapInPandas(emit, schema=WARC_MANIFEST_DDL)
+
+
 def write_warc(pages: DataFrame, out_dir: str) -> DataFrame:
     """Serialize a pages DataFrame into ``.warc.gz`` segments, one per Arrow
     batch, written from the executors; returns the manifest DataFrame
     (path, n_records, n_bytes). Follows the repo's sink rule: no driver
     collection — the manifest is itself a (tiny) distributed result."""
-    import os
-    import uuid
-
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        os.makedirs(out_dir, exist_ok=True)
-        for b in batches:
-            chunks = []
-            for url, ts, payload in zip(b["url"], b["warc_ts"], b["html"]):
-                if payload is None or pd.isna(ts):
-                    continue
-                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                chunks.append(_gzip_member(warc_record(str(url), t, bytes(payload))))
-            if not chunks:
-                continue
-            seg = b"".join(chunks)
-            name = f"segment-{uuid.uuid4().hex[:12]}.warc.gz"
-            path = os.path.join(out_dir, name)
-            with open(path, "wb") as f:
-                f.write(seg)
-            yield pd.DataFrame(
-                {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
-            )
-
-    return pages.select("url", "warc_ts", "html").mapInPandas(
-        emit, schema=WARC_MANIFEST_DDL
+    return _write_segments(
+        pages, out_dir, "html",
+        lambda u, t, v: warc_record(u, t, bytes(v)), ".warc.gz",
     )
 
 
@@ -299,37 +323,11 @@ def write_wet(
     (hive-style) — the checkpoint unit the resumable job needs: a wave can
     clear and rewrite exactly its partition ids' segments, keeping WET
     output idempotent under kill/resume."""
-    import os
-    import uuid
-
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            groups = b.groupby(partition_col) if partition_col else [(None, b)]
-            for key, g in groups:
-                chunks = []
-                for url, ts, text in zip(g["url"], g["warc_ts"], g["text"]):
-                    if text is None or pd.isna(ts):
-                        continue
-                    t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                    chunks.append(_gzip_member(wet_record(str(url), t, str(text))))
-                if not chunks:
-                    continue
-                target = (
-                    os.path.join(out_dir, f"{partition_col}={int(key)}")
-                    if key is not None else out_dir
-                )
-                os.makedirs(target, exist_ok=True)
-                seg = b"".join(chunks)
-                name = f"segment-{uuid.uuid4().hex[:12]}.warc.wet.gz"
-                path = os.path.join(target, name)
-                with open(path, "wb") as f:
-                    f.write(seg)
-                yield pd.DataFrame(
-                    {"path": [path], "n_records": [len(chunks)], "n_bytes": [len(seg)]}
-                )
-
-    cols = ["url", "warc_ts", "text"] + ([partition_col] if partition_col else [])
-    return docs.select(*cols).mapInPandas(emit, schema=WARC_MANIFEST_DDL)
+    return _write_segments(
+        docs, out_dir, "text",
+        lambda u, t, v: wet_record(u, t, str(v)), ".warc.wet.gz",
+        partition_col=partition_col,
+    )
 
 
 WET_ROWS_DDL = "url STRING, warc_ts TIMESTAMP, text STRING"

@@ -58,6 +58,16 @@ def test_driver_window_holds_every_registered_query():
     assert not set(entry.queries()) & set(entry.extra_queries())
 
 
+def test_no_orphaned_oracles():
+    # every oracle must belong to SOME registry, or its parity test
+    # silently disappears (a query once retired from queries() without
+    # landing in extra_queries() shipped with zero verification)
+    orphans = set(entry._all_oracles()) - set(entry.queries()) - set(
+        entry.extra_queries()
+    )
+    assert not orphans, f"oracles with no registered query: {sorted(orphans)}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     q = ALL_QUERIES[name]

@@ -155,3 +155,13 @@ def test_extract_html_tables_total(data):
     for t in out:
         for row in t:
             assert all(isinstance(c, str) for c in row)
+
+
+def test_tables_survive_unicode_case_length_changes():
+    # İ before a <style> block once desynced the raw-text skip offsets,
+    # mis-framing the following <table>
+    html = ("<html><head><title>İŞ BANKASI İ</title><style>td{}</style>"
+            "</head><body><table><tr><td>01/01/24</td><td>İstanbul</td></tr>"
+            "</table></body></html>").encode("utf-8")
+    from b_pdf_parser_spark.htmlmodel import extract_html_tables
+    assert extract_html_tables(html) == [[["01/01/24", "İstanbul"]]]

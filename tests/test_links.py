@@ -260,3 +260,20 @@ def test_parse_sitemaps_edge_cases(spark):
     di = spark.createDataFrame([("h.example", idx)], "host string, xml string")
     assert sorted(r["sitemap_loc"] for r in sitemap_index_urls(di).collect()) == [
         "https://h.example/s1.xml", "https://h.example/s2.xml?a=1&b=2"]
+
+
+def test_anchor_close_is_not_prefix_matched():
+    # '</address>' must not read as '</a'+'ddress>' and truncate the anchor
+    html = b'<a href="/x">see <address>HQ</address> map</a> tail'
+    links = extract_links(html)
+    assert links == [{"href": "/x", "anchor": "see HQ map"}]
+
+
+def test_unicode_case_change_does_not_desync_offsets():
+    # Turkish İ (U+0130) lowercases to TWO characters via str.lower(); the
+    # offset-sharing scans must therefore use a length-preserving lowercase
+    html = ("<html><head><title>İSTANBUL İİİ</title>"
+            "<style>x{}</style></head><body>"
+            '<a href="/tr">İzmir</a></body></html>').encode("utf-8")
+    links = extract_links(html)
+    assert links == [{"href": "/tr", "anchor": "İzmir"}]

@@ -560,3 +560,12 @@ def test_differences_remap_of_ascii_codes():
     data = pdf_from_lines([["A0A0 balance 100"]], differences=diffs, compress=False)
     assert b"(0A0A" in data  # bytes on the page are swapped...
     assert "A0A0 balance 100" in pm.extract_pdf_text(data)  # ...decode restores
+
+
+def test_v4_toplevel_length_40_is_bits_not_bytes():
+    # top-level /Length is defined in BITS; 40 is legal (RC4-40) and must
+    # NOT be scaled by the StdCF bytes->bits heuristic
+    plain = pm.extract_pdf_text(_enc_sample())
+    data = _enc_sample(encrypt="rc4-40")
+    assert b"/V 1 /R 2" in data or b"/Length 40" in data
+    assert pm.extract_pdf_text(data) == plain
