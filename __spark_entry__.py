@@ -603,6 +603,68 @@ def _corpus_extracted(spark):
     return extract_pages(pages, num_partitions=16)
 
 
+def q_extract_formula(spark, sf):
+    """REAL PDF extraction with a VALUE-level oracle — the strongest check
+    the flagship can have: the writer serializes 160 statements whose
+    every field is a pure integer formula of doc_id (no RNG), the real
+    parser walks them with the feature mix rotating by formula (xref
+    streams, Td ops, Type0/CMaps, RC4 and AES-128 encryption), and the
+    DuckDB oracle recomputes account number, transaction count and
+    debit/credit totals from the same formulas. Any drift in the writer,
+    the object-model walk, the field layer or turnover verification breaks
+    the value hash; the corpus-wide extraction queries stay rows-only
+    because their RNG truth is not SQL-expressible — this one is."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.functions.numbers import parse_id_number_col
+    from b_pdf_parser_spark.operators.extract import extract_pages
+    from b_pdf_parser_spark.sources.pages import PAGES_SCHEMA_DDL
+
+    b_pdf_parser_spark.ship_package(spark)
+    base = spark.range(0, 160, 1, 8)
+
+    def gen(batches):
+        from datetime import datetime
+
+        import pandas as pd
+
+        from b_pdf_parser_spark.pdfwriter import pdf_from_lines
+        from b_pdf_parser_spark.sources.pages import formula_statement_lines
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                payload = pdf_from_lines(
+                    [formula_statement_lines(i)],
+                    xref_stream=i % 2 == 0,
+                    td_ops=i % 3 == 0,
+                    type0=i % 5 == 0,
+                    encrypt={2: True, 4: "aes-128"}.get(i % 5, False),
+                )
+                rows.append({
+                    "url": f"https://formula.example/{i:06d}",
+                    "warc_ts": datetime(2024, 1, 1),
+                    "html": payload, "text": None, "lang": "id",
+                })
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    pages = base.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
+    ext = extract_pages(pages, num_partitions=8)
+    return (
+        ext.select(
+            F.regexp_extract("url", r"/(\d{6})$", 1).cast("long").alias("doc_id"),
+            F.col("metadata.account_no").alias("account_no"),
+            F.col("n_transactions").cast("long").alias("n_txns"),
+            parse_id_number_col(F.col("metadata.total_debit")).alias("total_debit"),
+            parse_id_number_col(F.col("metadata.total_credit")).alias("total_credit"),
+            F.col("verification.status").alias("verify_status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_kinds(spark, sf):
     ext = _corpus_extracted(spark)
     return ext.select(
@@ -1371,10 +1433,10 @@ def queries() -> dict[str, _T]:
     parity through tests/test_entry_oracle.py."""
     q = {
         # -- extraction flagship (the engine's core deliverable) ----------
+        "extract_formula": q_extract_formula,
         "extract_kinds": q_extract_kinds,
         "extract_transactions": q_extract_transactions,
         "extract_verify_relational": q_extract_verify_relational,
-        "extract_txn_crosscheck": q_extract_txn_crosscheck,
         "extract_strategy_stats": q_extract_strategy_stats,
         # -- PDF / multimodal ---------------------------------------------
         "pdf_images": q_pdf_images,
@@ -1443,6 +1505,7 @@ def extra_queries() -> dict[str, _T]:
     against their DuckDB oracles in tests/test_entry_oracle.py every round —
     retirement from the driver window costs no verification, only a slot."""
     return {
+        "extract_txn_crosscheck": q_extract_txn_crosscheck,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -1597,6 +1660,24 @@ def extra_oracle_sql() -> dict[str, str]:
 
 def _all_oracles() -> dict[str, str]:
     return {
+        "extract_formula": """
+            WITH d AS (SELECT range AS i FROM range(0, 160)),
+            ks AS (SELECT i, CAST(unnest(range(0, 3 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            tx AS (SELECT i, k,
+                     1000000 + ((i * 7919 + k * 104729) % 400000) AS cents,
+                     ((i + k) % 2 = 0) AS credit
+                   FROM ks)
+            SELECT i AS doc_id,
+                   CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
+                   COUNT(*) AS n_txns,
+                   CAST(SUM(CASE WHEN NOT credit THEN cents ELSE 0 END)
+                        AS DOUBLE) / 100 AS total_debit,
+                   CAST(SUM(CASE WHEN credit THEN cents ELSE 0 END)
+                        AS DOUBLE) / 100 AS total_credit,
+                   'passed' AS verify_status
+            FROM tx GROUP BY i ORDER BY doc_id
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -33,6 +33,7 @@ from ..pdfwriter import build_pdf, make_image, pdf_from_lines
 __all__ = [
     "PAGES_SCHEMA_DDL",
     "statement_lines",
+    "formula_statement_lines",
     "html_page",
     "html_statement_page",
     "make_page_row",
@@ -219,6 +220,49 @@ def statement_lines(
         "business_unit": city,
     }
     return pages, truth
+
+
+def formula_statement_lines(i: int) -> List[Any]:
+    """Statement page whose EVERY field is a pure integer formula of ``i``
+    — no RNG anywhere — so a SQL oracle can recompute the extraction
+    pipeline's expected output exactly (the real-roundtrip-vs-formula
+    pattern: writer serializes these lines into a real PDF, the real
+    parser walks it, and any drift in writer, parser, field walk or
+    verification breaks the value hash). Mirrored by the
+    ``extract_formula`` DuckDB oracle in ``__spark_entry__``."""
+    account = str(1_000_000_000_000 + i * 7919)
+    n_rows = 3 + i % 5
+    lines: List[Any] = [
+        "No. Rekening", "Account No", f": {account}",
+        "Nama Produk", "Product Name", ":", "FormulaGiro-IDR",
+        "Valuta", "Currency", ": IDR",
+    ]
+    opening = 10_000_000_00  # cents
+    balance = opening
+    tot_d = tot_c = 0
+    for k in range(n_rows):
+        cents = 1_000_000 + ((i * 7919 + k * 104729) % 400_000)
+        credit = (i + k) % 2 == 0
+        lines.append(f"{1 + k % 28:02d}/01/24 10:{k % 60:02d}:00")
+        lines.append(_DESCS[(i + k) % len(_DESCS)])
+        lines.append(str(1_111_111 + (i * 31 + k) % 888_888))  # 7-digit user
+        amt = _fmt_id(cents / 100)
+        if credit:
+            tot_c += cents
+            balance += cents
+            lines += ["0,00", amt]
+        else:
+            tot_d += cents
+            balance -= cents
+            lines += [amt, "0,00"]
+        lines.append(_fmt_id(balance / 100))
+    lines += [
+        "Saldo Awal", "Total Transaksi Debet", "Total Transaksi Kredit",
+        "Saldo Akhir",
+        _fmt_id(opening / 100), _fmt_id(tot_d / 100),
+        _fmt_id(tot_c / 100), _fmt_id(balance / 100),
+    ]
+    return lines
 
 
 def report_pdf(rng: random.Random) -> bytes:
