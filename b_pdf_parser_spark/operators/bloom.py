@@ -14,11 +14,18 @@ Spark shape (no per-row Python anywhere):
 * the two 32-bit hash halves come from ``F.md5`` JVM-side (whole-stage
   codegen) — Python only ever sees integer columns;
 * partial bitmaps build per PARTITION inside ``mapInPandas`` with numpy
-  ``bitwise_or.at`` (vectorized); the merge shuffles one (m/8)-byte blob
-  per partition into a single-group ``applyInPandas`` OR-reduce;
-* probing wraps the bitmap in a ``mapInPandas`` closure (task-broadcast,
-  the standard pattern for read-only sidecar state) and tests all k
-  positions with numpy — linear, map-only, no shuffle.
+  ``bitwise_or.at`` (vectorized); the merge is a TWO-LEVEL tree reduce
+  (partials → ``merge_groups`` intermediate OR-groups → one final OR), so
+  no single task ever receives more than ``max(num_partitions /
+  merge_groups, merge_groups)`` blobs — at the advertised 10^9-URL sizing
+  (m≈10^10 bits, 1.2 GB blobs, ~10k input partitions) the fan-in per task
+  is ~128 GB → ~12 GB with the default 64 groups, and tunable below
+  executor memory by raising ``merge_groups``;
+* probing distributes the bitmap via ``SparkContext.broadcast`` (torrent
+  fan-out, one copy per executor, no per-task closure shipping — task
+  closures are capped by ``spark.rpc.message.maxSize``, broadcasts are
+  not) and tests all k positions with numpy — linear, map-only, no
+  shuffle.
 
 Bit positions use the Kirsch–Mitzenmacher double-hashing construction
 ``pos_i = (h1 + i·h2) mod m`` (public result: two hashes simulate k with
@@ -53,12 +60,19 @@ def _h2(key_col: str) -> F.Column:
     )
 
 
-def bloom_bitmap(df: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
+def bloom_bitmap(
+    df: DataFrame, key_col: str, m_bits: int, k: int, merge_groups: int = 64
+) -> DataFrame:
     """Build the bitmap distributedly → a 1-row DataFrame (bloom BINARY).
 
     Partials are per-partition (numpy bit-set over the partition's Arrow
-    batches), so the merge shuffle carries ``num_partitions`` blobs of
-    m/8 bytes each — never row data.
+    batches), so the shuffles carry m/8-byte blobs — never row data — and
+    the OR-reduce is a two-level tree: partials bucket by
+    ``spark_partition_id() % merge_groups`` and OR within each bucket in
+    parallel, then the ≤ ``merge_groups`` group blobs OR into the final
+    bitmap. The per-task fan-in is bounded on BOTH levels, so the merge
+    survives the module's advertised 10^9-URL / 1.2 GB-bitmap sizing
+    instead of funnelling every partial through one task.
     """
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
@@ -82,14 +96,21 @@ def bloom_bitmap(df: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
 
     parts = hashed.mapInPandas(partials, schema="bloom binary")
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         stacked = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]])
         return pd.DataFrame({"bloom": [np.bitwise_or.reduce(stacked, axis=0).tobytes()]})
 
-    return (
-        parts.withColumn("g", F.lit(1))
+    grouped = (
+        parts.withColumn(
+            "g", F.pmod(F.spark_partition_id(), F.lit(merge_groups)).cast("int")
+        )
         .groupBy("g")
-        .applyInPandas(lambda _, pdf: merge(pdf), schema="bloom binary")
+        .applyInPandas(merge, schema="bloom binary")
+    )
+    return (
+        grouped.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge, schema="bloom binary")
     )
 
 
@@ -109,6 +130,11 @@ def probe_bloom(
     ``maybe_seen = false`` is definitive (no false negatives); ``true``
     means "present or false positive" and wants an exact confirm if
     exactness matters (see :func:`frontier_new_keys`).
+
+    The bitmap reaches executors via ``SparkContext.broadcast`` — one
+    torrent-distributed copy per executor, shared by all its tasks —
+    rather than closure capture, which would ship the blob inside every
+    serialized task and trip ``spark.rpc.message.maxSize`` at GB sizes.
     """
     if len(bloom) * 8 != m_bits:
         raise ValueError(f"bitmap is {len(bloom) * 8} bits, expected {m_bits}")
@@ -117,9 +143,10 @@ def probe_bloom(
         list(df.schema.fields) + [StructField("maybe_seen", BooleanType(), False)]
     )
     hashed = df.select("*", _h1(key_col).alias("_h1"), _h2(key_col).alias("_h2"))
+    bc = df.sparkSession.sparkContext.broadcast(bloom)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = np.frombuffer(bloom, dtype=np.uint8)
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
         for b in batches:
             h1 = b["_h1"].to_numpy(np.int64)
             h2 = b["_h2"].to_numpy(np.int64)
@@ -145,8 +172,13 @@ def frontier_new_keys(
     new by construction (zero joins); only ``maybe_seen`` rows (true dups +
     the ~FPR sliver) pay the exact anti-join against the base. Result is
     IDENTICAL to the plain anti-join — the bloom changes the cost, not the
-    answer."""
-    bloom = bloom_bitmap_bytes(base, key_col, m_bits, k)
+    answer.
+
+    ``base`` is scanned ONCE: its distinct key set is checkpointed, the
+    bitmap-build collect materializes it, and the confirm anti-join reads
+    the checkpointed blocks instead of re-scanning the (huge) history."""
+    base_keys = base.select(key_col).distinct().localCheckpoint(eager=False)
+    bloom = bloom_bitmap_bytes(base_keys, key_col, m_bits, k)
     # referenced by BOTH branches below — checkpoint so the candidate
     # distinct + hash + bitmap probe subtree runs once, not per branch
     probed = probe_bloom(
@@ -154,7 +186,5 @@ def frontier_new_keys(
     ).localCheckpoint(eager=False)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed = suspects.join(
-        base.select(key_col).distinct(), key_col, "left_anti"
-    )
+    confirmed = suspects.join(base_keys, key_col, "left_anti")
     return fresh.unionByName(confirmed)

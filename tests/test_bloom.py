@@ -81,15 +81,43 @@ def test_empty_base_probes_all_new(spark):
 
 
 def test_build_plan_shuffles_blobs_not_rows(spark):
-    # the merge exchange carries one (m/8)-byte blob per partition — the
-    # plan must show a single-key hash partitioning over the partials, and
-    # the probe plan must be join-free
+    # the merge exchanges carry (m/8)-byte blobs, never rows — and the
+    # OR-reduce must be a TWO-LEVEL tree (group-bucketed partial merge,
+    # then the final merge over <= merge_groups blobs) so no single task
+    # fans in every partition's bitmap; the probe plan must be join-free
     base = _urls(spark, 0, 200, parts=8)
     plan = bloom_bitmap(base, "url", M, K)._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+    merge_levels = plan.count("FlatMapGroupsInPandas")
+    assert merge_levels == 2, plan
     bloom = bloom_bitmap_bytes(base, "url", M, K)
     probe_plan = (
         probe_bloom(_urls(spark, 0, 10), "url", bloom, M, K)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in probe_plan and "Exchange" not in probe_plan
+
+
+def test_tree_merge_matches_single_group_merge(spark):
+    # bit-OR is associative/commutative: the tree-reduced bitmap must be
+    # byte-identical to a degenerate single-group merge, for group counts
+    # below, at, and above the partition count
+    base = _urls(spark, 0, 300, parts=8)
+    blobs = {
+        g: bloom_bitmap(base, "url", M, K, merge_groups=g).collect()[0]["bloom"]
+        for g in (1, 4, 64)
+    }
+    assert bytes(blobs[1]) == bytes(blobs[4]) == bytes(blobs[64])
+
+
+def test_frontier_scans_base_once(spark):
+    # the history side is checkpointed before the bitmap build, so the
+    # confirm anti-join reads the checkpoint — the executed plan of the
+    # frontier result must contain NO re-scan of the base lineage (every
+    # leaf is a materialized RDD)
+    base = _urls(spark, 0, 500)
+    cand = _urls(spark, 200, 700)
+    plan = (
+        frontier_new_keys(base, cand, "url", M, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Range (" not in plan, plan
