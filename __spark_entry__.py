@@ -563,15 +563,19 @@ def q_embedding_neardup(spark, sf):
     )
 
 
-def q_ivf_ann_topk(spark, sf):  # rows-only: iterative k-means (allowed)
-    """IVF ANN: Lloyd-iterated coarse quantizer + inverted-list probe.
-    Iterative algorithm → rows-only per the contract; its correctness gate
-    is the recall test vs the oracle-checked brute-force path
-    (tests/test_similarity_ops.py, recall@3 ≈ 0.97)."""
+def q_ivf_ann_topk(spark, sf):
+    """IVF ANN with a VALUE oracle: the coarse quantizer is FROZEN at the
+    seeded md5-derived init centroids (``n_iter=0``) — data-independent,
+    so the DuckDB oracle embeds them as literals and recomputes the same
+    nearest-list assignment, nprobe probe and exact cosine re-rank (the
+    trick that made lsh_ann_topk value-checked). The live-Lloyd form
+    stays the operator API; its gate is the recall test vs the
+    oracle-checked brute-force path (tests/test_similarity_ops.py,
+    recall@3 ≈ 0.97)."""
     from b_pdf_parser_spark.operators.similarity import ivf_ann_topk
 
     e = _t(spark, sf, "embeddings")
-    return ivf_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3)
+    return ivf_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3, n_iter=0)
 
 
 def q_lsh_ann_topk(spark, sf):
@@ -603,46 +607,39 @@ def _corpus_extracted(spark):
     return extract_pages(pages, num_partitions=16)
 
 
-def q_extract_formula(spark, sf):
-    """REAL PDF extraction with a VALUE-level oracle — the strongest check
-    the flagship can have: the writer serializes 160 statements whose
-    every field is a pure integer formula of doc_id (no RNG), the real
-    parser walks them with the feature mix rotating by formula (xref
-    streams, Td ops, Type0/CMaps, RC4 and AES-128 encryption), and the
-    DuckDB oracle recomputes account number, transaction count and
-    debit/credit totals from the same formulas. Any drift in the writer,
-    the object-model walk, the field layer or turnover verification breaks
-    the value hash; the corpus-wide extraction queries stay rows-only
-    because their RNG truth is not SQL-expressible — this one is."""
+def _formula_pages(spark, n_pdf: int = 160, n_html: int = 0):
+    """The formula corpus as a pages DataFrame: ``n_pdf`` PDF statements
+    (hazard rotation per :func:`_formula_pdf_payload`) and ``n_html`` HTML
+    statement twins — both value-oracle-able because every field is a pure
+    formula of the doc index."""
     import b_pdf_parser_spark
-    from b_pdf_parser_spark.functions.numbers import parse_id_number_col
-    from b_pdf_parser_spark.operators.extract import extract_pages
     from b_pdf_parser_spark.sources.pages import PAGES_SCHEMA_DDL
 
     b_pdf_parser_spark.ship_package(spark)
-    base = spark.range(0, 160, 1, 8)
+    base = spark.range(0, n_pdf + n_html, 1, 8)
 
     def gen(batches):
         from datetime import datetime
 
         import pandas as pd
 
-        from b_pdf_parser_spark.pdfwriter import pdf_from_lines
-        from b_pdf_parser_spark.sources.pages import formula_statement_lines
+        from b_pdf_parser_spark.sources.pages import (
+            formula_statement_html,
+            formula_statement_pdf,
+        )
 
         for b in batches:
             rows = []
             for i in b["id"]:
                 i = int(i)
-                payload = pdf_from_lines(
-                    [formula_statement_lines(i)],
-                    xref_stream=i % 2 == 0,
-                    td_ops=i % 3 == 0,
-                    type0=i % 5 == 0,
-                    encrypt={2: True, 4: "aes-128"}.get(i % 5, False),
-                )
+                if i < n_pdf:
+                    payload = formula_statement_pdf(i)
+                    url = f"https://formula.example/{i:06d}"
+                else:
+                    payload = formula_statement_html(i - n_pdf)
+                    url = f"https://formula-html.example/{i - n_pdf:06d}"
                 rows.append({
-                    "url": f"https://formula.example/{i:06d}",
+                    "url": url,
                     "warc_ts": datetime(2024, 1, 1),
                     "html": payload, "text": None, "lang": "id",
                 })
@@ -650,8 +647,13 @@ def q_extract_formula(spark, sf):
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    pages = base.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
-    ext = extract_pages(pages, num_partitions=8)
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
+
+
+def _formula_values(ext):
+    """The oracle-checked value projection shared by both formula faces."""
+    from b_pdf_parser_spark.functions.numbers import parse_id_number_col
+
     return (
         ext.select(
             F.regexp_extract("url", r"/(\d{6})$", 1).cast("long").alias("doc_id"),
@@ -665,12 +667,59 @@ def q_extract_formula(spark, sf):
     )
 
 
+def q_extract_formula(spark, sf):
+    """REAL PDF extraction with a VALUE-level oracle — the strongest check
+    the flagship can have: the writer serializes 160 statements whose
+    every field is a pure integer formula of doc_id (no RNG), the real
+    parser walks them with the feature mix rotating by formula (xref
+    streams + ObjStm packing, Td ops, Type0/CMaps, RC4 and AES-128
+    encryption, inline images, /Differences-permuted digits, image
+    XObjects — every corpus stratum), and the DuckDB oracle recomputes
+    account number, transaction count and debit/credit totals from the
+    same formulas. Any drift in the writer, the object-model walk, the
+    font decoders, the field layer or turnover verification breaks the
+    value hash; the corpus-wide extraction queries stay rows-only because
+    their RNG truth is not SQL-expressible — this one is."""
+    from b_pdf_parser_spark.operators.extract import extract_pages
+
+    pages = _formula_pages(spark, n_pdf=160)
+    return _formula_values(extract_pages(pages, num_partitions=8))
+
+
+def q_extract_formula_html(spark, sf):
+    """The HTML face of the formula oracle: the SAME 120 formula statements
+    rendered as web pages (header paragraphs, a transactions ``<table>``,
+    summary paragraphs, nav/footer boilerplate) and extracted through the
+    html chain — charset sniff → tokenizer → block classifier →
+    extract_html_tables → transactions_from_table_rows → the SAME
+    metadata/verify layer as the PDFs. One DuckDB oracle recomputes both
+    faces; a drift in either markup path breaks its hash."""
+    from b_pdf_parser_spark.operators.extract import extract_pages
+
+    pages = _formula_pages(spark, n_pdf=0, n_html=120)
+    return _formula_values(extract_pages(pages, num_partitions=8))
+
+
 def q_extract_kinds(spark, sf):
-    ext = _corpus_extracted(spark)
+    """Per-document extraction facts with a VALUE oracle: over the formula
+    corpus (160 hazard-rotated PDFs + 120 HTML statement twins) the kind,
+    strategy, transaction count, validity, verification status, page
+    count, account number and currency are all pure functions of the doc
+    index — the DuckDB oracle recomputes each from the formulas. (The RNG
+    corpus twin of this query stayed rows-only for two rounds; the formula
+    corpus makes it hash-checked. RNG-corpus breadth is still driven by
+    extract_transactions/extract_verify_relational.)"""
+    from b_pdf_parser_spark.operators.extract import extract_pages
+
+    ext = extract_pages(
+        _formula_pages(spark, n_pdf=160, n_html=120), num_partitions=8
+    )
     return ext.select(
-        "url", "kind", "n_transactions", "txn_strategy", "valid",
+        "url", "kind",
+        F.col("n_transactions").cast("long").alias("n_txns"),
+        "txn_strategy", "valid",
         F.col("verification.status").alias("status"),
-        "n_pages", "payload_bytes", "n_tokens",
+        F.col("n_pages").cast("long").alias("n_pages"),
         F.col("metadata.account_no").alias("account_no"),
         F.col("metadata.valuta").alias("valuta"),
     )
@@ -746,16 +795,22 @@ def q_extract_txn_crosscheck(spark, sf):
 
 def q_extract_strategy_stats(spark, sf):
     """Per-strategy benchmark aggregate (A6 parity: the reference's
-    aggregate_by_parser, benchmark.py:227-251): docs, avg transactions and
-    valid-rate per (kind, txn_strategy)."""
-    ext = _corpus_extracted(spark)
+    aggregate_by_parser, benchmark.py:227-251): docs, avg transactions,
+    valid-rate and total transactions per (kind, txn_strategy) — over the
+    formula corpus, where every aggregate is SQL-recomputable and the
+    oracle value-checks the whole rollup."""
+    from b_pdf_parser_spark.operators.extract import extract_pages
+
+    ext = extract_pages(
+        _formula_pages(spark, n_pdf=160, n_html=120), num_partitions=8
+    )
     return (
         ext.groupBy("kind", "txn_strategy")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("n_transactions"), 4).alias("avg_txns"),
             F.round(F.avg(F.col("valid").cast("int")), 4).alias("valid_rate"),
-            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("n_transactions").cast("long")).alias("total_txns"),
         )
     )
 
@@ -946,6 +1001,33 @@ def q_crawl_frontier(spark, sf):
         .filter(F.col("allowed"))
         .select("host", "url")
     )
+
+
+def q_frontier_new(spark, sf):
+    """Bloom-accelerated crawl frontier: exactly-new candidate URLs vs the
+    crawl history (operators/bloom.py). ``frontier_new_keys`` is
+    contract-equal to the plain anti-join — the bloom bitmap changes the
+    COST (bitmap-cleared rows skip the join entirely; only the
+    ``maybe_seen`` sliver pays the exact confirm), never the ANSWER — so
+    the DuckDB oracle is the 3-line anti-join itself. A false negative in
+    the bitmap (a hash/bit-position bug) would drop rows and break the
+    hash. Base: 6,000 history URLs sharded over 97 hosts; candidates:
+    5,000 overlapping the top half, with every URL ending in 0 duplicated
+    to prove candidate-side dedup."""
+    from b_pdf_parser_spark.operators.bloom import frontier_new_keys
+
+    def urls(lo, hi):
+        return spark.range(lo, hi, 1, 8).select(
+            F.concat(
+                F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                F.lit(".example/p"), F.col("id").cast("string"),
+            ).alias("url")
+        )
+
+    base = urls(0, 6000)
+    cand = urls(3000, 8000)
+    cand = cand.unionAll(cand.filter(F.col("url").endswith("0")))
+    return frontier_new_keys(base, cand, "url", m_bits=1 << 16, k=7)
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1434,6 +1516,7 @@ def queries() -> dict[str, _T]:
     q = {
         # -- extraction flagship (the engine's core deliverable) ----------
         "extract_formula": q_extract_formula,
+        "extract_formula_html": q_extract_formula_html,
         "extract_kinds": q_extract_kinds,
         "extract_transactions": q_extract_transactions,
         "extract_verify_relational": q_extract_verify_relational,
@@ -1450,6 +1533,7 @@ def queries() -> dict[str, _T]:
         "robots_rules": q_robots_rules,
         "crawl_schedule": q_crawl_schedule,
         "crawl_frontier": q_crawl_frontier,
+        "frontier_new": q_frontier_new,
         # -- dedup --------------------------------------------------------
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1479,9 +1563,7 @@ def queries() -> dict[str, _T]:
         # -- sampling / mixture -------------------------------------------
         "hash_sample": q_hash_sample,
         "training_mix": q_training_mix,
-        "host_cap_sample": q_host_cap_sample,
         "host_cap_threshold": q_host_cap_threshold,
-        "token_shards": q_token_shards,
         "token_shards_bucketed": q_token_shards_bucketed,
         "source_stats": q_source_stats,
         # -- temporal -----------------------------------------------------
@@ -1506,6 +1588,11 @@ def extra_queries() -> dict[str, _T]:
     retirement from the driver window costs no verification, only a slot."""
     return {
         "extract_txn_crosscheck": q_extract_txn_crosscheck,
+        # window-form exact-contract demos: their windowless/bucketed scale
+        # twins (host_cap_threshold, token_shards_bucketed) hold the
+        # registered slots; these keep full DuckDB parity here
+        "host_cap_sample": q_host_cap_sample,
+        "token_shards": q_token_shards,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -1644,6 +1731,57 @@ def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
     """
 
 
+def _ivf_ann_oracle(
+    n_centroids: int = 16, nprobe: int = 4, dim: int = 64, seed: int = 7,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of similarity.ivf_ann_topk with the frozen (n_iter=0)
+    quantizer: the seeded md5 init centroids round-trip as repr() literals,
+    assignment/probe use the identical sequential float64 squared-L2 fold
+    with (d, cid) tie-break, and the re-rank is the same cosine fold — so
+    list membership and ranks agree bit-for-bit."""
+    from b_pdf_parser_spark.operators.similarity import _hyperplane
+
+    cent_rows = ",\n                ".join(
+        f"({c}, [{', '.join(repr(v) for v in _hyperplane(dim, c, seed))}])"
+        for c in range(n_centroids)
+    )
+    sq_l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), "
+        "(acc, v) -> acc + v)"
+    )
+    return f"""
+        WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+        dists AS (
+            SELECT e.vec_id, c.cid,
+                   {sq_l2.format(a='e.embedding', b='c.cvec')} AS d
+            FROM embeddings e CROSS JOIN cents c),
+        ranked_c AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists),
+        lists AS (SELECT vec_id AS neighbor_id, cid FROM ranked_c WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid FROM ranked_c
+            WHERE rn <= {nprobe} AND vec_id % 100 = 0),
+        scored AS (
+            SELECT q.query_id, l.neighbor_id,
+                   {_cos('qe.embedding', 'ne.embedding')} AS score
+            FROM qprobe q
+            JOIN lists l USING (cid)
+            JOIN embeddings qe ON qe.vec_id = q.query_id
+            JOIN embeddings ne ON ne.vec_id = l.neighbor_id
+            WHERE q.query_id <> l.neighbor_id),
+        topk AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, rank, neighbor_id FROM topk WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """Driver-facing oracles: the subset of ``_all_oracles`` whose query is
     registered in ``queries()`` (the driver pairs them positionally)."""
@@ -1677,6 +1815,68 @@ def _all_oracles() -> dict[str, str]:
                         AS DOUBLE) / 100 AS total_credit,
                    'passed' AS verify_status
             FROM tx GROUP BY i ORDER BY doc_id
+        """,
+        "extract_formula_html": """
+            WITH d AS (SELECT range AS i FROM range(0, 120)),
+            ks AS (SELECT i, CAST(unnest(range(0, 3 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            tx AS (SELECT i, k,
+                     1000000 + ((i * 7919 + k * 104729) % 400000) AS cents,
+                     ((i + k) % 2 = 0) AS credit
+                   FROM ks)
+            SELECT i AS doc_id,
+                   CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
+                   COUNT(*) AS n_txns,
+                   CAST(SUM(CASE WHEN NOT credit THEN cents ELSE 0 END)
+                        AS DOUBLE) / 100 AS total_debit,
+                   CAST(SUM(CASE WHEN credit THEN cents ELSE 0 END)
+                        AS DOUBLE) / 100 AS total_credit,
+                   'passed' AS verify_status
+            FROM tx GROUP BY i ORDER BY doc_id
+        """,
+        "extract_kinds": """
+            SELECT 'https://formula.example/' || lpad(CAST(i AS VARCHAR), 6, '0')
+                       AS url,
+                   'pdf' AS kind,
+                   CAST(3 + i % 5 AS BIGINT) AS n_txns,
+                   'column' AS txn_strategy,
+                   TRUE AS valid,
+                   'passed' AS status,
+                   CAST(1 AS BIGINT) AS n_pages,
+                   CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
+                   'IDR' AS valuta
+            FROM (SELECT unnest(range(0, 160)) AS i)
+            UNION ALL
+            SELECT 'https://formula-html.example/' || lpad(CAST(i AS VARCHAR), 6, '0'),
+                   'html', CAST(3 + i % 5 AS BIGINT), 'table', TRUE, 'passed',
+                   CAST(1 AS BIGINT), CAST(1000000000000 + i * 7919 AS VARCHAR),
+                   'IDR'
+            FROM (SELECT unnest(range(0, 120)) AS i)
+        """,
+        "extract_strategy_stats": """
+            WITH docs AS (
+                SELECT 'pdf' AS kind, 'column' AS txn_strategy,
+                       3 + i % 5 AS n_txns
+                FROM (SELECT unnest(range(0, 160)) AS i)
+                UNION ALL
+                SELECT 'html', 'table', 3 + i % 5
+                FROM (SELECT unnest(range(0, 120)) AS i))
+            SELECT kind, txn_strategy,
+                   COUNT(*) AS n_docs,
+                   round(AVG(CAST(n_txns AS DOUBLE)), 4) AS avg_txns,
+                   round(1.0, 4) AS valid_rate,
+                   CAST(SUM(n_txns) AS BIGINT) AS total_txns
+            FROM docs GROUP BY kind, txn_strategy
+        """,
+        "frontier_new": """
+            WITH base AS (
+                SELECT 'https://h' || (i % 97) || '.example/p' || i AS url
+                FROM (SELECT unnest(range(0, 6000)) AS i)),
+            cand AS (
+                SELECT 'https://h' || (i % 97) || '.example/p' || i AS url
+                FROM (SELECT unnest(range(3000, 8000)) AS i))
+            SELECT DISTINCT c.url AS url
+            FROM cand c ANTI JOIN base b USING (url)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2478,6 +2678,7 @@ def _all_oracles() -> dict[str, str]:
               AND {_cos('a.embedding', 'b.embedding')} >= 0.4
         """,
         "lsh_ann_topk": _lsh_ann_oracle(),
+        "ivf_ann_topk": _ivf_ann_oracle(),
         # DuckDB's native ASOF JOIN is the ground truth for the union+window
         # implementation; orders are pre-collapsed per (custkey, orderdate)
         # the same way (MAX payload) so ties resolve identically

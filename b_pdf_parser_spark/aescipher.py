@@ -249,14 +249,17 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """PDF string/stream decryption: leading 16-byte IV, PKCS#7 unpad.
 
-    An empty payload (IV only, or nothing) is legal and yields ``b""`` —
-    PDF writers emit zero-length encrypted strings. Anything else that is
-    not block-aligned, or whose PKCS#7 pad bytes do not all match, raises
-    ``ValueError`` so a corrupted AES stream surfaces as an error row
-    (matching the RC4/flate PdfError contract) instead of silently passing
-    as truncated/empty text."""
-    if len(data) <= 16:
+    An empty payload (exactly the IV, or nothing) is legal and yields
+    ``b""`` — PDF writers emit zero-length encrypted strings. Anything
+    else — a mid-IV truncation (1-15 bytes), a non-block-aligned tail, or
+    PKCS#7 pad bytes that do not all match — raises ``ValueError`` so a
+    corrupted AES stream surfaces as an error row (matching the RC4/flate
+    PdfError contract) instead of silently passing as truncated/empty
+    text."""
+    if len(data) in (0, 16):
         return b""
+    if len(data) < 16:
+        raise ValueError("AES-CBC payload truncated inside the IV")
     if (len(data) - 16) % 16:
         raise ValueError("AES-CBC payload is not a 16-byte multiple")
     kw = _dec_words(_expand_key(key))

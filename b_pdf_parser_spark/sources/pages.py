@@ -34,6 +34,8 @@ __all__ = [
     "PAGES_SCHEMA_DDL",
     "statement_lines",
     "formula_statement_lines",
+    "formula_statement_pdf",
+    "formula_statement_html",
     "html_page",
     "html_statement_page",
     "make_page_row",
@@ -222,6 +224,53 @@ def statement_lines(
     return pages, truth
 
 
+_FORMULA_HEADER = [
+    "No. Rekening", "Account No", None,  # None → f": {account}"
+    "Nama Produk", "Product Name", ":", "FormulaGiro-IDR",
+    "Valuta", "Currency", ": IDR",
+]
+
+
+def _formula_fields(i: int):
+    """The integer formulas behind BOTH faces of the formula corpus (PDF
+    statement lines and HTML statement tables) — every value a pure
+    function of ``i``, no RNG, so the DuckDB oracles can recompute the
+    expected extraction output exactly. Returns
+    ``(account, rows, summary)`` where each row is the 6-cell
+    ``(ts, desc, user, debit, credit, balance)`` tuple."""
+    account = str(1_000_000_000_000 + i * 7919)
+    n_rows = 3 + i % 5
+    opening = 10_000_000_00  # cents
+    balance = opening
+    tot_d = tot_c = 0
+    rows: List[Tuple[str, str, str, str, str, str]] = []
+    for k in range(n_rows):
+        cents = 1_000_000 + ((i * 7919 + k * 104729) % 400_000)
+        credit = (i + k) % 2 == 0
+        amt = _fmt_id(cents / 100)
+        if credit:
+            tot_c += cents
+            balance += cents
+            debit_s, credit_s = "0,00", amt
+        else:
+            tot_d += cents
+            balance -= cents
+            debit_s, credit_s = amt, "0,00"
+        rows.append((
+            f"{1 + k % 28:02d}/01/24 10:{k % 60:02d}:00",
+            _DESCS[(i + k) % len(_DESCS)],
+            str(1_111_111 + (i * 31 + k) % 888_888),  # 7-digit user
+            debit_s, credit_s, _fmt_id(balance / 100),
+        ))
+    summary = [
+        "Saldo Awal", "Total Transaksi Debet", "Total Transaksi Kredit",
+        "Saldo Akhir",
+        _fmt_id(opening / 100), _fmt_id(tot_d / 100),
+        _fmt_id(tot_c / 100), _fmt_id(balance / 100),
+    ]
+    return account, rows, summary
+
+
 def formula_statement_lines(i: int) -> List[Any]:
     """Statement page whose EVERY field is a pure integer formula of ``i``
     — no RNG anywhere — so a SQL oracle can recompute the extraction
@@ -230,39 +279,98 @@ def formula_statement_lines(i: int) -> List[Any]:
     parser walks it, and any drift in writer, parser, field walk or
     verification breaks the value hash). Mirrored by the
     ``extract_formula`` DuckDB oracle in ``__spark_entry__``."""
-    account = str(1_000_000_000_000 + i * 7919)
-    n_rows = 3 + i % 5
+    account, rows, summary = _formula_fields(i)
     lines: List[Any] = [
-        "No. Rekening", "Account No", f": {account}",
-        "Nama Produk", "Product Name", ":", "FormulaGiro-IDR",
-        "Valuta", "Currency", ": IDR",
+        f": {account}" if h is None else h for h in _FORMULA_HEADER
     ]
-    opening = 10_000_000_00  # cents
-    balance = opening
-    tot_d = tot_c = 0
-    for k in range(n_rows):
-        cents = 1_000_000 + ((i * 7919 + k * 104729) % 400_000)
-        credit = (i + k) % 2 == 0
-        lines.append(f"{1 + k % 28:02d}/01/24 10:{k % 60:02d}:00")
-        lines.append(_DESCS[(i + k) % len(_DESCS)])
-        lines.append(str(1_111_111 + (i * 31 + k) % 888_888))  # 7-digit user
-        amt = _fmt_id(cents / 100)
-        if credit:
-            tot_c += cents
-            balance += cents
-            lines += ["0,00", amt]
-        else:
-            tot_d += cents
-            balance -= cents
-            lines += [amt, "0,00"]
-        lines.append(_fmt_id(balance / 100))
-    lines += [
-        "Saldo Awal", "Total Transaksi Debet", "Total Transaksi Kredit",
-        "Saldo Akhir",
-        _fmt_id(opening / 100), _fmt_id(tot_d / 100),
-        _fmt_id(tot_c / 100), _fmt_id(balance / 100),
-    ]
+    for ts, desc, user, debit_s, credit_s, bal in rows:
+        lines += [ts, desc, user, debit_s, credit_s, bal]
+    lines += summary
     return lines
+
+
+# /Differences digit permutation for the formula corpus: ALL digits are
+# shown as these (otherwise-unused) code bytes and only decode back through
+# the font's Differences table + the AGL glyph names — if the simple-font
+# decoder skipped the table, every account number, amount and date in the
+# doc would corrupt and the value hash would break. Codes are printable
+# ASCII the statement text never uses (; < = > ? @ [ ] ^ _).
+_FORMULA_DIGIT_DIFFS = {
+    59: "zero", 60: "one", 61: "two", 62: "three", 63: "four",
+    64: "five", 91: "six", 93: "seven", 94: "eight", 95: "nine",
+}
+_FORMULA_IMG_FILTERS = ["DCTDecode", "CCITTFaxDecode", "JPXDecode", "FlateDecode"]
+
+
+def formula_statement_pdf(i: int) -> bytes:
+    """Serialize formula statement ``i`` with the hazard mix rotating by
+    formula — every stratum rounds 1-3 added to the corpus: xref streams
+    WITH ObjStm-packed dictionaries (``xref_stream=True`` packs the
+    catalog/pages/page/font dicts into a ``/Type /ObjStm``), Td-relative
+    positioning, Type0/Identity-H CMap text, RC4 and AES-128 encryption,
+    inline images (BI..ID..EI binary the tokenizer must skip wholesale,
+    with an adversarial text-shaped tail), /Differences-permuted digits,
+    and image XObjects in all four filter modes. The co-prime moduli
+    (2,3,5,7) make every pairwise feature intersection occur within 160
+    docs — encrypted ObjStm, inline-image-under-RC4, images-under-AES,
+    remapped digits beside Td ops — while every value stays a pure
+    formula of ``i``."""
+    type0 = i % 5 == 0
+    inline = (
+        [(0, bytes((7 * k + 13 + i) % 251 for k in range(200))
+          + b"(swallow) 9 9 Td (phantom) Tj BT")]
+        if i % 7 == 1 else []
+    )
+    images = (
+        [make_image(0, 16 + i % 16, 12,
+                    _FORMULA_IMG_FILTERS[(i // 7) % 4], seed=i)]
+        if i % 7 == 5 else []
+    )
+    return pdf_from_lines(
+        [formula_statement_lines(i)],
+        xref_stream=i % 2 == 0,  # even i: xref stream + ObjStm packing
+        td_ops=i % 3 == 0,
+        type0=type0,
+        encrypt={2: True, 4: "aes-128"}.get(i % 5, False),
+        inline_images=inline,
+        # Differences applies to the simple (non-Type0) font only
+        differences=_FORMULA_DIGIT_DIFFS if (i % 7 == 3 and not type0) else None,
+        images=images,
+    )
+
+
+def formula_statement_html(i: int) -> bytes:
+    """The HTML face of the formula corpus: the SAME formula statement as
+    :func:`formula_statement_lines`, rendered the way the web carries it —
+    header label/value paragraphs, transactions as a ``<table>``, summary
+    totals as trailing paragraphs, nav/footer boilerplate around it (the
+    d17 golden's shape, but RNG-free). The extraction chain must produce
+    identical fields from either markup; the ``extract_formula_html``
+    DuckDB oracle recomputes them from the same formulas."""
+    account, rows, summary = _formula_fields(i)
+    header_ps = [f": {account}" if h is None else h for h in _FORMULA_HEADER]
+    words = _EN_WORDS
+    nav = " ".join(
+        f'<a href="/{words[(i + j) % len(words)]}">{words[(i + j) % len(words)]}</a>'
+        for j in range(4)
+    )
+    hdr = "".join(f"<p>{h}</p>\n" for h in header_ps)
+    table_header = ["Tanggal Transaksi", "Uraian Transaksi", "Teller",
+                    "Debet", "Kredit", "Saldo"]
+    rows_html = "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>\n"
+        for r in [table_header] + [list(r) for r in rows]
+    )
+    tail = "".join(f"<p>{t}</p>\n" for t in summary)
+    html = (
+        "<!DOCTYPE html><html><head><title>Account Statement</title>"
+        "<style>td{padding:2px}</style></head><body>\n"
+        f"<nav>{nav}</nav>\n"
+        f"<article>\n{hdr}<table>\n{rows_html}</table>\n{tail}</article>\n"
+        "<footer>Copyright 2026 Synth Bank <a href='/tos'>Terms</a></footer>\n"
+        "</body></html>"
+    )
+    return html.encode("utf-8")
 
 
 def report_pdf(rng: random.Random) -> bytes:

@@ -203,14 +203,24 @@ def _write_segments(
     """Shared executor-side segment writer for both container sinks: rows →
     per-record gzip members → one segment file per (Arrow batch, optional
     partition value), yielding one manifest row per segment. Rows with a
-    null value or timestamp are skipped (nothing to serialize). Keeping one
-    implementation means a hardening fix (timestamp coercion, atomic write)
-    can never silently miss the other sink."""
+    null value or timestamp are skipped (nothing to serialize) — but a
+    NULL partition value is an error, not a skip: pandas groupby would
+    silently drop those rows (dropna defaults to True), losing records
+    with no manifest trace, so the writer fails loud instead and the
+    caller must coalesce or filter the partition column first. Keeping one
+    implementation means a hardening fix (timestamp coercion, atomic
+    write) can never silently miss the other sink."""
     import os
     import uuid
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if partition_col is not None and b[partition_col].isna().any():
+                raise ValueError(
+                    f"null {partition_col!r} in {suffix} sink input: "
+                    "records would be dropped with no manifest trace — "
+                    "coalesce or filter the partition column before writing"
+                )
             groups = b.groupby(partition_col) if partition_col else [(None, b)]
             for key, g in groups:
                 chunks = []

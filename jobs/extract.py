@@ -98,7 +98,13 @@ def run_extract_job(
     ``wet_dir/partition_id=K/`` — derived from the wave's just-written
     parquet (the extraction UDF runs ONCE per wave), and idempotent under
     kill/resume because a wave clears exactly its partition ids' WET
-    subdirectories before rewriting them.
+    subdirectories before rewriting them. REQUIREMENT: ``wet_dir`` must
+    be a filesystem mounted identically on the driver and the executors
+    (segments are written executor-side via ``open()``, cleared
+    driver-side) — the clear VERIFIES the subdirectories are gone and
+    raises if stale segments survive, so storage that silently no-ops the
+    driver's delete surfaces as an error instead of duplicated WET
+    records on resume.
 
     With ``target_wave_seconds`` set, wave sizes adapt at runtime: the first
     wave uses the static ``waves`` split, then each next wave is sized from
@@ -162,9 +168,17 @@ def run_extract_job(
             from b_pdf_parser_spark.sources.warc import write_wet
 
             for pid in ids:
-                shutil.rmtree(
-                    Path(wet_dir) / f"partition_id={int(pid)}", ignore_errors=True
-                )
+                sub = Path(wet_dir) / f"partition_id={int(pid)}"
+                shutil.rmtree(sub, ignore_errors=True)
+                # a clear that silently failed (non-POSIX mount, permission
+                # skew between driver and executors) would duplicate every
+                # record of this wave on resume — fail loud instead
+                if sub.exists() and any(sub.iterdir()):
+                    raise RuntimeError(
+                        f"stale WET segments survived the pre-write clear of "
+                        f"{sub} — wet_dir must be a filesystem shared between "
+                        f"driver and executors (see run_extract_job docstring)"
+                    )
             wave_rows = (
                 spark.read.schema(EXTRACTED_SCHEMA).parquet(out_data)
                 .filter(F.col("partition_id").isin(list(ids)))

@@ -140,6 +140,7 @@ _MUST_BE_NONEMPTY = [
     "decontamination",
     "duplicate_spans",
     "exact_dedup",
+    "frontier_new",
     "host_cap_threshold",
     "token_shards_bucketed",
 ]

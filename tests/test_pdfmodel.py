@@ -496,6 +496,11 @@ def test_aes_bad_padding_raises():
     # zero-length encrypted strings remain legal (writers emit them)
     assert aes_cbc_decrypt(key, b"") == b""
     assert aes_cbc_decrypt(key, iv) == b""
+    # ...but a truncation INSIDE the IV is corruption, not emptiness —
+    # it must fail loud like every other malformed AES payload
+    for n in (1, 8, 15):
+        with pytest.raises(ValueError):
+            aes_cbc_decrypt(key, ct[:n])
 
 
 def test_aes_v4_key_length_from_stdcf_only():

@@ -132,6 +132,25 @@ def test_wet_roundtrip_and_mixed_segments(spark, tmp_path):
     assert [(u, p) for u, _, p in split_wet(mixed)] == [("https://p/1", b"x")]
 
 
+def test_wet_null_partition_value_fails_loud(spark, tmp_path):
+    # pandas groupby drops null-key rows silently (dropna=True default); a
+    # nullable partition column must therefore be an ERROR, not a silent
+    # record loss with no manifest trace
+    import pytest
+    from pyspark.errors import PythonException
+
+    from b_pdf_parser_spark.sources.warc import write_wet
+
+    docs = spark.createDataFrame(
+        [("https://a/x", datetime(2024, 1, 2), "text a", 0),
+         ("https://b/y", datetime(2024, 2, 3), "text b", None)],
+        "url string, warc_ts timestamp, text string, wave int",
+    )
+    with pytest.raises(PythonException) as exc:
+        write_wet(docs, str(tmp_path / "wet"), partition_col="wave").collect()
+    assert "no manifest trace" in str(exc.value)
+
+
 def test_wet_generation_job_end_to_end(spark, tmp_path):
     # the CC WET pipeline shape: pages -> extraction -> write_wet -> read_wet
     # must reproduce the extraction's text column byte-for-byte
