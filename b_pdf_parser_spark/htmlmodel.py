@@ -189,9 +189,12 @@ def _decode_html_bytes(data: bytes) -> str:
     return data.decode("latin-1")
 
 
-def extract_html_blocks(data: bytes) -> List[Block]:
-    """Tokenize HTML bytes into classified text blocks."""
-    html = _decode_html_bytes(data)
+def extract_html_blocks(data) -> List[Block]:
+    """Tokenize HTML (bytes, or an already-decoded ``str``) into classified
+    text blocks. Accepting ``str`` lets a caller that also needs the table
+    walk decode the payload ONCE (see operators/extract.py) instead of
+    per-extractor."""
+    html = data if isinstance(data, str) else _decode_html_bytes(data)
 
     blocks: List[Block] = []
     cur = _BlockBuilder("body")
@@ -283,11 +286,12 @@ def extract_html_text(data: bytes) -> str:
     return "\n".join(b.text for b in extract_html_blocks(data) if b.is_content)
 
 
-def extract_html_tables(data: bytes) -> List[List[List[str]]]:
+def extract_html_tables(data) -> List[List[List[str]]]:
     """``<table>`` structure → rows of entity-decoded, tag-stripped cell
     strings — the HTML twin of the PDF span-cluster table detection, so an
     HTML bank statement feeds the SAME table→transactions strategy chain
-    (``fields.transactions_from_table_rows``) as a PDF one.
+    (``fields.transactions_from_table_rows``) as a PDF one. Accepts bytes
+    or an already-decoded ``str`` (decode-once callers).
 
     Tolerances matching real markup: unclosed ``<td>``/``<tr>`` (implicitly
     closed by the next cell/row/table boundary, as browsers do), ``<th>``
@@ -295,7 +299,7 @@ def extract_html_tables(data: bytes) -> List[List[List[str]]]:
     cells don't leak into the outer row), raw-text elements dropped,
     comments skipped. Tables with no rows are omitted.
     """
-    html = _decode_html_bytes(data)
+    html = data if isinstance(data, str) else _decode_html_bytes(data)
     lower = html.translate(_ASCII_LOWER)
     out: List[List[List[str]]] = []
     # stack of open tables: each is [rows, cur_row_or_None, cell_pieces_or_None]

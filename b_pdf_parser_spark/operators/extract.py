@@ -46,9 +46,9 @@ from pyspark.sql.types import (
 import re as _re
 
 from .. import fields
-from ..htmlmodel import extract_html_blocks, extract_html_tables
+from ..htmlmodel import _decode_html_bytes, extract_html_blocks, extract_html_tables
 
-_TABLE_HINT_RE = _re.compile(rb"<table", _re.I)
+_TABLE_HINT_RE = _re.compile(r"<table", _re.I)
 from ..pdfmodel import PdfError, extract_pdf_pages_and_tables
 
 __all__ = ["EXTRACTED_SCHEMA", "extract_pages", "make_extract_batch", "DEFAULT_SKEW_THRESHOLD"]
@@ -119,7 +119,11 @@ def _extract_one(url: str, payload: Optional[bytes]) -> dict:
             row["tables"] = tables
         else:
             row["kind"] = "html"
-            blocks = extract_html_blocks(payload)
+            # decode ONCE: blocks, the table hint and the table walk all
+            # read the same decoded string (a raw-byte hint would miss
+            # UTF-16 pages, whose tag bytes are interleaved with NULs)
+            html = _decode_html_bytes(payload)
+            blocks = extract_html_blocks(html)
             row["text"] = "\n".join(b.text for b in blocks if b.is_content)
             # label scans (metadata, summary totals) run over ALL blocks:
             # header label/value lines are short and link-poor, so the
@@ -130,11 +134,10 @@ def _extract_one(url: str, payload: Optional[bytes]) -> dict:
             # HTML <table> rows feed the same table→transactions strategy
             # as PDF span-cluster tables (an HTML bank statement and a PDF
             # one are the same document to the field layer). One cheap
-            # C-level byte scan gates the full table walk — most pages have
-            # no table at all (charset note: every supported encoding is
-            # ASCII-compatible, so the tag bytes are literal)
-            if _TABLE_HINT_RE.search(payload):
-                row["tables"] = extract_html_tables(payload)
+            # C-level scan gates the full table walk — most pages have no
+            # table at all
+            if _TABLE_HINT_RE.search(html):
+                row["tables"] = extract_html_tables(html)
     except PdfError as e:
         row["kind"] = "error"
         row["error"] = f"pdf: {e}"

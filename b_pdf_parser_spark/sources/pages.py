@@ -46,9 +46,13 @@ PAGES_SCHEMA_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lan
 
 # bump when generated content changes so persisted corpus caches invalidate
 # (bench keys its .bench_cache files on this)
-CORPUS_VERSION = 11  # v9: ~2.5% kitchen-sink intersection docs; v10: inline
+CORPUS_VERSION = 12  # v9: ~2.5% kitchen-sink intersection docs; v10: inline
 # images (~4%) + /Differences remaps (~6%); v11: ~10% of HTML docs are bank
-# statements with transaction <table>s (the html face of the field layer)
+# statements with transaction <table>s (the html face of the field layer);
+# v12: ~20% of statement pages are tag soup (implied end tags, case/attr
+# noise, overlapping footer table, truncated tail), ~5% of HTML is UTF-16
+# with BOM (both endiannesses), ~1.5% of statement PDFs stack encryption +
+# inline images + /Differences in one doc
 
 _CITIES = ["JAKARTA PUSAT", "SURABAYA", "BANDUNG", "MEDAN", "SEMARANG", "MAKASSAR"]
 _PRODUCTS = ["BritamaX-IDR", "Simpedes-IDR", "GiroPrima-IDR", "TabunganKu-IDR"]
@@ -451,6 +455,28 @@ def html_page(rng: random.Random) -> Tuple[bytes, str]:
     return html.encode("utf-8"), "\n".join(paras)
 
 
+def tag_soup_statement(s: str, rng: random.Random) -> str:
+    """Real-web tag soup over a statement page: ``</td>``/``</tr>`` end
+    tags omitted everywhere (LEGAL per the HTML spec — browsers and our
+    tokenizer auto-close them), case and attribute noise on the table
+    tags, an UNCLOSED promo table spliced into the footer (overlapping-
+    table recovery: its anchor-less rows must not leak into the
+    transaction table), and half the time a truncated tail (``</body>``
+    onward gone). The extraction chain must produce IDENTICAL fields from
+    the soup and its clean twin — pinned by golden d18 and the v12 corpus
+    stratum."""
+    s = s.replace("</td>", "").replace("</tr>", "")
+    s = s.replace("<table>", '<TABLE border="1" width=100%>', 1)
+    s = s.replace("<tr>", "<TR>", 1)
+    s = s.replace("<td>", "<TD class=c align=left>", 1)
+    s = s.replace("<footer>", "<footer><table><tr><td>promo soup overlap ", 1)
+    if rng.random() < 0.5:
+        cut = s.rfind("</body>")
+        if cut > 0:
+            s = s[:cut]
+    return s
+
+
 _EPOCH = datetime(2024, 1, 1)
 
 
@@ -581,6 +607,24 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
         diffs = None
         if hrng.random() < 0.06:
             diffs = {48: "A", 65: "zero", 128: "Euro"}
+        # v12: ~1.5% stack encryption + an inline image + /Differences in
+        # ONE document (golden d19's shape) — the content-stream hazards
+        # must survive running UNDER the decryption layer, where the BI..EI
+        # skip and the glyph-table decode see post-decrypt bytes. Forked
+        # rng: only the selected docs' encodings change; their text/truth
+        # comes from the untouched main stream.
+        vrng = random.Random((seed << 42) ^ (i * 0x94D049BB) ^ 0x85EBC)
+        if vrng.random() < 0.015:
+            if not encrypt:
+                encrypt = "aes-128" if vrng.random() < 0.5 else True
+            if not inline_imgs:
+                st = vrng.randrange(251)
+                inline_imgs = [
+                    (vrng.randrange(n_pages),
+                     bytes((st + 7 * k) % 251 for k in range(120)))
+                ]
+            if diffs is None and not t0:
+                diffs = {48: "A", 65: "zero", 128: "Euro"}
         payload = pdf_from_lines(
             pages,
             xref_stream=xs,
@@ -611,6 +655,20 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
                 url = f"https://synth.example/{seed}/stmt_{struth['account_no']}.html"
             text = None  # no crawler-provided text for statement pages
             lang = "id"
+            # v12: ~20% of statement pages arrive as tag soup (implied end
+            # tags, case/attr noise, an unclosed footer table, truncated
+            # tail) and ~6% of the rest as UTF-16 with BOM — the encodings
+            # the web actually serves. Forked rng; same extracted fields.
+            trng = random.Random((seed << 40) ^ (i * 0xC2B2AE3D) ^ 0x1B873)
+            if trng.random() < 0.20:
+                payload = tag_soup_statement(payload.decode("utf-8"), trng).encode("utf-8")
+            elif trng.random() < 0.06:
+                s = payload.decode("utf-8")
+                payload = (
+                    s.encode("utf-16")  # UTF-16LE with BOM
+                    if trng.random() < 0.5
+                    else b"\xfe\xff" + s.encode("utf-16-be")
+                )
             return {"url": url, "warc_ts": ts, "html": payload, "text": text,
                     "lang": lang}
         # ~15% of HTML re-encoded as windows-1252 with a declared
@@ -631,6 +689,19 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
             s = s.replace("</article>", f"<p>{extra}</p>\n</article>", 1)
             payload = s.encode("cp1252")
             golden = golden + "\n" + extra
+        else:
+            # v12: ~5% of the remaining HTML is UTF-16 with a BOM — both
+            # endiannesses — so the sniffer's BOM-first precedence (which
+            # OUTRANKS any <meta charset>) runs for real in the corpus.
+            # Forked rng: every other doc is byte-identical to v11.
+            urng = random.Random((seed << 41) ^ (i * 0x165667B1) ^ 0x27220)
+            if urng.random() < 0.05:
+                s = payload.decode("utf-8")
+                payload = (
+                    s.encode("utf-16")  # UTF-16LE with BOM
+                    if urng.random() < 0.5
+                    else b"\xfe\xff" + s.encode("utf-16-be")
+                )
         text = golden  # crawler-provided text column ~ main content
         lang = "en"
     elif roll < 0.97:  # corrupt / truncated payloads → error column

@@ -336,6 +336,17 @@ def main() -> None:
         "queries_all": timings,
         "retimed_slowest": retimed,
         "extract": big,
+        # the VALUE-ORACLE extraction path (writer → walk → fields → verify
+        # per doc, every hazard stratum rotating) timed as its own surface:
+        # these walls include in-query corpus generation, so they bound the
+        # full roundtrip, not just the parse
+        "extract_formula_corpus": {
+            "pdf_docs": 160,
+            "html_docs": 120,
+            "pdf_wall_sec": timings.get("extract_formula"),
+            "html_wall_sec": timings.get("extract_formula_html"),
+            "kinds_wall_sec": timings.get("extract_kinds"),
+        },
         "scaling": scaling,
         "scaling_error": scaling_error,
         "method": (

@@ -19,8 +19,11 @@ from tools.genfixtures import metadata_csv, transactions_csv
 PDF_DOCS = ["d1_classic_match", "d2_xrefstm_mismatch", "d3_nouser_td",
             "d4_multipage_raw", "d7_inline_rows", "d8_table_rows", "d9_type0_cid",
             "d10_two_column", "d11_encrypted_rc4", "d13_encrypted_aes128",
-            "d14_encrypted_aes256", "d15_kitchen_sink", "d16_inline_diffs"]
+            "d14_encrypted_aes256", "d15_kitchen_sink", "d16_inline_diffs",
+            "d19_enc_inline_diffs"]
 HTML_DOCS = ["d5_article", "d6_entities", "d12_cp1252"]
+STATEMENT_DOCS = ["d17_html_statement", "d18_clean_twin", "d18_tag_soup",
+                  "d20_utf16_statement"]
 
 
 def _extract(payload):
@@ -79,7 +82,7 @@ def test_golden_counts_stable(fixtures_dir):
                        "d10_two_column": 0, "d11_encrypted_rc4": 10,
                        "d13_encrypted_aes128": 5, "d14_encrypted_aes256": 4,
                        "d15_kitchen_sink": 10,
-                       "d16_inline_diffs": 6}
+                       "d16_inline_diffs": 6, "d19_enc_inline_diffs": 5}
     for name, n in expected_counts.items():
         payload = (fixtures_dir / f"{name}.pdf").read_bytes()
         _, _, txns = _extract(payload)
@@ -164,16 +167,90 @@ def test_d17_html_statement_full_contract(fixtures_dir):
     assert ver["status"] == "passed"
 
 
-def test_html_statement_operator_parity(fixtures_dir):
+@pytest.mark.parametrize("name", STATEMENT_DOCS)
+def test_html_statement_operator_parity(name, fixtures_dir):
     """Through the real operator body (_extract_one + strategy chain): an
-    html statement lands strategy='table' with a verified turnover, exactly
-    like its PDF twin."""
+    html statement — clean, tag-soup or UTF-16 — lands with table rows and
+    a parseable 13-digit account, exactly like its PDF twin."""
     from b_pdf_parser_spark.operators.extract import _extract_one
 
-    payload = (fixtures_dir / "d17_html_statement.html").read_bytes()
+    payload = (fixtures_dir / f"{name}.html").read_bytes()
     d = _extract_one("https://x/stmt.html", payload)
     assert d["kind"] == "html" and d["error"] is None
     txns = fields.transactions_from_table_rows(d["tables"])
-    assert len(txns) == 10
+    assert txns, name
     meta = fields.extract_metadata(d["first_page"])
     assert meta["account_no"].isdigit() and len(meta["account_no"]) == 13
+
+
+@pytest.mark.parametrize("name", ["d18_clean_twin", "d18_tag_soup",
+                                  "d20_utf16_statement"])
+def test_html_statement_csv_contracts(name, fixtures_dir):
+    """d18/d20 satisfy the same frozen meta/txns/verify contracts as d17
+    (which keeps its own full test above)."""
+    from b_pdf_parser_spark.htmlmodel import (extract_html_blocks,
+                                              extract_html_tables)
+
+    payload = (fixtures_dir / f"{name}.html").read_bytes()
+    blocks = extract_html_blocks(payload)
+    all_blocks = "\n".join(b.text for b in blocks)
+    txns = fields.transactions_from_table_rows(extract_html_tables(payload))
+    meta = fields.extract_metadata(all_blocks)
+    meta["account_no"] = fields.account_no_from_url(name, meta["account_no"])
+    summary = fields.extract_summary_totals(all_blocks)
+    for k in ("total_debit", "total_credit", "opening_balance", "closing_balance"):
+        meta[k] = summary.get(k) or ""
+    assert metadata_csv(meta).encode() == (
+        fixtures_dir / f"{name}.expected_meta.csv").read_bytes()
+    assert transactions_csv(txns).encode() == (
+        fixtures_dir / f"{name}.expected_txns.csv").read_bytes()
+    ver = fields.verify_turnover(txns, 0.01, summary=summary)
+    assert ver == json.loads(
+        (fixtures_dir / f"{name}.expected_verify.json").read_text())
+
+
+def test_d18_soup_extracts_identically_to_clean_twin(fixtures_dir):
+    """The v12 tag-soup ratchet's whole point: implied end tags, case/attr
+    noise, an unclosed footer table and a truncated tail must not move a
+    single extracted field relative to the clean twin."""
+    for ext in ("expected_meta.csv", "expected_txns.csv", "expected_verify.json"):
+        assert (fixtures_dir / f"d18_tag_soup.{ext}").read_bytes() == (
+            fixtures_dir / f"d18_clean_twin.{ext}").read_bytes(), ext
+    # the soup must actually BE soup, not a copy of the twin
+    soup = (fixtures_dir / "d18_tag_soup.html").read_bytes()
+    clean = (fixtures_dir / "d18_clean_twin.html").read_bytes()
+    assert b"</td>" in clean and b"</td>" not in soup
+    assert b"<TABLE" in soup and b"promo soup overlap" in soup
+    assert b"</body>" in clean
+
+
+def test_d19_intersection_features_all_present(fixtures_dir):
+    """d19 must genuinely stack all three hazards: AES-128 encryption (so
+    both content-stream traps run under the decryption layer), an inline
+    image whose payload carries fake text operators, and a /Differences
+    table remapping live codes."""
+    from b_pdf_parser_spark.pdfmodel import (PdfDocument, _SimpleFontDecoder,
+                                             extract_pdf_pages)
+
+    payload = (fixtures_dir / "d19_enc_inline_diffs.pdf").read_bytes()
+    assert b"/AESV2" in payload
+    assert b"Rekening" not in payload          # text is truly encrypted
+    assert b"(phantom) Tj" not in payload      # inline payload encrypted too
+    doc = PdfDocument(payload)
+    page = doc.pages()[0]
+    content = doc.page_content(page)           # post-decrypt bytes
+    assert b"BI /W" in content and b"(phantom) Tj" in content
+    fonts = doc.page_fonts(page)
+    assert any(isinstance(v, _SimpleFontDecoder) for v in fonts.values())
+    text = "".join(p + "\n" for p in extract_pdf_pages(payload))
+    assert "phantom" not in text and "swallow" not in text
+    assert "No. Rekening" in text
+
+
+def test_d20_utf16_bom_precedence(fixtures_dir):
+    """d20 is genuinely UTF-16 BE: BOM first, no ASCII-visible tags — the
+    sniffer must decode via the BOM before any meta/utf-8 fallback, and
+    the operator's table hint must fire on the DECODED string."""
+    payload = (fixtures_dir / "d20_utf16_statement.html").read_bytes()
+    assert payload[:2] == b"\xfe\xff"
+    assert b"<table" not in payload            # tag bytes are NUL-interleaved

@@ -257,6 +257,45 @@ def main() -> None:
         ).encode("utf-8"),
     )
 
+    # d18: tag-soup statement (corpus v12 stratum) — the SAME statement as a
+    # clean twin but with </td>/</tr> omitted everywhere (implied end tags),
+    # case/attr noise on the table tags, an UNCLOSED promo table spliced
+    # into the footer, and the tail truncated at </body>. Extraction must
+    # produce IDENTICAL fields from either form; the clean twin is frozen
+    # beside it so the equality itself is golden-pinned.
+    from b_pdf_parser_spark.sources.pages import (  # noqa: E402
+        html_statement_page,
+        tag_soup_statement,
+    )
+
+    payload18, _ = html_statement_page(random.Random(1818))
+    freeze_html_statement("d18_clean_twin", payload18)
+    soup = tag_soup_statement(payload18.decode("utf-8"), random.Random(18))
+    freeze_html_statement("d18_tag_soup", soup.encode("utf-8"))
+
+    # d19: encryption + inline image + /Differences stacked in ONE document
+    # (corpus v12 intersection stratum): the BI..ID..EI skip and the glyph-
+    # table decode must both run UNDER the decryption layer — the inline
+    # payload carries fake text operators, the Differences table remaps
+    # live codes ('0'<->'A', Euro at 128)
+    pages, _ = statement_lines(random.Random(1919), n_pages=1, rows_per_page=5,
+                               with_user=True, summary="match", amount_format="id")
+    evil19 = (bytes((11 * k + 7) % 251 for k in range(260))
+              + b"(swallow) 9 9 Td (phantom) Tj BT")
+    freeze_pdf("d19_enc_inline_diffs",
+               pdf_from_lines(pages, encrypt="aes-128", xref_stream=True,
+                              inline_images=[(0, evil19)],
+                              differences={48: "A", 65: "zero", 128: "Euro"}))
+
+    # d20: UTF-16 BE with BOM (corpus v12 stratum) — BOM precedence must
+    # outrank the absent <meta charset> and the utf-8 default, and the
+    # whole field contract must survive the 2-byte code units
+    payload20, _ = html_statement_page(random.Random(2020))
+    freeze_html_statement(
+        "d20_utf16_statement",
+        b"\xfe\xff" + payload20.decode("utf-8").encode("utf-16-be"),
+    )
+
 
 if __name__ == "__main__":
     main()
