@@ -726,17 +726,36 @@ def q_extract_kinds(spark, sf):
 
 
 def q_extract_transactions(spark, sf):
+    """Per-transaction table (S8 sink shape) with a FULL VALUE oracle:
+    posexplode over the formula corpus, BOTH faces — every date,
+    description, user, amount string and running balance of all 1,106
+    transactions is recomputed by the DuckDB oracle from the integer
+    formulas, after passing through the REAL writer → parser → assembler
+    chain (PDF column walk and HTML table rows alike). RNG-corpus breadth
+    keeps its coverage in tests and the bench headline."""
+    from b_pdf_parser_spark.operators.extract import extract_pages
     from b_pdf_parser_spark.plans.verify import transactions_table
 
-    return transactions_table(_corpus_extracted(spark))
+    ext = extract_pages(
+        _formula_pages(spark, n_pdf=160, n_html=120), num_partitions=8
+    )
+    return transactions_table(ext).withColumn("seq", F.col("seq").cast("long"))
 
 
 def q_extract_verify_relational(spark, sf):
+    """U6: turnover verification as a pure join+agg plan (no UDF) — with a
+    VALUE oracle over the formula corpus: the ``i % 11 == 5`` stratum
+    carries a deliberately mismatched stated total, so the oracle checks
+    the FAILED path of the verify join (status, passed, per-side match
+    flags), not just the happy path, across both document faces."""
+    from b_pdf_parser_spark.operators.extract import extract_pages
     from b_pdf_parser_spark.plans.verify import verify_turnover_plan
 
     # the verify plan references the extraction twice (doc side + sums side);
     # localCheckpoint materializes the mapInPandas subtree once
-    ext = _corpus_extracted(spark).filter(F.col("kind") == "pdf").localCheckpoint()
+    ext = extract_pages(
+        _formula_pages(spark, n_pdf=160, n_html=120), num_partitions=8
+    ).localCheckpoint()
     return verify_turnover_plan(ext).select(
         "url", "status", "passed", "debit_match", "credit_match"
     )
@@ -1731,6 +1750,65 @@ def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
     """
 
 
+# shared fragment: the formula corpus's (url, i) universe — 160 PDF + 120
+# HTML docs — used by every formula-corpus oracle
+_FORMULA_DOCS_CTE = """
+    d AS (
+        SELECT i, 'https://formula.example/' || lpad(CAST(i AS VARCHAR), 6, '0') AS url
+        FROM (SELECT unnest(range(0, 160)) AS i)
+        UNION ALL
+        SELECT i, 'https://formula-html.example/' || lpad(CAST(i AS VARCHAR), 6, '0')
+        FROM (SELECT unnest(range(0, 120)) AS i))
+"""
+
+
+def _formula_txn_oracle() -> str:
+    """DuckDB twin of the formula corpus's per-transaction table: every
+    cell — date, description, teller id, Indonesian-formatted amounts and
+    the running balance — recomputed from the integer formulas, across
+    both document faces. ``format('{:,}')`` + dot/comma swap mirrors
+    ``pages._fmt_id`` exactly."""
+    from b_pdf_parser_spark.sources.pages import _DESCS
+
+    descs = ", ".join(f"({j}, '{d}')" for j, d in enumerate(_DESCS))
+
+    def fmt(c: str) -> str:
+        return (
+            f"replace(format('{{:,}}', {c} // 100), ',', '.') || ',' || "
+            f"lpad(CAST({c} % 100 AS VARCHAR), 2, '0')"
+        )
+
+    return f"""
+        WITH descs(d_idx, d_name) AS (VALUES {descs}),
+        {_FORMULA_DOCS_CTE},
+        ks AS (SELECT url, i, CAST(unnest(range(0, 3 + i % 5)) AS BIGINT) AS k
+               FROM d),
+        tx AS (
+            SELECT url, i, k,
+                   1000000 + ((i * 7919 + k * 104729) % 400000) AS cents,
+                   ((i + k) % 2 = 0) AS is_cr
+            FROM ks),
+        bal AS (
+            SELECT url, i, k, cents, is_cr,
+                   -- CAST: window SUM is HUGEINT, which format('{{:,}}')
+                   -- silently refuses to thousand-group
+                   CAST(1000000000 + SUM(CASE WHEN is_cr THEN cents ELSE -cents END)
+                        OVER (PARTITION BY url ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bal_c
+            FROM tx)
+        SELECT b.url AS url,
+               b.k AS seq,
+               lpad(CAST(1 + b.k % 28 AS VARCHAR), 2, '0') || '/01/24 10:' ||
+                   lpad(CAST(b.k % 60 AS VARCHAR), 2, '0') || ':00' AS "date",
+               descs.d_name AS description,
+               CAST(1111111 + (b.i * 31 + b.k) % 888888 AS VARCHAR) AS "user",
+               CASE WHEN b.is_cr THEN '0,00' ELSE {fmt('b.cents')} END AS debit,
+               CASE WHEN b.is_cr THEN {fmt('b.cents')} ELSE '0,00' END AS credit,
+               {fmt('b.bal_c')} AS balance
+        FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % 10
+    """
+
+
 def _ivf_ann_oracle(
     n_centroids: int = 16, nprobe: int = 4, dim: int = 64, seed: int = 7,
     k: int = 3,
@@ -1798,6 +1876,9 @@ def extra_oracle_sql() -> dict[str, str]:
 
 def _all_oracles() -> dict[str, str]:
     return {
+        # NOTE both faces: total_debit is the STATED summary value the
+        # parser scans — the i % 11 = 5 stratum states computed + 777.77,
+        # so the oracle checks the failed verification path too
         "extract_formula": """
             WITH d AS (SELECT range AS i FROM range(0, 160)),
             ks AS (SELECT i, CAST(unnest(range(0, 3 + i % 5)) AS BIGINT) AS k
@@ -1810,10 +1891,12 @@ def _all_oracles() -> dict[str, str]:
                    CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
                    COUNT(*) AS n_txns,
                    CAST(SUM(CASE WHEN NOT credit THEN cents ELSE 0 END)
+                        + CASE WHEN i % 11 = 5 THEN 77777 ELSE 0 END
                         AS DOUBLE) / 100 AS total_debit,
                    CAST(SUM(CASE WHEN credit THEN cents ELSE 0 END)
                         AS DOUBLE) / 100 AS total_credit,
-                   'passed' AS verify_status
+                   CASE WHEN i % 11 = 5 THEN 'failed' ELSE 'passed' END
+                       AS verify_status
             FROM tx GROUP BY i ORDER BY doc_id
         """,
         "extract_formula_html": """
@@ -1828,11 +1911,23 @@ def _all_oracles() -> dict[str, str]:
                    CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
                    COUNT(*) AS n_txns,
                    CAST(SUM(CASE WHEN NOT credit THEN cents ELSE 0 END)
+                        + CASE WHEN i % 11 = 5 THEN 77777 ELSE 0 END
                         AS DOUBLE) / 100 AS total_debit,
                    CAST(SUM(CASE WHEN credit THEN cents ELSE 0 END)
                         AS DOUBLE) / 100 AS total_credit,
-                   'passed' AS verify_status
+                   CASE WHEN i % 11 = 5 THEN 'failed' ELSE 'passed' END
+                       AS verify_status
             FROM tx GROUP BY i ORDER BY doc_id
+        """,
+        "extract_transactions": _formula_txn_oracle(),
+        "extract_verify_relational": f"""
+            WITH {_FORMULA_DOCS_CTE}
+            SELECT url,
+                   CASE WHEN i % 11 = 5 THEN 'failed' ELSE 'passed' END AS status,
+                   (i % 11 <> 5) AS passed,
+                   (i % 11 <> 5) AS debit_match,
+                   TRUE AS credit_match
+            FROM d
         """,
         "extract_kinds": """
             SELECT 'https://formula.example/' || lpad(CAST(i AS VARCHAR), 6, '0')
@@ -1841,14 +1936,15 @@ def _all_oracles() -> dict[str, str]:
                    CAST(3 + i % 5 AS BIGINT) AS n_txns,
                    'column' AS txn_strategy,
                    TRUE AS valid,
-                   'passed' AS status,
+                   CASE WHEN i % 11 = 5 THEN 'failed' ELSE 'passed' END AS status,
                    CAST(1 AS BIGINT) AS n_pages,
                    CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
                    'IDR' AS valuta
             FROM (SELECT unnest(range(0, 160)) AS i)
             UNION ALL
             SELECT 'https://formula-html.example/' || lpad(CAST(i AS VARCHAR), 6, '0'),
-                   'html', CAST(3 + i % 5 AS BIGINT), 'table', TRUE, 'passed',
+                   'html', CAST(3 + i % 5 AS BIGINT), 'table', TRUE,
+                   CASE WHEN i % 11 = 5 THEN 'failed' ELSE 'passed' END,
                    CAST(1 AS BIGINT), CAST(1000000000000 + i * 7919 AS VARCHAR),
                    'IDR'
             FROM (SELECT unnest(range(0, 120)) AS i)

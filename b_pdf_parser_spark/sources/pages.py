@@ -241,7 +241,13 @@ def _formula_fields(i: int):
     function of ``i``, no RNG, so the DuckDB oracles can recompute the
     expected extraction output exactly. Returns
     ``(account, rows, summary)`` where each row is the 6-cell
-    ``(ts, desc, user, debit, credit, balance)`` tuple."""
+    ``(ts, desc, user, debit, credit, balance)`` tuple.
+
+    Docs with ``i % 11 == 5`` carry a deliberately MISMATCHED summary
+    (stated total debit = computed + 777.77), so turnover verification
+    must land ``failed`` for exactly that stratum — the failure path of
+    the verify join is value-checked by the oracles, not just the happy
+    path."""
     account = str(1_000_000_000_000 + i * 7919)
     n_rows = 3 + i % 5
     opening = 10_000_000_00  # cents
@@ -266,10 +272,11 @@ def _formula_fields(i: int):
             str(1_111_111 + (i * 31 + k) % 888_888),  # 7-digit user
             debit_s, credit_s, _fmt_id(balance / 100),
         ))
+    stated_d = tot_d + (77_777 if i % 11 == 5 else 0)  # mismatch stratum
     summary = [
         "Saldo Awal", "Total Transaksi Debet", "Total Transaksi Kredit",
         "Saldo Akhir",
-        _fmt_id(opening / 100), _fmt_id(tot_d / 100),
+        _fmt_id(opening / 100), _fmt_id(stated_d / 100),
         _fmt_id(tot_c / 100), _fmt_id(balance / 100),
     ]
     return account, rows, summary
