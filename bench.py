@@ -298,7 +298,11 @@ def main() -> None:
         retimed[name] = [timings[name], second]
         timings[name] = min(timings[name], second)
 
-    big = _time_extraction(spark, corpus, CPUS, reps=2)
+    # best-of-3: round-4 interleaved A/B runs showed the FIRST run of a
+    # pair consistently slower regardless of which corpus ran (position
+    # effect from co-tenant load ramps) — two reps can both land in one
+    # load spell, a third materially improves the odds one is clean
+    big = _time_extraction(spark, corpus, CPUS, reps=3)
     if SCALING:
         # pre-generate the (smaller) scaling corpus with the full-width
         # session so the clean-process measurements below only measure
