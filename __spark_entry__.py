@@ -728,7 +728,7 @@ def q_extract_kinds(spark, sf):
 def q_extract_transactions(spark, sf):
     """Per-transaction table (S8 sink shape) with a FULL VALUE oracle:
     posexplode over the formula corpus, BOTH faces — every date,
-    description, user, amount string and running balance of all 1,106
+    description, user, amount string and running balance of all 1,400
     transactions is recomputed by the DuckDB oracle from the integer
     formulas, after passing through the REAL writer → parser → assembler
     chain (PDF column walk and HTML table rows alike). RNG-corpus breadth
@@ -1805,7 +1805,7 @@ def _formula_txn_oracle() -> str:
                CASE WHEN b.is_cr THEN '0,00' ELSE {fmt('b.cents')} END AS debit,
                CASE WHEN b.is_cr THEN {fmt('b.cents')} ELSE '0,00' END AS credit,
                {fmt('b.bal_c')} AS balance
-        FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % 10
+        FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % {len(_DESCS)}
     """
 
 

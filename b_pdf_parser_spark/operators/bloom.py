@@ -114,11 +114,13 @@ def bloom_bitmap(
     )
 
 
-def bloom_bitmap_bytes(df: DataFrame, key_col: str, m_bits: int, k: int) -> bytes:
+def bloom_bitmap_bytes(
+    df: DataFrame, key_col: str, m_bits: int, k: int, merge_groups: int = 64
+) -> bytes:
     """Driver-side blob of :func:`bloom_bitmap` — the ONE deliberate driver
     object in this module (m/8 bytes, e.g. 12 MB at 10^8 bits), fetched so
-    the probe can close over it. Empty input → all-zero bitmap."""
-    rows = bloom_bitmap(df, key_col, m_bits, k).collect()
+    the probe can broadcast it. Empty input → all-zero bitmap."""
+    rows = bloom_bitmap(df, key_col, m_bits, k, merge_groups).collect()
     return bytes(rows[0]["bloom"]) if rows else bytes(m_bits // 8)
 
 
@@ -143,6 +145,11 @@ def probe_bloom(
         list(df.schema.fields) + [StructField("maybe_seen", BooleanType(), False)]
     )
     hashed = df.select("*", _h1(key_col).alias("_h1"), _h2(key_col).alias("_h2"))
+    # the handle is attached to the returned DataFrame (``_bloom_bc``) so a
+    # caller that materializes the probe can destroy() it deterministically
+    # instead of waiting on GC + ContextCleaner — at GB bitmap sizes an
+    # iterative caller leaks a blob per cycle otherwise (frontier_new_keys
+    # does exactly this cleanup)
     bc = df.sparkSession.sparkContext.broadcast(bloom)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -158,7 +165,9 @@ def probe_bloom(
             out["maybe_seen"] = ok
             yield out
 
-    return hashed.mapInPandas(probe, schema=out_schema)
+    out_df = hashed.mapInPandas(probe, schema=out_schema)
+    out_df._bloom_bc = bc  # cleanup handle for materializing callers
+    return out_df
 
 
 def frontier_new_keys(
@@ -167,23 +176,45 @@ def frontier_new_keys(
     key_col: str,
     m_bits: int = 1 << 20,
     k: int = 7,
+    merge_groups: int = 64,
 ) -> DataFrame:
     """Exactly-new candidates, bloom-accelerated: rows the bloom clears are
     new by construction (zero joins); only ``maybe_seen`` rows (true dups +
     the ~FPR sliver) pay the exact anti-join against the base. Result is
     IDENTICAL to the plain anti-join — the bloom changes the cost, not the
-    answer.
+    answer. ``merge_groups`` passes through to the bitmap tree merge —
+    raise it when ``num_partitions/merge_groups`` blobs of m/8 bytes exceed
+    executor memory.
 
-    ``base`` is scanned ONCE: its distinct key set is checkpointed, the
-    bitmap-build collect materializes it, and the confirm anti-join reads
-    the checkpointed blocks instead of re-scanning the (huge) history."""
-    base_keys = base.select(key_col).distinct().localCheckpoint(eager=False)
-    bloom = bloom_bitmap_bytes(base_keys, key_col, m_bits, k)
-    # referenced by BOTH branches below — checkpoint so the candidate
-    # distinct + hash + bitmap probe subtree runs once, not per branch
-    probed = probe_bloom(
+    Lifecycle choices for the steady-state crawl loop this accelerates:
+
+    * ``base`` is scanned ONCE per cycle — its distinct key set is cached
+      with ``persist(MEMORY_AND_DISK)`` (lineage PRESERVED, so an executor
+      loss recomputes blocks instead of failing the job, unlike a
+      localCheckpoint, which at the advertised 10^9-URL history would pin
+      the whole history in non-replicated block storage); the cache is
+      released by Spark's ContextCleaner once the returned frame — the
+      last reference to it — is dropped;
+    * the candidate probe IS locally checkpointed (eagerly) — it is one
+      cycle's candidates, orders of magnitude smaller than the history —
+      which lets the bitmap broadcast be ``destroy()``-ed deterministically
+      right here rather than leaking one m/8-byte blob per crawl cycle to
+      GC timing.
+    """
+    from pyspark import StorageLevel
+
+    base_keys = (
+        base.select(key_col).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bloom = bloom_bitmap_bytes(base_keys, key_col, m_bits, k, merge_groups)
+    # referenced by BOTH branches below — eager checkpoint so the candidate
+    # distinct + hash + bitmap probe subtree runs once, not per branch, and
+    # the broadcast can be freed immediately after
+    probed_raw = probe_bloom(
         candidates.select(key_col).distinct(), key_col, bloom, m_bits, k
-    ).localCheckpoint(eager=False)
+    )
+    probed = probed_raw.localCheckpoint(eager=True)
+    probed_raw._bloom_bc.destroy()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = suspects.join(base_keys, key_col, "left_anti")

@@ -110,14 +110,15 @@ def test_tree_merge_matches_single_group_merge(spark):
 
 
 def test_frontier_scans_base_once(spark):
-    # the history side is checkpointed before the bitmap build, so the
-    # confirm anti-join reads the checkpoint — the executed plan of the
-    # frontier result must contain NO re-scan of the base lineage (every
-    # leaf is a materialized RDD)
+    # the history side is persisted (lineage kept — fault-tolerant, unlike
+    # a localCheckpoint) before the bitmap build, so the confirm anti-join
+    # reads cached blocks instead of re-scanning the base lineage: the
+    # executed plan's base side must be an InMemoryTableScan, and the
+    # candidate probe subtree must be a materialized checkpoint (no Range
+    # leaf of its own)
     base = _urls(spark, 0, 500)
     cand = _urls(spark, 200, 700)
-    plan = (
-        frontier_new_keys(base, cand, "url", M, K)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "Range (" not in plan, plan
+    df = frontier_new_keys(base, cand, "url", M, K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed probe
