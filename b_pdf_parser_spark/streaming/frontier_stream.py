@@ -1,0 +1,162 @@
+"""Streaming crawl frontier: the ingestion-time lift of the bloom frontier.
+
+A production crawler does not batch-diff candidate lists against its
+history once a day — discovered URLs arrive continuously, and "have we
+seen this?" must be answered online without joining every micro-batch
+against a 10^9-row history table. This operator keeps the batch module's
+exact contract (emit EXACTLY the never-seen-before keys) while amortizing
+the history to a driver-held bloom bitmap that grows incrementally:
+
+* **startup**: the bitmap is built ONCE from the durable history directory
+  (distributed partial-bitmap build, tree-merged — ``operators/bloom``);
+* **per micro-batch**: candidates are probed MAP-SIDE against the
+  broadcast bitmap; ``maybe_seen = false`` rows are provably new (zero
+  joins — the no-false-negative guarantee), only the ``maybe_seen``
+  sliver (true dups + ~FPR) pays an exact anti-join against the history;
+* **state update**: the batch's new keys append to the history directory
+  under an ``epoch=N`` subdirectory (overwrite mode → a retried epoch
+  rewrites the same path, idempotent), and their bits OR into the
+  in-memory bitmap so the NEXT batch sees them — no rebuild, no rescan;
+* **restart**: the driver bitmap is rebuilt from whatever the history
+  directory durably holds. Because the confirm join reads the SAME
+  directory, bitmap and confirm can never disagree on membership — the
+  no-false-negative invariant (and therefore exactness) survives crashes.
+
+Scale shape: per batch the work is one map-only probe over the batch +
+one anti-join of the ~FPR sliver against the history + one numpy OR of
+two m/8-byte blobs on the driver. The history table is scanned exactly
+once per process lifetime (startup), never per batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bloom import bloom_bitmap_bytes, probe_bloom
+
+__all__ = ["FrontierState", "frontier_stream"]
+
+
+class FrontierState:
+    """Driver-side frontier state: the incremental bitmap + history dir.
+
+    Exposed as a class (rather than a closure) so tests and jobs can
+    inspect ``bloom`` and rebuild/restart deterministically.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        history_dir: str,
+        key_col: str = "url",
+        m_bits: int = 1 << 20,
+        k: int = 7,
+        merge_groups: int = 64,
+    ):
+        self.spark = spark
+        self.history_dir = history_dir
+        self.key_col = key_col
+        self.m_bits = m_bits
+        self.k = k
+        self.merge_groups = merge_groups
+        self.bloom = self._build_from_history()
+
+    def _history_df(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        """History = the union of all ``epoch=K`` subdirectories.
+
+        ``exclude_epoch`` matters for exactly-once: when foreachBatch
+        re-delivers an epoch after a crash (write durable, stream commit
+        lost), the confirm join must NOT see that epoch's own previous
+        partial write — it would classify every key as already-seen, emit
+        an empty frame, and the idempotent overwrite would ERASE the
+        epoch's keys from history. Excluding the epoch being processed
+        makes the retry reproduce the original output byte-for-byte."""
+        if not os.path.isdir(self.history_dir):
+            return None
+        paths = [
+            os.path.join(self.history_dir, d)
+            for d in sorted(os.listdir(self.history_dir))
+            if d.startswith("epoch=")
+            and d != f"epoch={exclude_epoch}"
+            and os.path.isdir(os.path.join(self.history_dir, d))
+        ]
+        if not paths:
+            return None
+        try:
+            return self.spark.read.schema(f"{self.key_col} string").parquet(*paths)
+        except Exception:
+            return None  # empty/absent history → empty bitmap
+
+    def _build_from_history(self) -> bytes:
+        h = self._history_df()
+        if h is None:
+            return bytes(self.m_bits // 8)
+        return bloom_bitmap_bytes(
+            h, self.key_col, self.m_bits, self.k, self.merge_groups
+        )
+
+    def absorb(self, new_keys: DataFrame) -> None:
+        """OR the new keys' bits into the driver bitmap (incremental
+        insert — bloom filters are additive, so this is exact)."""
+        delta = bloom_bitmap_bytes(
+            new_keys, self.key_col, self.m_bits, self.k, self.merge_groups
+        )
+        self.bloom = np.bitwise_or(
+            np.frombuffer(self.bloom, dtype=np.uint8),
+            np.frombuffer(delta, dtype=np.uint8),
+        ).tobytes()
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body: emit exactly-new keys of this batch into
+        ``history_dir/epoch=<id>/`` and fold them into the bitmap."""
+        cand = batch_df.select(self.key_col).distinct()
+        probed_raw = probe_bloom(
+            cand, self.key_col, self.bloom, self.m_bits, self.k
+        )
+        probed = probed_raw.localCheckpoint(eager=True)
+        probed_raw._bloom_bc.destroy()
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        history = self._history_df(exclude_epoch=int(epoch_id))
+        confirmed = (
+            suspects.join(history, self.key_col, "left_anti")
+            if history is not None
+            else suspects
+        )
+        new = fresh.unionByName(confirmed).localCheckpoint(eager=True)
+        # epoch-keyed overwrite: a retried epoch rewrites the same subdir,
+        # so at-least-once foreachBatch delivery stays exactly-once on disk
+        new.write.mode("overwrite").parquet(
+            os.path.join(self.history_dir, f"epoch={int(epoch_id)}")
+        )
+        self.absorb(new)
+
+
+def frontier_stream(
+    candidates_stream: DataFrame,
+    history_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    available_now: bool = True,
+):
+    """Wire a candidate-URL stream into a :class:`FrontierState` and return
+    the started streaming query. ``history_dir`` doubles as the output:
+    each epoch's exactly-new keys land under ``epoch=N/`` and ARE the
+    growing crawl history the next epoch dedups against."""
+    state = FrontierState(
+        candidates_stream.sparkSession, history_dir, key_col, m_bits, k
+    )
+    writer = candidates_stream.writeStream.foreachBatch(
+        state.process_batch
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

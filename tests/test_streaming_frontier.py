@@ -1,0 +1,115 @@
+"""Streaming bloom frontier: exactly-new keys per micro-batch, incremental
+driver bitmap, restart-rebuild from the durable history, and idempotent
+epoch retry (the at-least-once foreachBatch contract must stay
+exactly-once on disk)."""
+
+import datetime as dt
+import os
+
+import pandas as pd
+
+from b_pdf_parser_spark.streaming.frontier_stream import (
+    FrontierState,
+    frontier_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+M = 1 << 14
+K = 7
+
+
+def _write_cands(spark, path, urls, offset=0):
+    pdf = pd.DataFrame(
+        [(u, T0 + dt.timedelta(seconds=offset + j)) for j, u in enumerate(urls)],
+        columns=["url", "ts"],
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream(spark, path):
+    return spark.readStream.schema("url string, ts timestamp").parquet(path)
+
+
+def _run(spark, src, hist, ckpt):
+    q = frontier_stream(
+        _stream(spark, src), hist, ckpt, key_col="url", m_bits=M, k=K
+    )
+    q.awaitTermination()
+
+
+def _history_urls(spark, hist):
+    return sorted(
+        r.url for r in spark.read.parquet(hist, recursiveFileLookup=True).collect()
+    )
+
+
+def test_frontier_stream_emits_exactly_new_per_batch(spark, tmp_path):
+    src, hist, ckpt = (str(tmp_path / d) for d in ("src", "hist", "ckpt"))
+    _write_cands(spark, src, ["a", "b", "c"])
+    _run(spark, src, hist, ckpt)
+    assert _history_urls(spark, hist) == ["a", "b", "c"]
+
+    # batch 2 overlaps batch 1 → only the genuinely new keys are emitted
+    _write_cands(spark, src, ["b", "c", "d", "e"], offset=100)
+    _run(spark, src, hist, ckpt)
+    assert _history_urls(spark, hist) == ["a", "b", "c", "d", "e"]
+
+
+def test_frontier_stream_restart_rebuilds_bitmap(spark, tmp_path):
+    src, hist, ckpt = (str(tmp_path / d) for d in ("src", "hist", "ckpt"))
+    _write_cands(spark, src, ["a", "b"])
+    _run(spark, src, hist, ckpt)
+    # a FRESH frontier_stream call (new FrontierState, bitmap rebuilt from
+    # the history dir) must still dedup against everything already seen
+    _write_cands(spark, src, ["a", "c"], offset=100)
+    _run(spark, src, hist, ckpt)
+    assert _history_urls(spark, hist) == ["a", "b", "c"]
+
+
+def test_frontier_stream_epoch_retry_is_idempotent(spark, tmp_path):
+    hist = str(tmp_path / "hist")
+    state = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)
+    b1 = spark.createDataFrame([("a",), ("b",)], "url string")
+    b2 = spark.createDataFrame([("b",), ("c",), ("d",)], "url string")
+    state.process_batch(b1, epoch_id=0)
+    state.process_batch(b2, epoch_id=1)
+    assert _history_urls(spark, hist) == ["a", "b", "c", "d"]
+    epoch1 = sorted(
+        r.url for r in spark.read.parquet(os.path.join(hist, "epoch=1")).collect()
+    )
+    assert epoch1 == ["c", "d"]
+
+    # crash-retry: a NEW process (fresh state, bitmap rebuilt from history
+    # that already INCLUDES epoch 1's durable write) re-delivers epoch 1 —
+    # the output must be reproduced, not erased or duplicated
+    state2 = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)
+    state2.process_batch(b2, epoch_id=1)
+    epoch1_retry = sorted(
+        r.url for r in spark.read.parquet(os.path.join(hist, "epoch=1")).collect()
+    )
+    assert epoch1_retry == ["c", "d"]
+    assert _history_urls(spark, hist) == ["a", "b", "c", "d"]
+
+
+def test_frontier_stream_matches_batch_antijoin(spark, tmp_path):
+    # exactness across many overlapping batches: the union of all epoch
+    # outputs must equal DISTINCT(all candidates) — the batch anti-join
+    # contract, held online
+    hist = str(tmp_path / "hist")
+    state = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)
+    seen = set()
+    all_urls = []
+    for e in range(5):
+        urls = [f"u{(7 * e + j) % 23}" for j in range(9)]  # heavy overlap
+        all_urls.extend(urls)
+        state.process_batch(
+            spark.createDataFrame([(u,) for u in urls], "url string"), epoch_id=e
+        )
+        epoch_urls = [
+            r.url
+            for r in spark.read.parquet(os.path.join(hist, f"epoch={e}")).collect()
+        ]
+        assert len(epoch_urls) == len(set(epoch_urls))
+        assert not (set(epoch_urls) & seen), "re-emitted an already-seen key"
+        seen |= set(epoch_urls)
+    assert seen == set(all_urls)
