@@ -1273,11 +1273,17 @@ def q_near_dup_keep_best(spark, sf):
     clusters = connected_components(edges).withColumnRenamed("id", "doc_id")
     q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     j = clusters.join(q, "doc_id")
+    # one shuffle serves both the argmax and the member count: the rank
+    # window and the unordered count window share the cluster_id
+    # partitioning, so Catalyst plans a single Exchange + Sort (the old
+    # groupBy-sizes + join-back shape paid two more shuffles and a second
+    # evaluation of j)
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
-    best = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    sizes = j.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    wc = Window.partitionBy("cluster_id")
     return (
-        best.join(sizes, "cluster_id")
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
             F.col("doc_id").alias("keep_id"),
