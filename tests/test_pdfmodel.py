@@ -503,6 +503,28 @@ def test_aes_bad_padding_raises():
             aes_cbc_decrypt(key, ct[:n])
 
 
+def test_aes_numpy_batch_decrypt_bit_equals_scalar():
+    # the vectorized per-stream decrypt (hot extraction path) must be
+    # bit-identical to the scalar reference rounds, for every key length
+    # and for block counts straddling the dispatch threshold
+    import random
+
+    from b_pdf_parser_spark.aescipher import (_dec_words, _decrypt_block_w,
+                                              _decrypt_blocks_np, _expand_key)
+
+    rng = random.Random(7)
+    for key_len in (16, 24, 32):
+        key = bytes(rng.randrange(256) for _ in range(key_len))
+        kw = _dec_words(_expand_key(key))
+        for n_blocks in (1, 4, 5, 33):
+            blocks = bytes(rng.randrange(256) for _ in range(16 * n_blocks))
+            scalar = b"".join(
+                _decrypt_block_w(kw, blocks[i : i + 16])
+                for i in range(0, len(blocks), 16)
+            )
+            assert _decrypt_blocks_np(kw, blocks) == scalar, (key_len, n_blocks)
+
+
 def test_aes_v4_key_length_from_stdcf_only():
     # a V4 file may declare the key size only in the StdCF crypt filter
     # (/Length there is a BYTE count per spec); blanking the top-level
