@@ -157,3 +157,20 @@ def test_determinism_same_seed_same_output(spark, extracted):
     a = extracted.select("url", "text", "n_transactions")
     b = ext2.select("url", "text", "n_transactions")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_extraction_scan_prunes_unused_columns(spark, tmp_path):
+    # the 100 TB scan contract: extract_pages touches url/warc_ts/html
+    # only, so the crawler-provided text/lang columns must be pruned OUT
+    # of the parquet ReadSchema (reading them would be a ~2x IO tax at
+    # scale for columns the walk never looks at)
+    src = str(tmp_path / "pages")
+    synth_pages_df(spark, 50, seed=3, num_partitions=2).write.parquet(src)
+    plan = (
+        extract_pages(spark.read.parquet(src), num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "text" not in read_schema[0] and "lang" not in read_schema[0], read_schema[0]
+    assert "html" in read_schema[0] and "url" in read_schema[0], read_schema[0]
