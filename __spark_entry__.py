@@ -914,6 +914,19 @@ def q_training_mix(spark, sf):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-scaled mixture rebalance (T=2) over the language
+    strata: per-language kept counts after the n_s^(1/T) rule — the
+    operator LLM pipelines use to keep head sources from drowning the
+    tail. Fully relational, so the oracle recomputes the pow/threshold
+    arithmetic exactly."""
+    from b_pdf_parser_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    kept = temperature_mix(d, "doc_id", "lang", temperature=2.0)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 def q_doc_logprob(spark, sf):
     """Per-doc mean negative log2-prob under the corpus unigram LM (CCNet-
     style perplexity proxy). Two linear shuffles, both map-side combined."""
@@ -1618,6 +1631,7 @@ def extra_queries() -> dict[str, _T]:
         # registered slots; these keep full DuckDB parity here
         "host_cap_sample": q_host_cap_sample,
         "token_shards": q_token_shards,
+        "temperature_mix": q_temperature_mix,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -1969,6 +1983,25 @@ def _all_oracles() -> dict[str, str]:
                    round(1.0, 4) AS valid_rate,
                    CAST(SUM(n_txns) AS BIGINT) AS total_txns
             FROM docs GROUP BY kind, txn_strategy
+        """,
+        "temperature_mix": """
+            WITH counts AS (
+                SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+            rel AS (
+                SELECT lang, n_s,
+                       pow(CAST(n_s AS DOUBLE), 1.0 / 2.0 - 1.0) AS rel
+                FROM counts),
+            m AS (SELECT MAX(rel) AS max_rel FROM rel),
+            thr AS (
+                SELECT lang,
+                       lower(lpad(hex(CAST(least(
+                           floor(round(rel / max_rel * 1.0, 9) * 4294967296.0),
+                           4294967295) AS BIGINT)), 8, '0')) AS t
+                FROM rel, m)
+            SELECT d.lang AS lang, COUNT(*) AS n_kept
+            FROM documents d JOIN thr USING (lang)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t
+            GROUP BY d.lang
         """,
         "frontier_new": """
             WITH base AS (

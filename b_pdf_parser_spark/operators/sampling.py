@@ -27,6 +27,7 @@ __all__ = [
     "hash_threshold",
     "hash_sample",
     "stratified_sample",
+    "temperature_mix",
     "per_host_cap",
     "per_host_cap_threshold",
     "token_shards",
@@ -64,6 +65,69 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(hash_threshold(rate))).otherwise(thr)
     return df.filter(_bucket(key_col) < thr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    temperature: float,
+    target_max_rate: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/multi-source
+    rebalancing rule of large-model data pipelines (the ``α = 1/T``
+    exponent of Lample & Conneau 2019 §3.1 / mT5): a stratum with raw
+    mass ``n_s`` is kept at a deterministic rate ∝ ``n_s^(1/T - 1)`` so
+    the RESULTING mixture follows ``p_s ∝ n_s^(1/T)``. ``T = 1`` keeps
+    the natural proportions (every stratum at ``target_max_rate``);
+    ``T → ∞`` approaches uniform across strata (head sources downsampled
+    toward the tail). The smallest stratum always keeps
+    ``target_max_rate`` of its docs — rates only shrink from there, so
+    no stratum needs upsampling/duplication.
+
+    Fully relational (counts → pow → broadcast join → md5-threshold
+    filter): no driver action, deterministic per (key, stratum counts),
+    and the per-row decision is the same monotone hash-threshold rule as
+    :func:`hash_sample`, so lowering T later only REMOVES docs from big
+    strata, never reshuffles kept sets. One count shuffle + one broadcast
+    join at any scale.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
+    rel = counts.withColumn(
+        "rel", F.pow(F.col("n_s").cast("double"), F.lit(1.0 / temperature - 1.0))
+    )
+    max_rel = rel.agg(F.max("rel").alias("max_rel"))
+    rates = (
+        rel.crossJoin(F.broadcast(max_rel))
+        .select(
+            stratum_col,
+            "n_s",
+            # round: keeps the threshold integer stable against last-ulp
+            # pow() differences across engines (the oracle recomputes it)
+            F.round(
+                F.col("rel") / F.col("max_rel") * F.lit(target_max_rate), 9
+            ).alias("keep_rate"),
+        )
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(F.col("keep_rate") * F.lit(2.0 ** 32)),
+                    F.lit(2 ** 32 - 1),
+                ).cast("bigint")
+            ),
+            8,
+            "0",
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(_bucket(key_col) < thr)
+        .drop("n_s", "keep_rate")
+    )
 
 
 def token_shards(

@@ -313,3 +313,43 @@ def test_token_shards_bucketed_matches_global_within_bucket(spark):
     assert {r["doc_id"] for r in token_shards(df, "doc_id", "text", 50).collect()} == {
         r["doc_id"] for r in out
     }
+
+
+def test_temperature_mix_properties(spark):
+    # strata with a 20:4:1 imbalance
+    rows = ([("en", i) for i in range(400)] + [("de", i + 1000) for i in range(80)]
+            + [("id", i + 2000) for i in range(20)])
+    df = spark.createDataFrame(
+        [(d, l) for l, d in rows], "doc_id long, lang string"
+    )
+    from b_pdf_parser_spark.operators.sampling import temperature_mix
+
+    def kept(t):
+        return {r["doc_id"] for r in temperature_mix(df, "doc_id", "lang", t).collect()}
+
+    def by_lang(ids):
+        en = sum(1 for i in ids if i < 1000)
+        de = sum(1 for i in ids if 1000 <= i < 2000)
+        other = sum(1 for i in ids if i >= 2000)
+        return en, de, other
+
+    # T=1: natural proportions — everything kept at target_max_rate=1.0
+    assert kept(1.0) == {d for _, d in rows}
+    # T>1 flattens: the smallest stratum keeps everything, the head is
+    # downsampled, and the kept head/tail ratio shrinks below the raw 20:1
+    k2 = kept(2.0)
+    en2, de2, id2 = by_lang(k2)
+    assert id2 == 20 and en2 < 400
+    assert en2 / max(id2, 1) < 400 / 20
+    # raising T only REMOVES docs (monotone hash thresholds): kept(4) ⊆ kept(2)
+    k4 = kept(4.0)
+    assert k4 <= k2
+    en4, de4, id4 = by_lang(k4)
+    assert id4 == 20 and en4 <= en2
+    # T→∞ limit direction: per-stratum kept counts approach each other
+    assert (en4 - id4) < (en2 - id2)
+    # determinism across partitioning
+    assert kept(2.0) == {
+        r["doc_id"]
+        for r in temperature_mix(df.repartition(13), "doc_id", "lang", 2.0).collect()
+    }
