@@ -623,9 +623,12 @@ def _formula_pages(spark, n_pdf: int = 160, n_html: int = 0):
 
         import pandas as pd
 
+        import random as _random
+
         from b_pdf_parser_spark.sources.pages import (
             formula_statement_html,
             formula_statement_pdf,
+            tag_soup_statement,
         )
 
         for b in batches:
@@ -636,8 +639,22 @@ def _formula_pages(spark, n_pdf: int = 160, n_html: int = 0):
                     payload = formula_statement_pdf(i)
                     url = f"https://formula.example/{i:06d}"
                 else:
-                    payload = formula_statement_html(i - n_pdf)
-                    url = f"https://formula-html.example/{i - n_pdf:06d}"
+                    j = i - n_pdf
+                    payload = formula_statement_html(j)
+                    # serving-hazard rotation (values unchanged → the same
+                    # oracle hash-checks them): UTF-16 both endiannesses,
+                    # tag-soup markup (deterministic truncation draw)
+                    if j % 4 == 1:
+                        s = payload.decode("utf-8")
+                        payload = (
+                            s.encode("utf-16") if j % 8 == 1
+                            else b"\xfe\xff" + s.encode("utf-16-be")
+                        )
+                    elif j % 4 == 3:
+                        payload = tag_soup_statement(
+                            payload.decode("utf-8"), _random.Random(j)
+                        ).encode("utf-8")
+                    url = f"https://formula-html.example/{j:06d}"
                 rows.append({
                     "url": url,
                     "warc_ts": datetime(2024, 1, 1),
@@ -672,7 +689,7 @@ def q_extract_formula(spark, sf):
     the flagship can have: the writer serializes 160 statements whose
     every field is a pure integer formula of doc_id (no RNG), the real
     parser walks them with the feature mix rotating by formula (xref
-    streams + ObjStm packing, Td ops, Type0/CMaps, RC4 and AES-128
+    streams + ObjStm packing, Td ops, Type0/CMaps, RC4-40/RC4-128/AES-128
     encryption, inline images, /Differences-permuted digits, image
     XObjects — every corpus stratum), and the DuckDB oracle recomputes
     account number, transaction count and debit/credit totals from the
@@ -692,8 +709,12 @@ def q_extract_formula_html(spark, sf):
     summary paragraphs, nav/footer boilerplate) and extracted through the
     html chain — charset sniff → tokenizer → block classifier →
     extract_html_tables → transactions_from_table_rows → the SAME
-    metadata/verify layer as the PDFs. One DuckDB oracle recomputes both
-    faces; a drift in either markup path breaks its hash."""
+    metadata/verify layer as the PDFs — with the web's serving hazards
+    rotating by formula: a quarter of the docs arrive as UTF-16 (both
+    endiannesses, BOM-sniffed) and a quarter as tag soup (implied end
+    tags, case/attr noise, unclosed footer table, truncated tail). One
+    DuckDB oracle recomputes both faces; a drift in either markup path,
+    the charset sniffer or the soup recovery breaks its hash."""
     from b_pdf_parser_spark.operators.extract import extract_pages
 
     pages = _formula_pages(spark, n_pdf=0, n_html=120)

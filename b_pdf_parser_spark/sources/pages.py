@@ -342,7 +342,9 @@ def formula_statement_pdf(i: int) -> bytes:
         xref_stream=i % 2 == 0,  # even i: xref stream + ObjStm packing
         td_ops=i % 3 == 0,
         type0=type0,
-        encrypt={2: True, 4: "aes-128"}.get(i % 5, False),
+        # all three encryption shapes rotate: legacy 40-bit V1/R2,
+        # RC4-128 V2/R3, and /AESV2 AES-128 V4/R4
+        encrypt={1: "rc4-40", 2: True, 4: "aes-128"}.get(i % 5, False),
         inline_images=inline,
         # Differences applies to the simple (non-Type0) font only
         differences=_FORMULA_DIGIT_DIFFS if (i % 7 == 3 and not type0) else None,
