@@ -1002,6 +1002,22 @@ def q_outlinks(spark, sf):
     return extract_outlinks(synth_linkdoc_df(spark, 400))
 
 
+def q_anchor_texts(spark, sf):
+    """Per-target anchor mining over the real-markup link corpus: inlink
+    totals, anchor-variant counts and the dominant anchor per target URL.
+    The oracle recomputes all of it from the generator formulas — the
+    entity-decoded, tag-stripped anchor strings included."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        anchor_texts,
+        extract_outlinks,
+        synth_linkdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return anchor_texts(extract_outlinks(synth_linkdoc_df(spark, 400)))
+
+
 def q_link_hosts(spark, sf):
     """Host-level in-degree over the outlink edge table (the crawl-frontier /
     host-ranking aggregate): one shuffle on the host key."""
@@ -1653,6 +1669,7 @@ def extra_queries() -> dict[str, _T]:
         "host_cap_sample": q_host_cap_sample,
         "token_shards": q_token_shards,
         "temperature_mix": q_temperature_mix,
+        "anchor_texts": q_anchor_texts,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -3076,6 +3093,32 @@ def _all_oracles() -> dict[str, str]:
                        AS href,
                    'go & see ' || k AS anchor
             FROM ks
+        """,
+        "anchor_texts": """
+            WITH d AS (SELECT range AS i FROM range(0, 400)),
+            ks AS (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            edges AS (
+                SELECT 'https://host' || ((doc_id * k) % 20) || '.example/p' || k
+                           AS href,
+                       'go & see ' || k AS anchor
+                FROM ks),
+            pairs AS (
+                SELECT href, anchor, COUNT(*) AS n
+                FROM edges GROUP BY href, anchor),
+            ranked AS (
+                SELECT href, anchor, n,
+                       row_number() OVER (PARTITION BY href
+                                          ORDER BY n DESC, anchor ASC) AS rn,
+                       CAST(SUM(n) OVER (PARTITION BY href) AS BIGINT)
+                           AS n_inlinks,
+                       CAST(COUNT(*) OVER (PARTITION BY href) AS BIGINT)
+                           AS n_anchors
+                FROM pairs)
+            SELECT href, n_inlinks, n_anchors, anchor AS top_anchor,
+                   CAST(n AS BIGINT) AS top_anchor_n
+            FROM ranked WHERE rn = 1
         """,
         "link_hosts": """
             WITH d AS (SELECT range AS i FROM range(0, 400)),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "extract_outlinks",
+    "anchor_texts",
     "host_degrees",
     "host_pagerank",
     "parse_robots",
@@ -94,6 +95,43 @@ def extract_outlinks(docs: DataFrame, id_col: str = "doc_id", html_col: str = "h
             yield pd.DataFrame(rows, columns=["doc_id", "href", "anchor"])
 
     return docs.mapInPandas(run, schema=LINKS_SCHEMA_DDL)
+
+
+def anchor_texts(
+    edges: DataFrame,
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text profile over the outlink edge table — the
+    anchor-mining aggregate web corpora use to attach external descriptions
+    to documents (anchor text approximates queries/titles for ranking and
+    training data; cf. the MS MARCO / ORCAS anchor-corpus lineage).
+
+    For every link target: total inlinks, distinct anchor strings, and the
+    dominant anchor (most frequent, ties broken lexicographically — fully
+    deterministic). Shape at scale: one (href, anchor) pre-aggregation
+    (map-side combined — collapses the head target's millions of identical
+    anchors before the shuffle), then one href-keyed window pass that
+    serves the argmax, the inlink total and the variant count from a
+    single Exchange."""
+    from pyspark.sql import Window
+
+    pairs = edges.groupBy(href_col, anchor_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(href_col).orderBy(F.desc("n"), F.asc(anchor_col))
+    wt = Window.partitionBy(href_col)
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_inlinks", F.sum("n").over(wt))
+        .withColumn("n_anchors", F.count("*").over(wt))
+        .filter(F.col("rn") == 1)
+        .select(
+            href_col,
+            F.col("n_inlinks").cast("long").alias("n_inlinks"),
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            F.col(anchor_col).alias("top_anchor"),
+            F.col("n").cast("long").alias("top_anchor_n"),
+        )
+    )
 
 
 def host_degrees(edges: DataFrame) -> DataFrame:
