@@ -948,6 +948,17 @@ def q_temperature_mix(spark, sf):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+def q_chunk_documents(spark, sf):
+    """Context-window segmentation: 64-token chunks with a 48-token stride
+    (16-token overlap) over every document — map-only, no shuffle; the
+    oracle recomputes every chunk string with the same split/slice
+    arithmetic."""
+    from b_pdf_parser_spark.operators.sampling import chunk_documents
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return chunk_documents(d, "doc_id", "text", tokens_per_chunk=64, stride=48)
+
+
 def q_doc_logprob(spark, sf):
     """Per-doc mean negative log2-prob under the corpus unigram LM (CCNet-
     style perplexity proxy). Two linear shuffles, both map-side combined."""
@@ -1670,6 +1681,7 @@ def extra_queries() -> dict[str, _T]:
         "token_shards": q_token_shards,
         "temperature_mix": q_temperature_mix,
         "anchor_texts": q_anchor_texts,
+        "chunk_documents": q_chunk_documents,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -2021,6 +2033,25 @@ def _all_oracles() -> dict[str, str]:
                    round(1.0, 4) AS valid_rate,
                    CAST(SUM(n_txns) AS BIGINT) AS total_txns
             FROM docs GROUP BY kind, txn_strategy
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            starts AS (
+                SELECT doc_id, t,
+                       unnest(range(0, greatest(len(t) - 1, 0) + 1, 48)) AS s,
+                       generate_subscripts(
+                           range(0, greatest(len(t) - 1, 0) + 1, 48), 1) - 1
+                           AS chunk_id
+                FROM toks)
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT)
+                       AS n_chunk_toks,
+                   array_to_string(list_slice(t, s + 1, s + 64), ' ')
+                       AS chunk_text
+            FROM starts
         """,
         "temperature_mix": """
             WITH counts AS (

@@ -28,6 +28,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "temperature_mix",
+    "chunk_documents",
     "per_host_cap",
     "per_host_cap_threshold",
     "token_shards",
@@ -127,6 +128,49 @@ def temperature_mix(
         df.join(F.broadcast(rates), stratum_col)
         .filter(_bucket(key_col) < thr)
         .drop("n_s", "keep_rate")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_chunk: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Fixed-token training chunks with optional overlap — the
+    context-window segmentation step between cleaning and tokenization
+    (documents longer than the model context are cut into windows; a
+    ``stride < tokens_per_chunk`` repeats the tail of each window at the
+    head of the next, the standard overlap trick so no span is only ever
+    seen split across a boundary).
+
+    MAP-ONLY at any scale: tokens split JVM-side, window starts are a
+    ``sequence`` ramp, each chunk a ``slice`` + ``concat_ws`` — the only
+    row expansion is the posexplode, there is no shuffle at all. Emits
+    ``(id, chunk_id, n_chunk_toks, chunk_text)``; chunk_id is the ordinal
+    of the window start, deterministic per document."""
+    if stride is None:
+        stride = tokens_per_chunk
+    if stride <= 0 or tokens_per_chunk <= 0:
+        raise ValueError("tokens_per_chunk and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(
+            " ", F.slice(toks, s + F.lit(1), F.lit(tokens_per_chunk))
+        ),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn(
+            "n_chunk_toks", F.size(F.split(F.col("chunk_text"), " ")).cast("long")
+        )
+        .select(id_col, F.col("chunk_id").cast("long"), "n_chunk_toks", "chunk_text")
     )
 
 

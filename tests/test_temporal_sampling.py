@@ -353,3 +353,27 @@ def test_temperature_mix_properties(spark):
         r["doc_id"]
         for r in temperature_mix(df.repartition(13), "doc_id", "lang", 2.0).collect()
     }
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from b_pdf_parser_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "  ")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", tokens_per_chunk=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0,48,96,144 → 4 chunks; sizes 64,64,54,6
+    sizes = [rows[(1, c)]["n_chunk_toks"] for c in range(4)]
+    assert sizes == [64, 64, 54, 6]
+    # overlap: the last 16 tokens of chunk 0 are the first 16 of chunk 1
+    c0 = rows[(1, 0)]["chunk_text"].split(" ")
+    c1 = rows[(1, 1)]["chunk_text"].split(" ")
+    assert c0[48:] == c1[:16]
+    # full coverage in order: stitching at stride boundaries rebuilds the doc
+    stitched = c0[:48] + c1[:48] + rows[(1, 2)]["chunk_text"].split(" ")[:48] \
+        + rows[(1, 3)]["chunk_text"].split(" ")
+    assert stitched == text.split(" ")
+    # short doc → one chunk, whole text; whitespace-only doc → dropped
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
+    assert not any(d == 3 for d, _ in rows)
