@@ -948,6 +948,28 @@ def q_temperature_mix(spark, sf):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+def q_quality_cut(spark, sf):
+    """Quantile-based quality filtering: per-language P25 cut over the
+    composite quality score (an adaptive threshold — 'drop the worst
+    quartile of each language' — instead of one global constant that
+    over-filters low-resource languages). Exact percentile + broadcast
+    cut join; Spark percentile ≡ DuckDB quantile_cont bit-for-bit."""
+    from b_pdf_parser_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf, "documents")
+    scored = d.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    cuts = scored.groupBy("lang").agg(F.percentile(F.col("q"), 0.25).alias("cut"))
+    kept = scored.join(F.broadcast(cuts), "lang").filter(F.col("q") >= F.col("cut"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.min("q"), 4).alias("min_kept_q"),
+        )
+        .join(cuts.select("lang", F.round(F.col("cut"), 4).alias("cut")), "lang")
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Context-window segmentation: 64-token chunks with a 48-token stride
     (16-token overlap) over every document — map-only, no shuffle; the
@@ -1682,6 +1704,7 @@ def extra_queries() -> dict[str, _T]:
         "temperature_mix": q_temperature_mix,
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
+        "quality_cut": q_quality_cut,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -1775,6 +1798,21 @@ _Q_STOP = {
 _VOTE = {
     lang: f"len(list_filter({_TOKS}, t -> t IN {words}))" for lang, words in _Q_STOP.items()
 }
+
+# DuckDB twin of textstats.quality_score (formula mirrored verbatim);
+# also inlined in the near_dup_keep_best oracle
+_QUALITY_EXPR = f"""round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                ELSE CAST(len(list_filter({{toks}},
+                         t -> t IN {_EN_STOP})) AS DOUBLE)
+                     / len({{toks}}) END)
+       + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                ELSE CAST(length(replace(trim(text), ' ', ''))
+                          AS DOUBLE) / len({{toks}}) END) / 8.0, 1.0)
+       + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text,
+                         '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text) END)), 4)"""
+
 
 _DOT64 = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
@@ -2033,6 +2071,22 @@ def _all_oracles() -> dict[str, str]:
                    round(1.0, 4) AS valid_rate,
                    CAST(SUM(n_txns) AS BIGINT) AS total_txns
             FROM docs GROUP BY kind, txn_strategy
+        """,
+        "quality_cut": f"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       {_QUALITY_EXPR.format(toks=_TOKS)} AS q
+                FROM documents),
+            cuts AS (
+                SELECT lang, quantile_cont(q, 0.25) AS cut
+                FROM q GROUP BY lang)
+            SELECT q.lang AS lang,
+                   COUNT(*) AS n_kept,
+                   round(MIN(q.q), 4) AS min_kept_q,
+                   round(ANY_VALUE(c.cut), 4) AS cut
+            FROM q JOIN cuts c ON q.lang = c.lang
+            WHERE q.q >= c.cut
+            GROUP BY q.lang
         """,
         "chunk_documents": """
             WITH toks AS (
