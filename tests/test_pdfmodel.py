@@ -349,6 +349,28 @@ def test_encrypted_byte_splice_keeps_pdferror_contract(pos, junk):
         pass
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=159),
+    st.integers(min_value=0, max_value=5000),
+    st.binary(min_size=1, max_size=16),
+)
+def test_formula_hazard_splice_keeps_pdferror_contract(i, pos, junk):
+    # splice garbage into the hazard-rotated formula docs (ObjStm,
+    # Type0, RC4-40/128, AES-128, inline images, /Differences, image
+    # XObjects and their intersections): corruption may only surface as
+    # PdfError — any other exception escaping the walk would crash a
+    # 10^12-doc batch instead of landing in the error column
+    from b_pdf_parser_spark.sources.pages import formula_statement_pdf
+
+    data = formula_statement_pdf(i)
+    spliced = data[: pos % len(data)] + junk + data[pos % len(data) :]
+    try:
+        pm.extract_pdf_text(spliced)
+    except pm.PdfError:
+        pass
+
+
 def test_aes_known_answer_vectors():
     # FIPS-197 Appendix C — validates the generated S-box, T-tables and key
     # schedule for all three key sizes
