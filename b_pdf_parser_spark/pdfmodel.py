@@ -697,16 +697,24 @@ class PdfDocument:
         if cipher == "rc4":
             key = _object_key(self._file_key, num, gen)
             dec = lambda b: _rc4(key, b)  # noqa: E731
-        elif cipher == "aesv2":
+        else:
             from .aescipher import aes_cbc_decrypt
 
-            key = _object_key(self._file_key, num, gen, aes=True)
-            dec = lambda b: aes_cbc_decrypt(key, b)  # noqa: E731
-        else:  # aesv3: the file key is used directly (ISO 32000-2)
-            from .aescipher import aes_cbc_decrypt
+            if cipher == "aesv2":
+                key = _object_key(self._file_key, num, gen, aes=True)
+            else:  # aesv3: the file key is used directly (ISO 32000-2)
+                key = self._file_key
 
-            key = self._file_key
-            dec = lambda b: aes_cbc_decrypt(key, b)  # noqa: E731
+            def dec(b: bytes) -> bytes:
+                # corruption inside an AES payload (mid-IV truncation,
+                # unaligned tail, bad PKCS#7) raises ValueError in the
+                # cipher layer — surface it as THIS module's error type so
+                # a spliced document lands in the error column instead of
+                # crashing the batch (PdfError-only contract, splice fuzz)
+                try:
+                    return aes_cbc_decrypt(key, b)
+                except ValueError as e:
+                    raise PdfError(f"corrupt AES payload in object {num}: {e}")
 
         def walk(v: Any) -> Any:
             if isinstance(v, bytes):
