@@ -2272,15 +2272,7 @@ def _all_oracles() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 OR len({_TOKS}) = 0 THEN 0.0
                         ELSE round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
                                    / len({_TOKS}), 4) END AS mean_word_len,
-                   round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_EN_STOP})) AS DOUBLE)
-                                     / len({_TOKS}) END)
-                       + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
-                                     / len({_TOKS}) END) / 8.0, 1.0)
-                       + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                                ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                     / length(text) END)), 4) AS quality,
+                   {_QUALITY_EXPR.format(toks=_TOKS)} AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
@@ -2289,15 +2281,7 @@ def _all_oracles() -> dict[str, str]:
                 SELECT doc_id, lang,
                        CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len({_TOKS}) END AS n_tokens,
-                       round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                    ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_EN_STOP})) AS DOUBLE)
-                                         / len({_TOKS}) END)
-                           + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                    ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
-                                         / len({_TOKS}) END) / 8.0, 1.0)
-                           + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                                    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                         / length(text) END)), 4) AS quality
+                       {_QUALITY_EXPR.format(toks=_TOKS)} AS quality
                 FROM documents)
             SELECT lang, COUNT(*) AS n_kept,
                    CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality
@@ -2454,17 +2438,7 @@ def _all_oracles() -> dict[str, str]:
                          FROM cc GROUP BY id),
             q AS (
                 SELECT doc_id,
-                       round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                    ELSE CAST(len(list_filter({_TOKS},
-                                             t -> t IN {_EN_STOP})) AS DOUBLE)
-                                         / len({_TOKS}) END)
-                           + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                    ELSE CAST(length(replace(trim(text), ' ', ''))
-                                              AS DOUBLE) / len({_TOKS}) END) / 8.0, 1.0)
-                           + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                                    ELSE CAST(length(regexp_replace(text,
-                                             '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                         / length(text) END)), 4) AS quality
+                       {_QUALITY_EXPR.format(toks=_TOKS)} AS quality
                 FROM documents),
             j AS (SELECT c.cluster_id, c.doc_id, q.quality
                   FROM clusters c JOIN q ON q.doc_id = c.doc_id),
@@ -2977,15 +2951,7 @@ def _all_oracles() -> dict[str, str]:
         "source_stats": f"""
             WITH rows_q AS (
                 SELECT source, md5(text) AS h,
-                       round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                    ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_EN_STOP})) AS DOUBLE)
-                                         / len({_TOKS}) END)
-                           + 0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
-                                    ELSE CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
-                                         / len({_TOKS}) END) / 8.0, 1.0)
-                           + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                                    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                         / length(text) END)), 4) AS q
+                       {_QUALITY_EXPR.format(toks=_TOKS)} AS q
                 FROM documents)
             SELECT source,
                    COUNT(*) AS n_docs,

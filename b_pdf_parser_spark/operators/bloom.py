@@ -35,7 +35,7 @@ no FPR loss). Decisions are a pure function of (key, m, k): identical on
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -43,7 +43,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import BooleanType, StructField, StructType
 
-__all__ = ["bloom_bitmap", "bloom_bitmap_bytes", "probe_bloom", "frontier_new_keys"]
+__all__ = [
+    "bloom_bitmap",
+    "bloom_bitmap_bytes",
+    "probe_bloom",
+    "probe_and_confirm",
+    "frontier_new_keys",
+]
 
 
 def _h1(key_col: str) -> F.Column:
@@ -207,9 +213,25 @@ def frontier_new_keys(
         base.select(key_col).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     )
     bloom = bloom_bitmap_bytes(base_keys, key_col, m_bits, k, merge_groups)
-    # referenced by BOTH branches below — eager checkpoint so the candidate
-    # distinct + hash + bitmap probe subtree runs once, not per branch, and
-    # the broadcast can be freed immediately after
+    return probe_and_confirm(candidates, key_col, bloom, m_bits, k, base_keys)
+
+
+def probe_and_confirm(
+    candidates: DataFrame,
+    key_col: str,
+    bloom: bytes,
+    m_bits: int,
+    k: int,
+    history: Optional[DataFrame],
+) -> DataFrame:
+    """The frontier kernel shared by the batch (:func:`frontier_new_keys`)
+    and streaming (``streaming/frontier_stream``) paths: probe distinct
+    candidates against a prebuilt bitmap, eagerly checkpoint the probe
+    (it feeds BOTH branches, and materializing it lets the bitmap
+    broadcast be destroyed deterministically right here), emit
+    bitmap-cleared rows join-free and anti-join only the ``maybe_seen``
+    sliver against ``history`` (``None`` → empty history, everything
+    ``maybe_seen`` is a false positive by construction)."""
     probed_raw = probe_bloom(
         candidates.select(key_col).distinct(), key_col, bloom, m_bits, k
     )
@@ -217,5 +239,9 @@ def frontier_new_keys(
     probed_raw._bloom_bc.destroy()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed = suspects.join(base_keys, key_col, "left_anti")
+    confirmed = (
+        suspects.join(history, key_col, "left_anti")
+        if history is not None
+        else suspects
+    )
     return fresh.unionByName(confirmed)

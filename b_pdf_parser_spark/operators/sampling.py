@@ -89,9 +89,9 @@ def temperature_mix(
     Fully relational (counts → pow → broadcast join → md5-threshold
     filter): no driver action, deterministic per (key, stratum counts),
     and the per-row decision is the same monotone hash-threshold rule as
-    :func:`hash_sample`, so lowering T later only REMOVES docs from big
-    strata, never reshuffles kept sets. One count shuffle + one broadcast
-    join at any scale.
+    :func:`hash_sample` — RAISING T later only REMOVES docs from the big
+    strata (rates fall monotonically in T), never reshuffles kept sets.
+    One count shuffle + one broadcast join at any scale.
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
@@ -158,19 +158,24 @@ def chunk_documents(
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
+    # one slice per chunk: the struct carries the sliced array through the
+    # explode so the token count is size() of the SAME slice, not a second
+    # split pass over the emitted text
     chunks = F.transform(
         starts,
-        lambda s: F.concat_ws(
-            " ", F.slice(toks, s + F.lit(1), F.lit(tokens_per_chunk))
+        lambda s: F.struct(
+            F.slice(toks, s + F.lit(1), F.lit(tokens_per_chunk)).alias("toks")
         ),
     )
     return (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
-        .withColumn(
-            "n_chunk_toks", F.size(F.split(F.col("chunk_text"), " ")).cast("long")
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long"),
+            F.size("c.toks").cast("long").alias("n_chunk_toks"),
+            F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
         )
-        .select(id_col, F.col("chunk_id").cast("long"), "n_chunk_toks", "chunk_text")
     )
 
 

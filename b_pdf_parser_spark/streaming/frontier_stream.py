@@ -34,10 +34,9 @@ import os
 from typing import Optional
 
 import numpy as np
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.bloom import bloom_bitmap_bytes, probe_bloom
+from ..operators.bloom import bloom_bitmap_bytes, probe_and_confirm
 
 __all__ = ["FrontierState", "frontier_stream"]
 
@@ -47,6 +46,13 @@ class FrontierState:
 
     Exposed as a class (rather than a closure) so tests and jobs can
     inspect ``bloom`` and rebuild/restart deterministically.
+
+    REQUIREMENT: ``history_dir`` must be a filesystem path visible to the
+    driver process (local disk / NFS-style mount shared with executors,
+    like the WET sink) — epoch discovery walks it with ``os.listdir``.
+    Scheme-prefixed object-store URIs are rejected LOUDLY at construction
+    instead of silently reading an empty history (which would re-emit
+    every already-seen key as new).
     """
 
     def __init__(
@@ -58,6 +64,13 @@ class FrontierState:
         k: int = 7,
         merge_groups: int = 64,
     ):
+        if "://" in history_dir:
+            raise ValueError(
+                f"history_dir {history_dir!r} is not a driver-visible "
+                "filesystem path — epoch discovery uses os.listdir, and a "
+                "silently-empty history would break frontier exactness "
+                "(see FrontierState docstring)"
+            )
         self.spark = spark
         self.history_dir = history_dir
         self.key_col = key_col
@@ -87,10 +100,13 @@ class FrontierState:
         ]
         if not paths:
             return None
-        try:
-            return self.spark.read.schema(f"{self.key_col} string").parquet(*paths)
-        except Exception:
-            return None  # empty/absent history → empty bitmap
+        # NO exception swallowing: an unreadable epoch directory must fail
+        # the stream loudly — treating it as empty would rebuild an empty
+        # bitmap, skip the confirm join and re-emit every seen key as new
+        # (a silent, permanent exactness violation). Absent/empty history
+        # is already handled by the isdir/paths checks above; the explicit
+        # schema makes a files-less directory read as 0 rows, not an error.
+        return self.spark.read.schema(f"{self.key_col} string").parquet(*paths)
 
     def _build_from_history(self) -> bytes:
         h = self._history_df()
@@ -114,21 +130,14 @@ class FrontierState:
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: emit exactly-new keys of this batch into
         ``history_dir/epoch=<id>/`` and fold them into the bitmap."""
-        cand = batch_df.select(self.key_col).distinct()
-        probed_raw = probe_bloom(
-            cand, self.key_col, self.bloom, self.m_bits, self.k
-        )
-        probed = probed_raw.localCheckpoint(eager=True)
-        probed_raw._bloom_bc.destroy()
-        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        history = self._history_df(exclude_epoch=int(epoch_id))
-        confirmed = (
-            suspects.join(history, self.key_col, "left_anti")
-            if history is not None
-            else suspects
-        )
-        new = fresh.unionByName(confirmed).localCheckpoint(eager=True)
+        new = probe_and_confirm(
+            batch_df,
+            self.key_col,
+            self.bloom,
+            self.m_bits,
+            self.k,
+            self._history_df(exclude_epoch=int(epoch_id)),
+        ).localCheckpoint(eager=True)
         # epoch-keyed overwrite: a retried epoch rewrites the same subdir,
         # so at-least-once foreachBatch delivery stays exactly-once on disk
         new.write.mode("overwrite").parquet(
@@ -150,7 +159,38 @@ def frontier_stream(
     """Wire a candidate-URL stream into a :class:`FrontierState` and return
     the started streaming query. ``history_dir`` doubles as the output:
     each epoch's exactly-new keys land under ``epoch=N/`` and ARE the
-    growing crawl history the next epoch dedups against."""
+    growing crawl history the next epoch dedups against.
+
+    Epoch ids come from the STREAM CHECKPOINT, so the pairing
+    (history_dir, checkpoint_dir) is load-bearing: restarting with a
+    fresh checkpoint restarts epoch numbering at 0 and the idempotent
+    ``epoch=N`` overwrite would CLOBBER durable history written under the
+    old numbering. A marker file in ``history_dir`` records which
+    checkpoint the history was written under; a mismatch while epochs
+    exist fails loudly instead."""
+    marker = os.path.join(history_dir, "_frontier_checkpoint")
+    ckpt = os.path.abspath(checkpoint_dir)
+    if os.path.isdir(history_dir):
+        has_epochs = any(d.startswith("epoch=") for d in os.listdir(history_dir))
+        if os.path.exists(marker):
+            recorded = open(marker).read().strip()
+            if recorded != ckpt and has_epochs:
+                raise ValueError(
+                    f"history_dir {history_dir!r} holds epochs written under "
+                    f"checkpoint {recorded!r}, but this stream uses {ckpt!r} — "
+                    "epoch ids would collide and overwrite durable history. "
+                    "Resume with the original checkpoint_dir, or start a "
+                    "fresh history_dir."
+                )
+        elif has_epochs:
+            raise ValueError(
+                f"history_dir {history_dir!r} holds epochs but no checkpoint "
+                "marker — refusing to guess whether this stream's epoch ids "
+                "collide with them"
+            )
+    os.makedirs(history_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(ckpt)
     state = FrontierState(
         candidates_stream.sparkSession, history_dir, key_col, m_bits, k
     )

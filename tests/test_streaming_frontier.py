@@ -113,3 +113,27 @@ def test_frontier_stream_matches_batch_antijoin(spark, tmp_path):
         assert not (set(epoch_urls) & seen), "re-emitted an already-seen key"
         seen |= set(epoch_urls)
     assert seen == set(all_urls)
+
+
+def test_frontier_stream_rejects_foreign_checkpoint(spark, tmp_path):
+    # epoch ids come from the stream checkpoint: pairing a history dir
+    # with a DIFFERENT checkpoint restarts numbering at 0 and the
+    # idempotent epoch overwrite would clobber durable history - must
+    # fail loudly instead
+    import pytest
+
+    src, hist, ckpt = (str(tmp_path / d) for d in ("src", "hist", "ckpt"))
+    _write_cands(spark, src, ["a", "b"])
+    _run(spark, src, hist, ckpt)
+    assert _history_urls(spark, hist) == ["a", "b"]
+    # same checkpoint → resume is fine
+    _write_cands(spark, src, ["c"], offset=100)
+    _run(spark, src, hist, ckpt)
+    assert _history_urls(spark, hist) == ["a", "b", "c"]
+    # fresh checkpoint against the same history → refused
+    with pytest.raises(ValueError, match="collide"):
+        _run(spark, src, hist, str(tmp_path / "ckpt2"))
+    # object-store URI history → refused at construction
+    from b_pdf_parser_spark.streaming.frontier_stream import FrontierState
+    with pytest.raises(ValueError, match="driver-visible"):
+        FrontierState(spark, "s3a://bucket/frontier")
