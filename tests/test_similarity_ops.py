@@ -31,3 +31,33 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, ivf_ann_topk(e, query_pred=pred, k=3).collect()))
     b = sorted(map(tuple, ivf_ann_topk(e, query_pred=pred, k=3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    # the limit property that certifies the probe machinery: with
+    # nprobe == n_centroids every inverted list is searched, so IVF must
+    # return EXACTLY the brute-force answer (same ranks, same neighbors) —
+    # any divergence means list assignment or candidate routing drops rows
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pred = F.col("vec_id") % 50 == 0
+    exact = sorted(map(tuple, cosine_topk(e, query_pred=pred, k=3).collect()))
+    full = sorted(map(tuple, ivf_ann_topk(
+        e, query_pred=pred, k=3, n_centroids=16, nprobe=16).collect()))
+    assert full == exact
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    # widening the probe may only help: recall@3 is nondecreasing in
+    # nprobe (each wider probe searches a superset of the lists)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pred = F.col("vec_id") % 50 == 0
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(e, query_pred=pred, k=3).collect()}
+    recalls = []
+    for nprobe in (1, 4, 16):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivf_ann_topk(e, query_pred=pred, k=3,
+                                        nprobe=nprobe).collect()}
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
