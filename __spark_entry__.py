@@ -948,6 +948,36 @@ def q_temperature_mix(spark, sf):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+def q_corpus_card(spark, sf):
+    """One-row corpus 'data card': the summary a training-data release
+    publishes — doc/token volume, exact-dup rate, language entropy (bits)
+    and mean quality. Two aggregation passes (global + per-language
+    entropy), both map-side combined; decimal-cast mean so the fold order
+    can't move the hash."""
+    from b_pdf_parser_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf, "documents")
+    tot = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), " ")).cast("long")).alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.sum(quality_score(F.col("text")).cast("decimal(18,4)")).cast("double")
+         / F.count("*")).alias("mean_quality"),
+    )
+    p = F.col("n") / F.col("n_docs")
+    ent = (
+        d.groupBy("lang").agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("lang_entropy_bits"))
+    )
+    return tot.crossJoin(F.broadcast(ent)).select(
+        "n_docs", "n_tokens",
+        F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_rate"),
+        F.round("mean_quality", 4).alias("mean_quality"),
+        "lang_entropy_bits",
+    )
+
+
 def q_quality_cut(spark, sf):
     """Quantile-based quality filtering: per-language P25 cut over the
     composite quality score (an adaptive threshold — 'drop the worst
@@ -1705,6 +1735,7 @@ def extra_queries() -> dict[str, _T]:
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
         "quality_cut": q_quality_cut,
+        "corpus_card": q_corpus_card,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "first_purchase_after_signup": q_first_purchase_after_signup,
@@ -2071,6 +2102,28 @@ def _all_oracles() -> dict[str, str]:
                    round(1.0, 4) AS valid_rate,
                    CAST(SUM(n_txns) AS BIGINT) AS total_txns
             FROM docs GROUP BY kind, txn_strategy
+        """,
+        "corpus_card": f"""
+            WITH tot AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                           AS n_tokens,
+                       COUNT(DISTINCT md5(text)) AS n_unique,
+                       CAST(SUM(CAST({_QUALITY_EXPR.format(toks=_TOKS)}
+                                     AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                           AS mean_quality
+                FROM documents),
+            ent AS (
+                SELECT round(-SUM((n * 1.0 / t.n_docs)
+                                  * log2(n * 1.0 / t.n_docs)), 4)
+                           AS lang_entropy_bits
+                FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+                     tot t)
+            SELECT n_docs, n_tokens,
+                   round(1.0 - n_unique * 1.0 / n_docs, 4) AS dup_rate,
+                   round(mean_quality, 4) AS mean_quality,
+                   lang_entropy_bits
+            FROM tot, ent
         """,
         "quality_cut": f"""
             WITH q AS (
