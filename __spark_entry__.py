@@ -2076,7 +2076,8 @@ def _all_oracles() -> dict[str, str]:
                    'column' AS txn_strategy,
                    TRUE AS valid,
                    CASE WHEN i % 11 = 5 THEN 'failed' ELSE 'passed' END AS status,
-                   CAST(1 AS BIGINT) AS n_pages,
+                   CAST(CASE WHEN i % 13 = 7 THEN 2 ELSE 1 END AS BIGINT)
+                       AS n_pages,
                    CAST(1000000000000 + i * 7919 AS VARCHAR) AS account_no,
                    'IDR' AS valuta
             FROM (SELECT unnest(range(0, 160)) AS i)

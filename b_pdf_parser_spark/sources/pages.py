@@ -337,8 +337,18 @@ def formula_statement_pdf(i: int) -> bytes:
                     _FORMULA_IMG_FILTERS[(i // 7) % 4], seed=i)]
         if i % 7 == 5 else []
     )
+    lines = formula_statement_lines(i)
+    if i % 13 == 7:
+        # multi-page stratum: header + first two transactions on page 1,
+        # the rest (incl. the summary block) on page 2 — the cross-page
+        # concatenation, page-0-only metadata scan and full-text summary
+        # scan are all value-checked by the same oracles (n_pages formula:
+        # 2 for this stratum)
+        pages_lines = [lines[:22], lines[22:]]
+    else:
+        pages_lines = [lines]
     return pdf_from_lines(
-        [formula_statement_lines(i)],
+        pages_lines,
         xref_stream=i % 2 == 0,  # even i: xref stream + ObjStm packing
         td_ops=i % 3 == 0,
         type0=type0,
