@@ -380,16 +380,30 @@ def formula_statement_html(i: int) -> bytes:
     hdr = "".join(f"<p>{h}</p>\n" for h in header_ps)
     table_header = ["Tanggal Transaksi", "Uraian Transaksi", "Teller",
                     "Debet", "Kredit", "Saldo"]
-    rows_html = "".join(
-        "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>\n"
-        for r in [table_header] + [list(r) for r in rows]
-    )
+
+    def table_html(txn_rows) -> str:
+        body = "".join(
+            "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>\n"
+            for r in [table_header] + [list(r) for r in txn_rows]
+        )
+        return f"<table>\n{body}</table>"
+    if i % 13 == 7:
+        # paginated-statement stratum (the HTML twin of the PDF multi-page
+        # split): transactions spread over TWO tables, each repeating the
+        # header row — the table→transactions assembler must concatenate
+        # anchored rows across tables in document order; same values, so
+        # the same oracles hash-check it
+        half = len(rows) // 2
+        tables = (table_html(rows[:half]) + "\n<p>Halaman 2</p>\n"
+                  + table_html(rows[half:]))
+    else:
+        tables = table_html(rows)
     tail = "".join(f"<p>{t}</p>\n" for t in summary)
     html = (
         "<!DOCTYPE html><html><head><title>Account Statement</title>"
         "<style>td{padding:2px}</style></head><body>\n"
         f"<nav>{nav}</nav>\n"
-        f"<article>\n{hdr}<table>\n{rows_html}</table>\n{tail}</article>\n"
+        f"<article>\n{hdr}{tables}\n{tail}</article>\n"
         "<footer>Copyright 2026 Synth Bank <a href='/tos'>Terms</a></footer>\n"
         "</body></html>"
     )
