@@ -13,14 +13,22 @@ Spark shape (no per-row Python anywhere):
 
 * the two 32-bit hash halves come from ``F.md5`` JVM-side (whole-stage
   codegen) — Python only ever sees integer columns;
-* partial bitmaps build per PARTITION inside ``mapInPandas`` with numpy
-  ``bitwise_or.at`` (vectorized); the merge is a TWO-LEVEL tree reduce
-  (partials → ``merge_groups`` intermediate OR-groups → one final OR), so
-  no single task ever receives more than ``max(num_partitions /
-  merge_groups, merge_groups)`` blobs — at the advertised 10^9-URL sizing
-  (m≈10^10 bits, 1.2 GB blobs, ~10k input partitions) the fan-in per task
-  is ~128 GB → ~12 GB with the default 64 groups, and tunable below
-  executor memory by raising ``merge_groups``;
+* partials build per PARTITION inside ``mapInPandas`` and ship in the
+  SMALLER of two encodings: the set-bit POSITIONS (8·k bytes per key —
+  what a thin partition produces) or the dense bitmap (m/8 bytes — the
+  cap for fat partitions). At the advertised 10^9-URL sizing (m≈10^10
+  bits, 10^4 input partitions of 10^5 keys) the first merge level
+  therefore shuffles ~6 MB per partition (~60 GB total) instead of 10^4
+  dense 1.2 GB blobs (~12 TB);
+* the OR-reduce is an ADAPTIVE TREE: every merge task fans in at most
+  ``merge_groups`` partials (levels are added as ``ceil(log_fanin P)``
+  grows), and each task folds its group with an IN-PLACE ``bitwise_or``
+  accumulator. Peak memory per merge task is bounded by
+  ``(merge_groups + 1) · m/8`` bytes — the group's blobs (each ≤ m/8 by
+  the encoding rule, materialized by ``applyInPandas``) plus the
+  accumulator — e.g. ~11 GB at m=10^10 bits with ``merge_groups=8``,
+  ~81 GB with the default 64. Size ``merge_groups`` to the executor, not
+  to the partition count;
 * probing distributes the bitmap via ``SparkContext.broadcast`` (torrent
   fan-out, one copy per executor, no per-task closure shipping — task
   closures are capped by ``spark.rpc.message.maxSize``, broadcasts are
@@ -30,12 +38,15 @@ Spark shape (no per-row Python anywhere):
 Bit positions use the Kirsch–Mitzenmacher double-hashing construction
 ``pos_i = (h1 + i·h2) mod m`` (public result: two hashes simulate k with
 no FPR loss). Decisions are a pure function of (key, m, k): identical on
-1 or 1,000 executors and across retries.
+1 or 1,000 executors and across retries (bit-OR is associative,
+commutative and idempotent, so ANY grouping of partials — including a
+differently-bucketed retry — produces the same bitmap).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+import math
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -66,27 +77,87 @@ def _h2(key_col: str) -> F.Column:
     )
 
 
+def _fold_into(bitmap: np.ndarray, blob: bytes, dense: bool, m_bits: int) -> None:
+    """OR one partial (either encoding) into a dense accumulator, in place."""
+    if dense:
+        np.bitwise_or(bitmap, np.frombuffer(blob, dtype=np.uint8), out=bitmap)
+    else:
+        pos = np.frombuffer(blob, dtype=np.int64)
+        np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _merge_level_fn(n_bytes: int, m_bits: int, next_buckets: Optional[int]):
+    """applyInPandas body for one tree level.
+
+    ``next_buckets`` set → intermediate level: emit ``(g, blob, dense)``
+    where ``g = key % next_buckets`` (group keys at a level are dense
+    0..b-1 integers, so the NEXT level's fan-in is ceil(b/next_buckets)
+    by construction — deterministic, not a birthday-collision bound on
+    ``spark_partition_id``). ``None`` → final level: emit the dense
+    ``bloom``. Both fold in place (peak = group rows + ONE accumulator,
+    never a stacked copy), and keep the sparse encoding through
+    intermediate levels while it stays smaller than the dense bitmap.
+    """
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        all_sparse = not pdf["dense"].any()
+        if all_sparse and next_buckets is not None:
+            merged = np.unique(
+                np.concatenate(
+                    [np.frombuffer(b, dtype=np.int64) for b in pdf["blob"]]
+                )
+            )
+            if merged.nbytes < n_bytes:
+                return pd.DataFrame(
+                    {
+                        "g": [int(key[0]) % next_buckets],
+                        "blob": [merged.tobytes()],
+                        "dense": [False],
+                    }
+                )
+            # fall through: densify via the fold below
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        for blob, dense in zip(pdf["blob"], pdf["dense"]):
+            _fold_into(bitmap, blob, bool(dense), m_bits)
+        if next_buckets is None:
+            return pd.DataFrame({"bloom": [bitmap.tobytes()]})
+        return pd.DataFrame(
+            {
+                "g": [int(key[0]) % next_buckets],
+                "blob": [bitmap.tobytes()],
+                "dense": [True],
+            }
+        )
+
+    return merge
+
+
 def bloom_bitmap(
     df: DataFrame, key_col: str, m_bits: int, k: int, merge_groups: int = 64
 ) -> DataFrame:
     """Build the bitmap distributedly → a 1-row DataFrame (bloom BINARY).
 
-    Partials are per-partition (numpy bit-set over the partition's Arrow
-    batches), so the shuffles carry m/8-byte blobs — never row data — and
-    the OR-reduce is a two-level tree: partials bucket by
-    ``spark_partition_id() % merge_groups`` and OR within each bucket in
-    parallel, then the ≤ ``merge_groups`` group blobs OR into the final
-    bitmap. The per-task fan-in is bounded on BOTH levels, so the merge
-    survives the module's advertised 10^9-URL / 1.2 GB-bitmap sizing
-    instead of funnelling every partial through one task.
+    ``merge_groups`` is the MAXIMUM FAN-IN of any merge task: the OR-tree
+    adds levels (``ceil(log_merge_groups P)`` of them for P input
+    partitions) so no task ever receives more than ``merge_groups``
+    partial blobs, and each blob is at most m/8 bytes (thin partitions
+    ship set-bit positions instead — always the smaller encoding). Peak
+    memory per merge task is therefore ``(merge_groups + 1) · m/8``
+    bytes (the ``applyInPandas`` group plus one in-place accumulator);
+    pick it so that fits the executor — the tree gets deeper, not wider,
+    as partition counts grow.
     """
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
     n_bytes = m_bits // 8
+    fanin = max(int(merge_groups), 2)
     hashed = df.select(_h1(key_col).alias("h1"), _h2(key_col).alias("h2"))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        # sparse until the position list would outweigh the dense bitmap
+        chunks: List[np.ndarray] = []
+        total = 0
+        bitmap: Optional[np.ndarray] = None
         seen = False
         for b in batches:
             if not len(b):
@@ -94,29 +165,63 @@ def bloom_bitmap(
             seen = True
             h1 = b["h1"].to_numpy(np.int64)
             h2 = b["h2"].to_numpy(np.int64)
-            for i in range(k):
-                pos = (h1 + i * h2) % m_bits
+            pos = (h1[None, :] + np.arange(k)[:, None] * h2[None, :]).ravel() % m_bits
+            if bitmap is None:
+                chunks.append(pos)
+                total += pos.nbytes
+                if total >= n_bytes:  # fat partition: cap at the dense encoding
+                    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+                    for c in chunks:
+                        np.bitwise_or.at(bitmap, c >> 3, (1 << (c & 7)).astype(np.uint8))
+                    chunks = []
+            else:
                 np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-        if seen:
-            yield pd.DataFrame({"bloom": [bitmap.tobytes()]})
+        if not seen:
+            return
+        if bitmap is None:
+            merged = np.unique(np.concatenate(chunks))
+            if merged.nbytes < n_bytes:
+                yield pd.DataFrame({"blob": [merged.tobytes()], "dense": [False]})
+                return
+            bitmap = np.zeros(n_bytes, dtype=np.uint8)
+            np.bitwise_or.at(bitmap, merged >> 3, (1 << (merged & 7)).astype(np.uint8))
+        yield pd.DataFrame({"blob": [bitmap.tobytes()], "dense": [True]})
 
-    parts = hashed.mapInPandas(partials, schema="bloom binary")
+    parts = hashed.mapInPandas(partials, schema="blob binary, dense boolean")
 
-    def merge(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        stacked = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]])
-        return pd.DataFrame({"bloom": [np.bitwise_or.reduce(stacked, axis=0).tobytes()]})
+    # bucket-count chain: level j has b_j groups, b_{j+1} = ceil(b_j/fanin),
+    # so every task's fan-in is <= fanin at every level; at least one
+    # intermediate level always runs (the two-level minimum the plan tests
+    # pin), and more are added only when the partition count demands them
+    n = max(df.rdd.getNumPartitions(), 1)
+    bucket_counts: List[int] = []
+    while n > fanin:
+        n = math.ceil(n / fanin)
+        bucket_counts.append(n)
+    if not bucket_counts:
+        bucket_counts = [1]
 
-    grouped = (
-        parts.withColumn(
-            "g", F.pmod(F.spark_partition_id(), F.lit(merge_groups)).cast("int")
+    cur = parts.withColumn(
+        "g", F.pmod(F.spark_partition_id(), F.lit(bucket_counts[0])).cast("int")
+    )
+    for level, b in enumerate(bucket_counts):
+        nxt = bucket_counts[level + 1] if level + 1 < len(bucket_counts) else None
+        if nxt is not None:
+            cur = cur.groupBy("g").applyInPandas(
+                _merge_level_fn(n_bytes, m_bits, nxt),
+                schema="g int, blob binary, dense boolean",
+            )
+    # last two levels: merge the final bucketing (fan-in <= fanin by the
+    # chain construction), then OR the <= fanin surviving blobs (all keyed
+    # g=0 by the `% 1` of the previous level) into the dense bitmap
+    return (
+        cur.groupBy("g")
+        .applyInPandas(
+            _merge_level_fn(n_bytes, m_bits, 1),
+            schema="g int, blob binary, dense boolean",
         )
         .groupBy("g")
-        .applyInPandas(merge, schema="bloom binary")
-    )
-    return (
-        grouped.withColumn("g", F.lit(1))
-        .groupBy("g")
-        .applyInPandas(merge, schema="bloom binary")
+        .applyInPandas(_merge_level_fn(n_bytes, m_bits, None), schema="bloom binary")
     )
 
 
@@ -131,8 +236,13 @@ def bloom_bitmap_bytes(
 
 
 def probe_bloom(
-    df: DataFrame, key_col: str, bloom: bytes, m_bits: int, k: int
-) -> DataFrame:
+    df: DataFrame,
+    key_col: str,
+    bloom: bytes,
+    m_bits: int,
+    k: int,
+    return_handle: bool = False,
+):
     """Append ``maybe_seen`` (bloom membership) to ``df`` — map-only.
 
     ``maybe_seen = false`` is definitive (no false negatives); ``true``
@@ -143,6 +253,14 @@ def probe_bloom(
     torrent-distributed copy per executor, shared by all its tasks —
     rather than closure capture, which would ship the blob inside every
     serialized task and trip ``spark.rpc.message.maxSize`` at GB sizes.
+
+    ``return_handle=True`` returns ``(DataFrame, Broadcast)`` so the
+    caller can ``destroy()`` the broadcast deterministically once the
+    probe is materialized (:func:`probe_and_confirm` does). With the
+    default single return the broadcast is released by GC + the
+    ContextCleaner — fine for one-shot probes, but an ITERATIVE caller
+    at GB bitmap sizes should take the handle (or use
+    ``frontier_new_keys``/``probe_and_confirm``, which clean up).
     """
     if len(bloom) * 8 != m_bits:
         raise ValueError(f"bitmap is {len(bloom) * 8} bits, expected {m_bits}")
@@ -151,11 +269,6 @@ def probe_bloom(
         list(df.schema.fields) + [StructField("maybe_seen", BooleanType(), False)]
     )
     hashed = df.select("*", _h1(key_col).alias("_h1"), _h2(key_col).alias("_h2"))
-    # the handle is attached to the returned DataFrame (``_bloom_bc``) so a
-    # caller that materializes the probe can destroy() it deterministically
-    # instead of waiting on GC + ContextCleaner — at GB bitmap sizes an
-    # iterative caller leaks a blob per cycle otherwise (frontier_new_keys
-    # does exactly this cleanup)
     bc = df.sparkSession.sparkContext.broadcast(bloom)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,7 +285,8 @@ def probe_bloom(
             yield out
 
     out_df = hashed.mapInPandas(probe, schema=out_schema)
-    out_df._bloom_bc = bc  # cleanup handle for materializing callers
+    if return_handle:
+        return out_df, bc
     return out_df
 
 
@@ -188,9 +302,9 @@ def frontier_new_keys(
     new by construction (zero joins); only ``maybe_seen`` rows (true dups +
     the ~FPR sliver) pay the exact anti-join against the base. Result is
     IDENTICAL to the plain anti-join — the bloom changes the cost, not the
-    answer. ``merge_groups`` passes through to the bitmap tree merge —
-    raise it when ``num_partitions/merge_groups`` blobs of m/8 bytes exceed
-    executor memory.
+    answer. ``merge_groups`` passes through to the bitmap tree merge as
+    the per-task fan-in bound — lower it when ``(merge_groups+1) · m/8``
+    bytes exceeds executor memory.
 
     Lifecycle choices for the steady-state crawl loop this accelerates:
 
@@ -232,11 +346,12 @@ def probe_and_confirm(
     bitmap-cleared rows join-free and anti-join only the ``maybe_seen``
     sliver against ``history`` (``None`` → empty history, everything
     ``maybe_seen`` is a false positive by construction)."""
-    probed_raw = probe_bloom(
-        candidates.select(key_col).distinct(), key_col, bloom, m_bits, k
+    probed_raw, handle = probe_bloom(
+        candidates.select(key_col).distinct(), key_col, bloom, m_bits, k,
+        return_handle=True,
     )
     probed = probed_raw.localCheckpoint(eager=True)
-    probed_raw._bloom_bc.destroy()
+    handle.destroy()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = (

@@ -19,13 +19,17 @@ the history to a driver-held bloom bitmap that grows incrementally:
   in-memory bitmap so the NEXT batch sees them — no rebuild, no rescan;
 * **restart**: the driver bitmap is rebuilt from whatever the history
   directory durably holds. Because the confirm join reads the SAME
-  directory, bitmap and confirm can never disagree on membership — the
+  key set, bitmap and confirm can never disagree on membership — the
   no-false-negative invariant (and therefore exactness) survives crashes.
 
 Scale shape: per batch the work is one map-only probe over the batch +
-one anti-join of the ~FPR sliver against the history + one numpy OR of
-two m/8-byte blobs on the driver. The history table is scanned exactly
-once per process lifetime (startup), never per batch.
+one anti-join of the ~FPR sliver against the history key set + one numpy
+OR of two m/8-byte blobs on the driver. The history PARQUET is scanned
+exactly once per process lifetime: the startup read populates a
+``persist(MEMORY_AND_DISK)`` key cache (materialized by the bitmap
+build), and each batch's confirm join reads that cache plus the
+locally-checkpointed outputs of the epochs this process already
+committed — never the files again.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ import os
 from typing import Optional
 
 import numpy as np
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.bloom import bloom_bitmap_bytes, probe_and_confirm
@@ -77,10 +82,46 @@ class FrontierState:
         self.m_bits = m_bits
         self.k = k
         self.merge_groups = merge_groups
+        # epochs COMMITTED BY THIS PROCESS: epoch_id -> localCheckpointed
+        # key frame (the already-materialized output of process_batch) —
+        # the confirm join reads these instead of re-reading their files
+        self._committed: dict[int, DataFrame] = {}
+        self._startup_keys = self._read_history_once()
         self.bloom = self._build_from_history()
 
+    def _read_history_once(self) -> Optional[DataFrame]:
+        """The ONE parquet scan of the durable history this process ever
+        does: read the ``epoch=K`` partition tree (partition discovery
+        yields the ``epoch`` column the retry exclusion needs) and cache
+        the key set with ``persist(MEMORY_AND_DISK)``. The startup bitmap
+        build materializes the cache; every later confirm join reads
+        cached blocks, not files."""
+        from pyspark import StorageLevel
+
+        if not os.path.isdir(self.history_dir):
+            return None
+        has_epochs = any(
+            d.startswith("epoch=")
+            and os.path.isdir(os.path.join(self.history_dir, d))
+            for d in os.listdir(self.history_dir)
+        )
+        if not has_epochs:
+            return None
+        # NO exception swallowing: an unreadable epoch directory must fail
+        # the stream loudly — treating it as empty would rebuild an empty
+        # bitmap, skip the confirm join and re-emit every seen key as new
+        # (a silent, permanent exactness violation). The marker file is
+        # underscore-prefixed, so partition discovery ignores it.
+        return (
+            self.spark.read.parquet(self.history_dir)
+            .select(self.key_col, F.col("epoch").cast("long").alias("epoch"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
     def _history_df(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
-        """History = the union of all ``epoch=K`` subdirectories.
+        """History key set = the cached startup scan + the epochs this
+        process has committed since — no file re-reads (both sides are
+        persisted/checkpointed already).
 
         ``exclude_epoch`` matters for exactly-once: when foreachBatch
         re-delivers an epoch after a crash (write durable, stream commit
@@ -89,24 +130,23 @@ class FrontierState:
         an empty frame, and the idempotent overwrite would ERASE the
         epoch's keys from history. Excluding the epoch being processed
         makes the retry reproduce the original output byte-for-byte."""
-        if not os.path.isdir(self.history_dir):
+        parts = []
+        if self._startup_keys is not None:
+            s = self._startup_keys
+            if exclude_epoch is not None:
+                s = s.filter(F.col("epoch") != int(exclude_epoch))
+            parts.append(s.select(self.key_col))
+        parts.extend(
+            df.select(self.key_col)
+            for e, df in self._committed.items()
+            if e != exclude_epoch
+        )
+        if not parts:
             return None
-        paths = [
-            os.path.join(self.history_dir, d)
-            for d in sorted(os.listdir(self.history_dir))
-            if d.startswith("epoch=")
-            and d != f"epoch={exclude_epoch}"
-            and os.path.isdir(os.path.join(self.history_dir, d))
-        ]
-        if not paths:
-            return None
-        # NO exception swallowing: an unreadable epoch directory must fail
-        # the stream loudly — treating it as empty would rebuild an empty
-        # bitmap, skip the confirm join and re-emit every seen key as new
-        # (a silent, permanent exactness violation). Absent/empty history
-        # is already handled by the isdir/paths checks above; the explicit
-        # schema makes a files-less directory read as 0 rows, not an error.
-        return self.spark.read.schema(f"{self.key_col} string").parquet(*paths)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _build_from_history(self) -> bytes:
         h = self._history_df()
@@ -143,6 +183,11 @@ class FrontierState:
         new.write.mode("overwrite").parquet(
             os.path.join(self.history_dir, f"epoch={int(epoch_id)}")
         )
+        # the checkpointed frame IS this epoch's durable key set — keep it
+        # so later batches' confirm joins read it from block storage
+        # instead of re-scanning the files (a redelivery of the SAME epoch
+        # replaces the entry and is excluded by _history_df anyway)
+        self._committed[int(epoch_id)] = new
         self.absorb(new)
 
 

@@ -109,6 +109,28 @@ def test_tree_merge_matches_single_group_merge(spark):
     assert bytes(blobs[1]) == bytes(blobs[4]) == bytes(blobs[64])
 
 
+def test_deep_tree_bounds_fanin_and_matches(spark):
+    # when partitions >> merge_groups the tree must add LEVELS (not widen
+    # task fan-in): 16 partials at fan-in 2 need buckets 8 -> 4 -> 2, i.e.
+    # 4 FlatMapGroupsInPandas stages, and the result must stay
+    # byte-identical to the shallow default tree
+    base = _urls(spark, 0, 400, parts=16)
+    deep = bloom_bitmap(base, "url", M, K, merge_groups=2)
+    plan = deep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 4, plan
+    assert bytes(deep.collect()[0]["bloom"]) == bloom_bitmap_bytes(base, "url", M, K)
+
+
+def test_sparse_and_dense_partials_agree(spark):
+    # a single fat partition crosses the positions-outweigh-bitmap switch
+    # (500 keys * 7 probes * 8 bytes > 2 KB bitmap) and ships dense; the
+    # same keys over many thin partitions ship sparse — identical bitmap
+    m_small = 1 << 14  # 2 KB dense => fat partition goes dense
+    fat = bloom_bitmap_bytes(_urls(spark, 0, 500, parts=1), "url", m_small, K)
+    thin = bloom_bitmap_bytes(_urls(spark, 0, 500, parts=32), "url", m_small, K)
+    assert fat == thin
+
+
 def test_frontier_scans_base_once(spark):
     # the history side is persisted (lineage kept — fault-tolerant, unlike
     # a localCheckpoint) before the bitmap build, so the confirm anti-join

@@ -115,6 +115,34 @@ def test_frontier_stream_matches_batch_antijoin(spark, tmp_path):
     assert seen == set(all_urls)
 
 
+def test_frontier_history_scanned_once_per_lifetime(spark, tmp_path):
+    # the durable history parquet is read ONCE at startup into a persisted
+    # key cache; every later confirm join must read cached blocks (startup
+    # epochs) and locally-checkpointed frames (epochs this process
+    # committed) — never the files again
+    hist = str(tmp_path / "hist")
+    seed = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)
+    seed.process_batch(spark.createDataFrame([("a",), ("b",)], "url string"), 0)
+    seed.process_batch(spark.createDataFrame([("c",), ("d",)], "url string"), 1)
+
+    state = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)  # restart
+    state.process_batch(spark.createDataFrame([("d",), ("e",)], "url string"), 2)
+    plan = (
+        state._history_df(exclude_epoch=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # epoch 2, checkpointed in-process
+    # a FileScan may appear only as the CACHED relation's lineage (under
+    # InMemoryRelation) — never as an executed leaf of the join itself
+    assert "InMemoryRelation" in plan and plan.find("FileScan") > plan.find(
+        "InMemoryRelation"
+    ), plan
+    # and the retry exclusion still sees the right key set through the cache
+    urls = sorted(r.url for r in state._history_df(exclude_epoch=1).collect())
+    assert urls == ["a", "b", "d", "e"]
+
+
 def test_frontier_stream_rejects_foreign_checkpoint(spark, tmp_path):
     # epoch ids come from the stream checkpoint: pairing a history dir
     # with a DIFFERENT checkpoint restarts numbering at 0 and the
