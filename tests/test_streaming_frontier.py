@@ -139,8 +139,10 @@ def test_frontier_history_scanned_once_per_lifetime(spark, tmp_path):
         "InMemoryRelation"
     ), plan
     # and the retry exclusion still sees the right key set through the cache
+    # epoch0={a,b}, epoch1={c,d} (startup cache), epoch2={e} (in-process;
+    # d was already seen) — excluding epoch 1 drops c AND d
     urls = sorted(r.url for r in state._history_df(exclude_epoch=1).collect())
-    assert urls == ["a", "b", "d", "e"]
+    assert urls == ["a", "b", "e"]
 
 
 def test_frontier_stream_rejects_foreign_checkpoint(spark, tmp_path):
