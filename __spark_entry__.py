@@ -1162,6 +1162,50 @@ def q_frontier_new(spark, sf):
     return frontier_new_keys(base, cand, "url", m_bits=1 << 16, k=7)
 
 
+def q_frontier_stream_equiv(spark, sf):
+    """Batch-equivalence invariant of the STREAMING bloom frontier, held as
+    a parity oracle so it is re-proved on every oracle run, not by one
+    lifecycle test: five heavily-overlapping candidate epochs driven
+    through ``FrontierState.process_batch`` must leave a history that is
+    EXACTLY (key, first-epoch-it-appeared) — the union of per-epoch
+    outputs equals the batch anti-join with min-epoch attribution, which
+    the DuckDB oracle states directly. A re-emitted seen key, a dropped
+    new key, or an epoch misattribution all break the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from b_pdf_parser_spark.streaming.frontier_stream import FrontierState
+
+    epochs = spark.range(0, 5).select(F.col("id").alias("epoch"))
+    cand = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .filter(
+            ((F.col("doc_id") + F.col("epoch")) % 3 == 0)
+            | (F.col("doc_id") % (F.col("epoch") + 2) == 0)
+        )
+        .select(
+            "epoch",
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="frontier_equiv_")
+    hist = os.path.join(tmp, "hist")
+    try:
+        state = FrontierState(spark, hist, key_col="url", m_bits=1 << 17, k=7)
+        for e in range(5):
+            state.process_batch(cand.filter(F.col("epoch") == e).select("url"), e)
+        return (
+            spark.read.parquet(hist)
+            .select("url", F.col("epoch").cast("long").alias("first_epoch"))
+            .localCheckpoint(eager=True)  # materialize before the dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+1-555-[0-9]{3}-[0-9]{4}"
 _PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
@@ -1731,6 +1775,7 @@ def extra_queries() -> dict[str, _T]:
         # registered slots; these keep full DuckDB parity here
         "host_cap_sample": q_host_cap_sample,
         "token_shards": q_token_shards,
+        "frontier_stream_equiv": q_frontier_stream_equiv,
         "temperature_mix": q_temperature_mix,
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
@@ -2189,6 +2234,17 @@ def _all_oracles() -> dict[str, str]:
                 FROM (SELECT unnest(range(3000, 8000)) AS i))
             SELECT DISTINCT c.url AS url
             FROM cand c ANTI JOIN base b USING (url)
+        """,
+        "frontier_stream_equiv": """
+            WITH cand AS (
+                SELECT e.epoch, 'u' || CAST(d.doc_id AS VARCHAR) AS url
+                FROM documents d,
+                     (SELECT unnest(range(5)) AS epoch) e
+                WHERE (d.doc_id + e.epoch) % 3 = 0
+                   OR d.doc_id % (e.epoch + 2) = 0
+            )
+            SELECT url, CAST(MIN(epoch) AS BIGINT) AS first_epoch
+            FROM cand GROUP BY url
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
