@@ -39,6 +39,7 @@ __all__ = [
     "html_page",
     "html_statement_page",
     "make_page_row",
+    "page_kind_expected",
     "synth_pages_df",
 ]
 
@@ -508,6 +509,34 @@ def tag_soup_statement(s: str, rng: random.Random) -> str:
         if cut > 0:
             s = s[:cut]
     return s
+
+
+def page_kind_expected(i: int, seed: int = 42) -> Tuple[str, bool]:
+    """The extraction-level (kind, has_error) truth for corpus row ``i``,
+    WITHOUT generating the payload: it replays only the stratum draws of
+    :func:`make_page_row` (same RNG, same draw order), so computing it for
+    the full 100k bench corpus costs a fraction of a second. This is what
+    lets a corpus-SCALE invariant be a DuckDB oracle: per-kind doc counts
+    and error totals are pure functions of (n, seed) that the oracle can
+    state as literals, independently of the writer/parser under test.
+    ``tests/test_corpus_audit.py`` pins this replay against the real
+    generator + extractor, so the two can never drift silently.
+
+    Kind mapping mirrors ``operators/extract._extract_one``: corrupt
+    payloads that carry a ``%PDF-`` prefix (the mock and the truncation)
+    raise PdfError → kind 'error'; the random-64-byte corruption does NOT
+    look like a PDF, decodes as garbage text and lands kind 'html' with no
+    error; empty/null payloads are kind 'empty' with the sentinel error."""
+    rng = random.Random((seed << 32) ^ i)
+    roll = rng.random()
+    rng.choice(_LANGS)  # the lang draw precedes the branch in make_page_row
+    if roll < 0.48:  # report PDFs and statement PDFs alike
+        return "pdf", False
+    if roll < 0.94:
+        return "html", False
+    if roll < 0.97:
+        return ("error", True) if rng.random() < 0.7 else ("html", False)
+    return "empty", True
 
 
 _EPOCH = datetime(2024, 1, 1)
