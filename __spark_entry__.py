@@ -680,11 +680,13 @@ def _corpus_audit_oracle() -> str:
     )
 
 
-def _formula_pages(spark, n_pdf: int = 160, n_html: int = 0):
+def _formula_pages(spark, n_pdf: int = 160, n_html: int = 0, aes256: bool = False):
     """The formula corpus as a pages DataFrame: ``n_pdf`` PDF statements
     (hazard rotation per :func:`_formula_pdf_payload`) and ``n_html`` HTML
     statement twins — both value-oracle-able because every field is a pure
-    formula of the doc index."""
+    formula of the doc index. ``aes256`` upgrades 2 of the 160 PDFs to
+    V5/R6 (see ``formula_statement_pdf``) — only ``extract_formula`` asks
+    for it, since the R6 KDF costs ~2 s/doc across write+parse."""
     import b_pdf_parser_spark
     from b_pdf_parser_spark.sources.pages import PAGES_SCHEMA_DDL
 
@@ -709,7 +711,7 @@ def _formula_pages(spark, n_pdf: int = 160, n_html: int = 0):
             for i in b["id"]:
                 i = int(i)
                 if i < n_pdf:
-                    payload = formula_statement_pdf(i)
+                    payload = formula_statement_pdf(i, aes256=aes256)
                     url = f"https://formula.example/{i:06d}"
                 else:
                     j = i - n_pdf
@@ -769,10 +771,13 @@ def q_extract_formula(spark, sf):
     same formulas. Any drift in the writer, the object-model walk, the
     font decoders, the field layer or turnover verification breaks the
     value hash; the corpus-wide extraction queries stay rows-only because
-    their RNG truth is not SQL-expressible — this one is."""
+    their RNG truth is not SQL-expressible — this one is. Two docs carry
+    /AESV3 V5/R6 AES-256 (the i%80==3 stratum, one intersecting
+    /Differences), so the hardened-KDF walk is value-checked here, not
+    just golden-pinned."""
     from b_pdf_parser_spark.operators.extract import extract_pages
 
-    pages = _formula_pages(spark, n_pdf=160)
+    pages = _formula_pages(spark, n_pdf=160, aes256=True)
     return _formula_values(extract_pages(pages, num_partitions=8))
 
 

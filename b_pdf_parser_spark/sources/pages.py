@@ -314,7 +314,7 @@ _FORMULA_DIGIT_DIFFS = {
 _FORMULA_IMG_FILTERS = ["DCTDecode", "CCITTFaxDecode", "JPXDecode", "FlateDecode"]
 
 
-def formula_statement_pdf(i: int) -> bytes:
+def formula_statement_pdf(i: int, aes256: bool = False) -> bytes:
     """Serialize formula statement ``i`` with the hazard mix rotating by
     formula — every stratum rounds 1-3 added to the corpus: xref streams
     WITH ObjStm-packed dictionaries (``xref_stream=True`` packs the
@@ -326,7 +326,16 @@ def formula_statement_pdf(i: int) -> bytes:
     (2,3,5,7) make every pairwise feature intersection occur within 160
     docs — encrypted ObjStm, inline-image-under-RC4, images-under-AES,
     remapped digits beside Td ops — while every value stays a pure
-    formula of ``i``."""
+    formula of ``i``.
+
+    ``aes256=True`` additionally upgrades the ``i % 80 == 3`` docs (2 of
+    160, both in the otherwise-unencrypted ``i % 5 == 3`` stratum, one of
+    them intersecting the /Differences rotation) to /AESV3 V5/R6 AES-256.
+    Flag-gated because the Algorithm-2.B KDF is scalar-hash-bound:
+    re-measured 2026-08 with the numpy AES-CBC path at ~0.45 s/doc to
+    parse and ~1.7 s/doc to serialize (the writer runs the KDF four
+    times), so only ``extract_formula`` pays it — two docs keep the V5/R6
+    walk value-checked without quadrupling the other formula queries."""
     type0 = i % 5 == 0
     inline = (
         [(0, bytes((7 * k + 13 + i) % 251 for k in range(200))
@@ -348,14 +357,17 @@ def formula_statement_pdf(i: int) -> bytes:
         pages_lines = [lines[:22], lines[22:]]
     else:
         pages_lines = [lines]
+    encrypt = {1: "rc4-40", 2: True, 4: "aes-128"}.get(i % 5, False)
+    if aes256 and i % 80 == 3:
+        encrypt = "aes-256"
     return pdf_from_lines(
         pages_lines,
         xref_stream=i % 2 == 0,  # even i: xref stream + ObjStm packing
         td_ops=i % 3 == 0,
         type0=type0,
-        # all three encryption shapes rotate: legacy 40-bit V1/R2,
-        # RC4-128 V2/R3, and /AESV2 AES-128 V4/R4
-        encrypt={1: "rc4-40", 2: True, 4: "aes-128"}.get(i % 5, False),
+        # all four encryption shapes rotate: legacy 40-bit V1/R2,
+        # RC4-128 V2/R3, /AESV2 AES-128 V4/R4, and (flag-gated) V5/R6
+        encrypt=encrypt,
         inline_images=inline,
         # Differences applies to the simple (non-Type0) font only
         differences=_FORMULA_DIGIT_DIFFS if (i % 7 == 3 and not type0) else None,
@@ -614,10 +626,14 @@ def make_page_row(i: int, seed: int = 42) -> Dict[str, Any]:
                 encrypt = "aes-128"     # /AESV2 V4/R4 (modern restricted PDFs)
             else:
                 encrypt = True          # RC4-128 V2/R3
-            # AES-256/R6 is supported and golden-pinned (d14) but kept out
-            # of the synthetic corpus: its Algorithm-2.B KDF costs ~0.5 s
-            # per doc in pure Python (BENCH notes), which would swamp the
-            # throughput signal the bench exists to measure
+            # AES-256/R6 is supported, golden-pinned (d14) and value-checked
+            # in the formula corpus (extract_formula's aes256 stratum), but
+            # kept out of THIS 100k corpus: the Algorithm-2.B KDF is
+            # scalar-hash-bound (~0.45 s/doc parse, ~1.7 s/doc write even
+            # after the numpy AES-CBC vectorization — re-measured 2026-08;
+            # only the CBC body vectorized, the 64+ round SHA-2/AES feedback
+            # chain cannot), which would swamp the throughput signal the
+            # bench exists to measure
         # main-stream feature draws, in the exact order earlier corpus
         # versions evaluated them (the draws must stay on the MAIN rng so
         # every other doc remains byte-identical across corpus versions)

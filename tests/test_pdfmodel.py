@@ -371,6 +371,21 @@ def test_formula_hazard_splice_keeps_pdferror_contract(i, pos, junk):
         pass
 
 
+def test_formula_aes256_stratum_text_identical():
+    # the flag-gated V5/R6 upgrade (extract_formula's i%80==3 docs) must
+    # not change extracted text — encryption alters bytes on disk only —
+    # and must really produce an /AESV3 R6 dictionary
+    from b_pdf_parser_spark.sources.pages import formula_statement_pdf
+
+    for i in (3, 83):
+        clean = formula_statement_pdf(i, aes256=False)
+        enc = formula_statement_pdf(i, aes256=True)
+        assert b"/AESV3" in enc and b"/AESV3" not in clean
+        assert pm.extract_pdf_text(enc) == pm.extract_pdf_text(clean)
+    # non-stratum docs are byte-identical under the flag
+    assert formula_statement_pdf(4, aes256=True) == formula_statement_pdf(4)
+
+
 def test_aes_known_answer_vectors():
     # FIPS-197 Appendix C — validates the generated S-box, T-tables and key
     # schedule for all three key sizes
