@@ -579,6 +579,31 @@ def q_ivf_ann_topk(spark, sf):
     return ivf_ann_topk(e, query_pred=F.col("vec_id") % 100 == 0, k=3, n_iter=0)
 
 
+def q_semantic_dedup(spark, sf):
+    """The dedup family's third axis — SEMANTIC (SemDeDup, Abbas et al.
+    2023) beside exact (md5) and lexical (MinHash/SimHash): cluster under
+    the frozen seeded quantizer, drop any doc with a smaller-id
+    cluster-mate above cosine 0.999. Because the raw test embeddings are
+    near-orthogonal, the query plants a known dup stratum: every
+    ``vec_id % 7 == 0`` vector gets a clone at ``vec_id + 100000`` scaled
+    by 1.001 (cosine ≈ 1, cluster assignment unchanged in practice — and
+    the oracle recomputes assignment anyway, so even a boundary flip
+    cannot desynchronize the engines). Expected: every clone dropped with
+    ``dup_of`` = its original; everything else kept."""
+    from b_pdf_parser_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    clones = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    return semantic_dedup(e.unionByName(clones), threshold=0.999).select(
+        F.col("id").alias("vec_id"), "cid", "keep", "dup_of"
+    )
+
+
 def q_lsh_ann_topk(spark, sf):
     """Sign-bit LSH ANN. Oracle-checked: the hyperplanes are deterministic
     (md5-seeded), so the oracle embeds them as SQL literals and recomputes
@@ -1857,6 +1882,7 @@ def extra_queries() -> dict[str, _T]:
         # (round-5: restore RNG-corpus driver visibility) — parity kept here
         "url_audit": q_url_audit,
         "frontier_stream_equiv": q_frontier_stream_equiv,
+        "semantic_dedup": q_semantic_dedup,
         "temperature_mix": q_temperature_mix,
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
@@ -2122,6 +2148,58 @@ def _ivf_ann_oracle(
                                       ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM scored)
         SELECT query_id, rank, neighbor_id FROM topk WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle(
+    n_centroids: int = 16, dim: int = 64, seed: int = 7,
+    threshold: float = 0.999,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup over embeddings + the
+    planted clone stratum: same literal centroids, same sequential
+    float64 squared-L2 assignment with (d, cid) tie-break, same cosine
+    fold, same keep-lowest-id rule — bit-for-bit."""
+    from b_pdf_parser_spark.operators.similarity import _hyperplane
+
+    cent_rows = ",\n                ".join(
+        f"({c}, [{', '.join(repr(v) for v in _hyperplane(dim, c, seed))}])"
+        for c in range(n_centroids)
+    )
+    sq_l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), "
+        "(acc, v) -> acc + v)"
+    )
+    return f"""
+        WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+        all_e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(embedding,
+                                  x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL))
+            FROM embeddings WHERE vec_id % 7 = 0),
+        dists AS (
+            SELECT e.vec_id, c.cid,
+                   {sq_l2.format(a='e.embedding', b='c.cvec')} AS d
+            FROM all_e e CROSS JOIN cents c),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM dists) WHERE rn = 1),
+        edges AS (
+            SELECT bb.vec_id AS b_id, MIN(aa.vec_id) AS dup_of
+            FROM assigned aa
+            JOIN assigned bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+            JOIN all_e ea ON ea.vec_id = aa.vec_id
+            JOIN all_e eb ON eb.vec_id = bb.vec_id
+            WHERE {_cos('ea.embedding', 'eb.embedding')} > {threshold}
+            GROUP BY bb.vec_id)
+        SELECT a.vec_id AS vec_id, a.cid AS cid,
+               e.dup_of IS NULL AS keep, e.dup_of AS dup_of
+        FROM assigned a LEFT JOIN edges e ON e.b_id = a.vec_id
     """
 
 
@@ -3103,6 +3181,7 @@ def _all_oracles() -> dict[str, str]:
         """,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         # DuckDB's native ASOF JOIN is the ground truth for the union+window
         # implementation; orders are pre-collapsed per (custkey, orderdate)
         # the same way (MAX payload) so ties resolve identically

@@ -51,7 +51,13 @@ from ..htmlmodel import _decode_html_bytes, extract_html_blocks, extract_html_ta
 _TABLE_HINT_RE = _re.compile(r"<table", _re.I)
 from ..pdfmodel import PdfError, extract_pdf_pages_and_tables
 
-__all__ = ["EXTRACTED_SCHEMA", "extract_pages", "make_extract_batch", "DEFAULT_SKEW_THRESHOLD"]
+__all__ = [
+    "EXTRACTED_SCHEMA",
+    "extract_pages",
+    "extract_partition_walls",
+    "make_extract_batch",
+    "DEFAULT_SKEW_THRESHOLD",
+]
 
 DEFAULT_SKEW_THRESHOLD = 512 * 1024  # bytes; > p99 of the synthetic corpus
 
@@ -262,14 +268,27 @@ def extract_pages(
     toggles turnover verification (S11 parity: the reference resolves it
     from param-or-.env, tests/test_parsers.py:245-276 exercise both).
     """
+    return _shuffled(pages, num_partitions, checkpoint_partitions, skew_threshold).mapInPandas(
+        make_extract_batch(verify), schema=EXTRACTED_SCHEMA
+    )
+
+
+def _shuffled(
+    pages: DataFrame,
+    num_partitions: Optional[int],
+    checkpoint_partitions: int,
+    skew_threshold: int,
+) -> DataFrame:
+    """The shared pre-UDF plan: tag + single salted shuffle.
+
+    Salt-split of oversized payloads in a SINGLE scan + shuffle: rows above
+    the skew threshold are keyed by an independent salted hash, so multi-MB
+    documents decorrelate from the url-hash placement of small rows and
+    spread uniformly (the indivisible-row analog of key salting; a
+    two-branch filter+union would scan the 100 TB source twice).
+    """
     spark = pages.sparkSession
     p_phys = num_partitions or spark.sparkContext.defaultParallelism * 2
-
-    # salt-split of oversized payloads in a SINGLE scan + shuffle: rows above
-    # the skew threshold are keyed by an independent salted hash, so multi-MB
-    # documents decorrelate from the url-hash placement of small rows and
-    # spread uniformly (the indivisible-row analog of key salting; a
-    # two-branch filter+union would scan the 100 TB source twice)
     oversized = F.coalesce(F.length("html") > skew_threshold, F.lit(False))
     part_key = F.when(
         oversized, F.xxhash64("url", F.lit("skew-salt"))
@@ -283,8 +302,34 @@ def extract_pages(
         .alias("partition_id"),
         part_key.alias("_pkey"),
     )
-    return (
-        tagged.repartition(p_phys, F.col("_pkey"))
-        .drop("_pkey")
-        .mapInPandas(make_extract_batch(verify), schema=EXTRACTED_SCHEMA)
+    return tagged.repartition(p_phys, F.col("_pkey")).drop("_pkey")
+
+
+def extract_partition_walls(
+    pages: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    checkpoint_partitions: int = 64,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    verify: bool = True,
+) -> DataFrame:
+    """Straggler diagnostics: run the IDENTICAL extraction plan (same tag,
+    same salted shuffle, same batch body) but emit one row per physical
+    task — ``(wall_sec, n_docs)`` — instead of the documents. The
+    straggler ratio max/median over tasks that processed rows is the
+    measured effectiveness of the salt-split (a number, not a design
+    note): 1.0 = perfectly level waves, >>1 = one task pins the stage."""
+    import time
+
+    inner = make_extract_batch(verify)
+
+    def timed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.time()
+        n = 0
+        for out in inner(batches):
+            n += len(out)
+        yield pd.DataFrame({"wall_sec": [time.time() - t0], "n_docs": [n]})
+
+    return _shuffled(pages, num_partitions, checkpoint_partitions, skew_threshold).mapInPandas(
+        timed, schema="wall_sec double, n_docs long"
     )

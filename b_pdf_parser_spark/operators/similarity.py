@@ -24,7 +24,14 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["dot64", "cosine", "cosine_topk", "lsh_ann_topk", "ivf_ann_topk"]
+__all__ = [
+    "dot64",
+    "cosine",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "semantic_dedup",
+]
 
 
 def _as_double(c: Column) -> Column:
@@ -184,6 +191,65 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Semantic near-dup pruning, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540 — public): the dedup family's third axis beside exact
+    (hash) and lexical (MinHash/SimHash) — documents that SAY the same
+    thing in different words share an embedding neighborhood no shingle
+    can see.
+
+    Shape: embeddings cluster under the frozen seeded coarse quantizer
+    (the ``n_iter=0`` ivf trick that makes the operator oracle-able —
+    assignment is a pure function of (vec, seed)); then WITHIN each
+    cluster a doc is dropped iff a SMALLER-id cluster-mate sits above the
+    cosine ``threshold`` (the paper keeps one arbitrary member per
+    epsilon-ball; keep-lowest-id is the deterministic tie-break, and
+    ``dup_of`` records the smallest such mate). Returns
+    ``(id, cid, keep, dup_of)`` for every input row.
+
+    Scale shape: assignment is a broadcast nested-loop over the k-row
+    centroid table (map-side, no shuffle of the vectors beyond the
+    cluster-key join); the pairwise stage joins ON CID, so its cost is
+    the sum of SQUARED CLUSTER SIZES — the paper's point: epsilon-ball
+    search runs only inside clusters, never across the corpus. At 10^12
+    docs, cap cluster width by raising ``n_centroids`` (cost falls as
+    ~n²/k for balanced clusters).
+    """
+    spark = emb.sparkSession
+    centroids = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid INT, cvec ARRAY<DOUBLE>",
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # one assignment pass reused by both sides of the in-cluster join
+    assigned = _assign(vecs, cdf, 1).localCheckpoint(eager=False)
+    a = assigned.select(F.col("id").alias("a_id"), F.col("vec").alias("avec"), "cid")
+    b = assigned.select(F.col("id").alias("b_id"), F.col("vec").alias("bvec"), "cid")
+    edges = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("avec"), F.col("bvec")) > threshold)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .withColumnRenamed("b_id", "id")
+    )
+    return (
+        assigned.select("id", "cid")
+        .join(edges, "id", "left")
+        .select("id", "cid", F.col("dup_of").isNull().alias("keep"), "dup_of")
     )
 
 

@@ -57,7 +57,10 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_DOCS_SCALING", str(N_DOCS)))
 # ~0.85; the pre-declared fix is to keep sampling windows until one is
 # clean (env capacity ≥ 3.8) or the budget runs out, and report the
 # best-window median alongside the all-window median
-MAX_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_WINDOWS", "2"))
+MAX_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_WINDOWS", "3"))
+# round-4 shipped a single (clean) window; the verdict asked for >= 2
+# unconditionally so one outlier pair can never carry the headline alone
+MIN_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_WINDOWS", "2"))
 SEED = 42
 
 DETAIL_PATH = REPO / "BENCH" / "DETAIL.json"
@@ -223,12 +226,16 @@ def _scaling_probe() -> dict:
             "squeezed": bool(env_cap < 3.8),
         })
         all_pairs.extend(pairs)
-        # stop early only on a window that is BOTH unsqueezed and ≥ 0.8
-        # median: the capacity probe runs after the reps, so a load spell
-        # inside the rep phase can escape it (observed: 0.771 median in a
-        # window whose capacity read 3.86) — a clean-capacity sub-0.8
-        # window is still worth one more draw while budget remains
-        if not windows[-1]["squeezed"] and windows[-1]["median_ratio"] >= 3.2:
+        # stop early only after MIN_WINDOWS, and only on a window that is
+        # BOTH unsqueezed and ≥ 0.8 median: the capacity probe runs after
+        # the reps, so a load spell inside the rep phase can escape it
+        # (observed: 0.771 median in a window whose capacity read 3.86) —
+        # a clean-capacity sub-0.8 window is still worth one more draw
+        if (
+            len(windows) >= MIN_WINDOWS
+            and not windows[-1]["squeezed"]
+            and windows[-1]["median_ratio"] >= 3.2
+        ):
             break
 
     # report the best unsqueezed window's median (the engine's behavior
@@ -336,6 +343,27 @@ def main() -> None:
     if scaling_error:
         out["scaling_error"] = scaling_error
 
+    # order-of-magnitude evidence: tools/bench_scale.py measures the 1M-doc
+    # extraction wall + straggler ratio + the 5 slowest queries at 10x
+    # documents, once per round (too heavy for the driver's bench window);
+    # surface its summary here, stale-flagged if the corpus has moved on
+    scale_detail = None
+    scale_path = REPO / "BENCH" / "SCALE.json"
+    if scale_path.exists():
+        try:
+            from b_pdf_parser_spark.sources.pages import CORPUS_VERSION
+
+            scale_detail = json.loads(scale_path.read_text())
+            out["scale_1m"] = {
+                "docs": scale_detail["docs"],
+                "docs_per_sec": scale_detail["docs_per_sec"],
+                "straggler_ratio": scale_detail["straggler_ratio"],
+                "queries_x10_total_sec": scale_detail["queries_x10_total_sec"],
+                "stale": bool(scale_detail.get("corpus_version") != CORPUS_VERSION),
+            }
+        except Exception as e:  # a malformed file must not eat the bench
+            out["scale_1m_error"] = f"{type(e).__name__}: {e}"
+
     detail = {
         "queries_all": timings,
         "retimed_slowest": retimed,
@@ -353,16 +381,19 @@ def main() -> None:
         },
         "scaling": scaling,
         "scaling_error": scaling_error,
+        "scale_1m": scale_detail,
         "method": (
-            "Headline: best-of-2 extraction walls over the cached synthetic "
+            "Headline: best-of-3 extraction walls over the cached synthetic "
             "corpus at local[CPUS], 4 task-waves/core. Queries: one pass in "
             "registry order + a cache-cleared re-time of the 5 slowest "
             "(min taken) to strip neighbor-pressure artifacts. Scaling: "
             "windows of 3 order-alternated clean-process rep pairs at "
-            "local[N]/local[4N]; windows repeat (<=3) while raw-CPU "
-            "capacity in-window < 3.8x (co-tenant squeeze); efficiency = "
-            "best-window median paired ratio / 4; all-window median and "
-            "capacity-capped best pair reported alongside. Full rationale: "
+            "local[N]/local[4N], >= 2 windows always; windows repeat (<=3) "
+            "while raw-CPU capacity in-window < 3.8x (co-tenant squeeze); "
+            "efficiency = best-window median paired ratio / 4; all-window "
+            "median and capacity-capped best pair reported alongside. "
+            "scale_1m: tools/bench_scale.py (1M-doc wall, straggler ratio, "
+            "5 slowest at 10x docs), run once per round. Full rationale: "
             "BENCH/BASELINE.md"
         ),
     }

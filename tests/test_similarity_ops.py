@@ -61,3 +61,27 @@ def test_ivf_recall_monotone_in_nprobe(spark):
         recalls.append(len(exact & approx) / len(exact))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_semantic_dedup_drops_planted_clones(spark):
+    # plant clones (scaled by 1.001 → cosine ≈ 1, same direction) and
+    # assert the SemDeDup pass drops exactly them, attributing dup_of to
+    # the original; near-orthogonal originals must all be kept
+    from b_pdf_parser_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    clones = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(e.unionByName(clones), threshold=0.999).collect()
+    dropped = {r["id"]: r["dup_of"] for r in out if not r["keep"]}
+    n_clones = e.filter(F.col("vec_id") % 7 == 0).count()
+    assert len(dropped) == n_clones
+    assert all(cid == oid + 100000 for cid, oid in
+               ((k, v) for k, v in dropped.items())), dropped
+    # every kept row has no dup_of; every row accounted for
+    assert all(r["dup_of"] is None for r in out if r["keep"])
+    assert len(out) == e.count() + n_clones
