@@ -45,6 +45,10 @@ from ..operators.bloom import bloom_bitmap_bytes, probe_and_confirm
 
 __all__ = ["FrontierState", "frontier_stream"]
 
+# fold per-epoch key frames into one labeled checkpoint this often (keeps
+# the confirm-join plan a constant number of union legs on long streams)
+_COMPACT_EVERY = 16
+
 
 class FrontierState:
     """Driver-side frontier state: the incremental bitmap + history dir.
@@ -84,8 +88,14 @@ class FrontierState:
         self.merge_groups = merge_groups
         # epochs COMMITTED BY THIS PROCESS: epoch_id -> localCheckpointed
         # key frame (the already-materialized output of process_batch) —
-        # the confirm join reads these instead of re-reading their files
+        # the confirm join reads these instead of re-reading their files.
+        # Every _COMPACT_EVERY epochs the frames fold into ONE checkpointed
+        # (key, epoch) frame, so a long-running stream's confirm-join plan
+        # stays O(1) legs instead of growing one union leg per epoch; the
+        # epoch label survives compaction because the retry exclusion
+        # (_history_df) must be able to drop any single epoch's keys
         self._committed: dict[int, DataFrame] = {}
+        self._compacted: Optional[DataFrame] = None
         self._startup_keys = self._read_history_once()
         self.bloom = self._build_from_history()
 
@@ -131,8 +141,10 @@ class FrontierState:
         epoch's keys from history. Excluding the epoch being processed
         makes the retry reproduce the original output byte-for-byte."""
         parts = []
-        if self._startup_keys is not None:
-            s = self._startup_keys
+        for labeled in (self._startup_keys, self._compacted):
+            if labeled is None:
+                continue
+            s = labeled
             if exclude_epoch is not None:
                 s = s.filter(F.col("epoch") != int(exclude_epoch))
             parts.append(s.select(self.key_col))
@@ -188,6 +200,20 @@ class FrontierState:
         # instead of re-scanning the files (a redelivery of the SAME epoch
         # replaces the entry and is excluded by _history_df anyway)
         self._committed[int(epoch_id)] = new
+        if len(self._committed) >= _COMPACT_EVERY:
+            legs = [
+                df.select(
+                    self.key_col, F.lit(int(e)).cast("long").alias("epoch")
+                )
+                for e, df in self._committed.items()
+            ]
+            if self._compacted is not None:
+                legs.append(self._compacted)
+            folded = legs[0]
+            for leg in legs[1:]:
+                folded = folded.unionByName(leg)
+            self._compacted = folded.localCheckpoint(eager=True)
+            self._committed = {}
         self.absorb(new)
 
 

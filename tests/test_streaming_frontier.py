@@ -145,6 +145,37 @@ def test_frontier_history_scanned_once_per_lifetime(spark, tmp_path):
     assert urls == ["a", "b", "e"]
 
 
+def test_frontier_compaction_keeps_exactness(spark, tmp_path, monkeypatch):
+    # long streams fold per-epoch frames into one labeled checkpoint every
+    # _COMPACT_EVERY epochs (constant-size confirm plan); the fold must
+    # not change emitted keys, and the retry exclusion must still be able
+    # to drop an epoch that lives INSIDE the compacted blob
+    import b_pdf_parser_spark.streaming.frontier_stream as fs
+
+    monkeypatch.setattr(fs, "_COMPACT_EVERY", 3)
+    hist = str(tmp_path / "hist")
+    state = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)
+    seen = set()
+    for e in range(7):
+        urls = [f"u{(5 * e + j) % 17}" for j in range(6)]  # heavy overlap
+        state.process_batch(
+            spark.createDataFrame([(u,) for u in urls], "url string"), epoch_id=e
+        )
+        epoch_urls = {
+            r.url
+            for r in spark.read.parquet(os.path.join(hist, f"epoch={e}")).collect()
+        }
+        assert not (epoch_urls & seen), "re-emitted an already-seen key"
+        seen |= epoch_urls
+    assert state._compacted is not None and len(state._committed) < 3
+    # excluding an epoch inside the compacted blob really drops its keys
+    ep2 = {
+        r.url for r in spark.read.parquet(os.path.join(hist, "epoch=2")).collect()
+    }
+    visible = {r.url for r in state._history_df(exclude_epoch=2).collect()}
+    assert visible == seen - ep2
+
+
 def test_frontier_stream_rejects_foreign_checkpoint(spark, tmp_path):
     # epoch ids come from the stream checkpoint: pairing a history dir
     # with a DIFFERENT checkpoint restarts numbering at 0 and the
