@@ -684,9 +684,14 @@ def q_extract_corpus_audit(spark, sf):
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _corpus_audit_oracle() -> str:
-    """Literal truth for ``extract_corpus_audit``, recomputed from the
-    stratum-draw replay at oracle-construction time (~0.1 s per 100k)."""
+    """Literal truth for ``extract_corpus_audit``, computed once from the
+    stratum-draw replay (~0.1 s per 100k — cached because ``_all_oracles``
+    is rebuilt on every ``oracle_sql()``/extras access)."""
     from collections import Counter
 
     from b_pdf_parser_spark.sources.pages import page_kind_expected

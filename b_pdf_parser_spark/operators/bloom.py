@@ -27,8 +27,11 @@ Spark shape (no per-row Python anywhere):
   ``(merge_groups + 1) · m/8`` bytes — the group's blobs (each ≤ m/8 by
   the encoding rule, materialized by ``applyInPandas``) plus the
   accumulator — e.g. ~11 GB at m=10^10 bits with ``merge_groups=8``,
-  ~81 GB with the default 64. Size ``merge_groups`` to the executor, not
-  to the partition count;
+  ~81 GB with the default 64. (The sparse-output merge path allocates a
+  concat + sort copy, but it is gated on the group's TOTAL position
+  bytes staying under m/8, so its transient is ~3·m/8 — inside the same
+  bound.) Size ``merge_groups`` to the executor, not to the partition
+  count;
 * probing distributes the bitmap via ``SparkContext.broadcast`` (torrent
   fan-out, one copy per executor, no per-task closure shipping — task
   closures are capped by ``spark.rpc.message.maxSize``, broadcasts are
@@ -46,7 +49,7 @@ differently-bucketed retry — produces the same bitmap).
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -77,7 +80,7 @@ def _h2(key_col: str) -> F.Column:
     )
 
 
-def _fold_into(bitmap: np.ndarray, blob: bytes, dense: bool, m_bits: int) -> None:
+def _fold_into(bitmap: np.ndarray, blob: bytes, dense: bool) -> None:
     """OR one partial (either encoding) into a dense accumulator, in place."""
     if dense:
         np.bitwise_or(bitmap, np.frombuffer(blob, dtype=np.uint8), out=bitmap)
@@ -86,7 +89,7 @@ def _fold_into(bitmap: np.ndarray, blob: bytes, dense: bool, m_bits: int) -> Non
         np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
 
-def _merge_level_fn(n_bytes: int, m_bits: int, next_buckets: Optional[int]):
+def _merge_level_fn(n_bytes: int, next_buckets: Optional[int]):
     """applyInPandas body for one tree level.
 
     ``next_buckets`` set → intermediate level: emit ``(g, blob, dense)``
@@ -101,24 +104,27 @@ def _merge_level_fn(n_bytes: int, m_bits: int, next_buckets: Optional[int]):
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         all_sparse = not pdf["dense"].any()
-        if all_sparse and next_buckets is not None:
+        # stay sparse only when the group's TOTAL position bytes are below
+        # the dense size — gating BEFORE concatenating bounds the sparse
+        # path's transient (concat + unique's sort copy) to ~3 extra
+        # bitmap-equivalents instead of 3x the whole group's bytes
+        sparse_total = int(sum(len(b) for b in pdf["blob"])) if all_sparse else 0
+        if all_sparse and next_buckets is not None and sparse_total < n_bytes:
             merged = np.unique(
                 np.concatenate(
                     [np.frombuffer(b, dtype=np.int64) for b in pdf["blob"]]
                 )
             )
-            if merged.nbytes < n_bytes:
-                return pd.DataFrame(
-                    {
-                        "g": [int(key[0]) % next_buckets],
-                        "blob": [merged.tobytes()],
-                        "dense": [False],
-                    }
-                )
-            # fall through: densify via the fold below
+            return pd.DataFrame(
+                {
+                    "g": [int(key[0]) % next_buckets],
+                    "blob": [merged.tobytes()],
+                    "dense": [False],
+                }
+            )
         bitmap = np.zeros(n_bytes, dtype=np.uint8)
         for blob, dense in zip(pdf["blob"], pdf["dense"]):
-            _fold_into(bitmap, blob, bool(dense), m_bits)
+            _fold_into(bitmap, blob, bool(dense))
         if next_buckets is None:
             return pd.DataFrame({"bloom": [bitmap.tobytes()]})
         return pd.DataFrame(
@@ -208,7 +214,7 @@ def bloom_bitmap(
         nxt = bucket_counts[level + 1] if level + 1 < len(bucket_counts) else None
         if nxt is not None:
             cur = cur.groupBy("g").applyInPandas(
-                _merge_level_fn(n_bytes, m_bits, nxt),
+                _merge_level_fn(n_bytes, nxt),
                 schema="g int, blob binary, dense boolean",
             )
     # last two levels: merge the final bucketing (fan-in <= fanin by the
@@ -217,11 +223,11 @@ def bloom_bitmap(
     return (
         cur.groupBy("g")
         .applyInPandas(
-            _merge_level_fn(n_bytes, m_bits, 1),
+            _merge_level_fn(n_bytes, 1),
             schema="g int, blob binary, dense boolean",
         )
         .groupBy("g")
-        .applyInPandas(_merge_level_fn(n_bytes, m_bits, None), schema="bloom binary")
+        .applyInPandas(_merge_level_fn(n_bytes, None), schema="bloom binary")
     )
 
 

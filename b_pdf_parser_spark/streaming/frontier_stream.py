@@ -25,17 +25,18 @@ the history to a driver-held bloom bitmap that grows incrementally:
 Scale shape: per batch the work is one map-only probe over the batch +
 one anti-join of the ~FPR sliver against the history key set + one numpy
 OR of two m/8-byte blobs on the driver. The history PARQUET is scanned
-exactly once per process lifetime: the startup read populates a
-``persist(MEMORY_AND_DISK)`` key cache (materialized by the bitmap
-build), and each batch's confirm join reads that cache plus the
+exactly once per process lifetime: the startup read lands in an eager
+``localCheckpoint`` key cache (file lineage severed — the idempotent
+epoch overwrite may delete the very files a persisted frame would
+recompute from), and each batch's confirm join reads that cache plus the
 locally-checkpointed outputs of the epochs this process already
-committed — never the files again.
+committed (LSM-style binary-counter legs) — never the files again.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyspark.sql.functions as F
@@ -89,25 +90,34 @@ class FrontierState:
         # epochs COMMITTED BY THIS PROCESS: epoch_id -> localCheckpointed
         # key frame (the already-materialized output of process_batch) —
         # the confirm join reads these instead of re-reading their files.
-        # Every _COMPACT_EVERY epochs the frames fold into ONE checkpointed
-        # (key, epoch) frame, so a long-running stream's confirm-join plan
-        # stays O(1) legs instead of growing one union leg per epoch; the
+        # Every _COMPACT_EVERY epochs the frames fold into a checkpointed
+        # (key, epoch) LEG; legs merge binary-counter style (two legs of
+        # the same level fold into one of level+1), so the confirm-join
+        # plan carries O(log epochs) legs and total re-materialization
+        # over a stream's life is O(N log N) rows — a single rolling blob
+        # would re-copy the whole history every fold (quadratic). The
         # epoch label survives compaction because the retry exclusion
-        # (_history_df) must be able to drop any single epoch's keys
+        # (_history_df) must be able to drop any single epoch's keys.
         self._committed: dict[int, DataFrame] = {}
-        self._compacted: Optional[DataFrame] = None
+        self._legs: List[Tuple[int, DataFrame]] = []  # (level, frame)
         self._startup_keys = self._read_history_once()
         self.bloom = self._build_from_history()
 
     def _read_history_once(self) -> Optional[DataFrame]:
         """The ONE parquet scan of the durable history this process ever
         does: read the ``epoch=K`` partition tree (partition discovery
-        yields the ``epoch`` column the retry exclusion needs) and cache
-        the key set with ``persist(MEMORY_AND_DISK)``. The startup bitmap
-        build materializes the cache; every later confirm join reads
-        cached blocks, not files."""
-        from pyspark import StorageLevel
+        yields the ``epoch`` column the retry exclusion needs) and
+        ``localCheckpoint(eager=True)`` the key set.
 
+        Checkpoint, NOT ``persist``: a redelivered epoch's idempotent
+        overwrite DELETES the very part-files a persisted frame's lineage
+        would recompute from — a later cache-block loss would then throw
+        FileNotFoundException mid-stream (or, with
+        ``spark.sql.files.ignoreMissingFiles=true``, silently drop
+        history keys and re-emit seen URLs — a permanent exactness
+        violation). The checkpoint severs the file lineage entirely: a
+        lost block fails the query LOUDLY and a restart rebuilds from
+        the (still-durable) files — the correct failure mode."""
         if not os.path.isdir(self.history_dir):
             return None
         has_epochs = any(
@@ -125,7 +135,7 @@ class FrontierState:
         return (
             self.spark.read.parquet(self.history_dir)
             .select(self.key_col, F.col("epoch").cast("long").alias("epoch"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
 
     def _history_df(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
@@ -141,7 +151,8 @@ class FrontierState:
         epoch's keys from history. Excluding the epoch being processed
         makes the retry reproduce the original output byte-for-byte."""
         parts = []
-        for labeled in (self._startup_keys, self._compacted):
+        labeled_frames = [self._startup_keys] + [df for _, df in self._legs]
+        for labeled in labeled_frames:
             if labeled is None:
                 continue
             s = labeled
@@ -201,20 +212,34 @@ class FrontierState:
         # replaces the entry and is excluded by _history_df anyway)
         self._committed[int(epoch_id)] = new
         if len(self._committed) >= _COMPACT_EVERY:
-            legs = [
-                df.select(
-                    self.key_col, F.lit(int(e)).cast("long").alias("epoch")
-                )
+            self._fold_committed_into_leg()
+        self.absorb(new)
+
+    def _fold_committed_into_leg(self) -> None:
+        """Fold the per-epoch frames into a level-0 leg, then merge legs
+        binary-counter style (equal levels fold pairwise upward) — the
+        LSM-tree shape: O(log N) legs live, O(N log N) total copy work."""
+
+        def _ckpt_union(frames: List[DataFrame]) -> DataFrame:
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out.localCheckpoint(eager=True)
+
+        leg = _ckpt_union(
+            [
+                df.select(self.key_col, F.lit(int(e)).cast("long").alias("epoch"))
                 for e, df in self._committed.items()
             ]
-            if self._compacted is not None:
-                legs.append(self._compacted)
-            folded = legs[0]
-            for leg in legs[1:]:
-                folded = folded.unionByName(leg)
-            self._compacted = folded.localCheckpoint(eager=True)
-            self._committed = {}
-        self.absorb(new)
+        )
+        self._committed = {}
+        level = 0
+        while any(lv == level for lv, _ in self._legs):
+            mate = next(df for lv, df in self._legs if lv == level)
+            self._legs = [(lv, df) for lv, df in self._legs if lv != level]
+            leg = _ckpt_union([mate, leg])
+            level += 1
+        self._legs.append((level, leg))
 
 
 def frontier_stream(

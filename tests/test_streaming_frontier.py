@@ -131,13 +131,11 @@ def test_frontier_history_scanned_once_per_lifetime(spark, tmp_path):
         state._history_df(exclude_epoch=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
-    assert "Scan ExistingRDD" in plan, plan  # epoch 2, checkpointed in-process
-    # a FileScan may appear only as the CACHED relation's lineage (under
-    # InMemoryRelation) — never as an executed leaf of the join itself
-    assert "InMemoryRelation" in plan and plan.find("FileScan") > plan.find(
-        "InMemoryRelation"
-    ), plan
+    # BOTH legs are checkpointed RDD scans: the startup key set (file
+    # lineage severed — the epoch-overwrite path may delete those files)
+    # and the in-process epoch-2 output; no file scan anywhere
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
     # and the retry exclusion still sees the right key set through the cache
     # epoch0={a,b}, epoch1={c,d} (startup cache), epoch2={e} (in-process;
     # d was already seen) — excluding epoch 1 drops c AND d
@@ -167,7 +165,10 @@ def test_frontier_compaction_keeps_exactness(spark, tmp_path, monkeypatch):
         }
         assert not (epoch_urls & seen), "re-emitted an already-seen key"
         seen |= epoch_urls
-    assert state._compacted is not None and len(state._committed) < 3
+    # 7 epochs at interval 3 → two level-0 folds merged binary-counter
+    # style into one level-1 leg; 1 epoch frame still pending
+    assert state._legs and len(state._committed) < 3
+    assert [lv for lv, _ in state._legs] == [1], state._legs
     # excluding an epoch inside the compacted blob really drops its keys
     ep2 = {
         r.url for r in spark.read.parquet(os.path.join(hist, "epoch=2")).collect()

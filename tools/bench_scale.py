@@ -17,9 +17,11 @@ thin evidence for a 100 TB design claim. This tool measures, at 10× that:
   same skew profile, not an artificial dup explosion.
 
 Results land in ``BENCH/SCALE.json``; ``bench.py`` embeds a compact
-summary into its stdout line (flagged stale if the corpus version or doc
-count no longer matches), so the driver-recorded BENCH_r{N} carries the
-scale numbers without paying the 1M-doc wall inside the driver's window.
+summary into its stdout line — flagged stale when the corpus version no
+longer matches (the embed also carries ``docs``, so the scale the numbers
+were measured at is always self-describing) — so the driver-recorded
+BENCH_r{N} carries the scale numbers without paying the 1M-doc wall
+inside the driver's window.
 """
 
 from __future__ import annotations
