@@ -310,6 +310,23 @@ def main() -> None:
     # effect from co-tenant load ramps) — two reps can both land in one
     # load spell, a third materially improves the odds one is clean
     big = _time_extraction(spark, corpus, CPUS, reps=3)
+    # straggler ratio (max/median task wall) of the extraction stage —
+    # one extra untimed pass over the IDENTICAL plan emitting per-task
+    # walls; the salt-split's effectiveness as a per-round number
+    straggler = None
+    try:
+        import statistics as _stats
+
+        from b_pdf_parser_spark.operators.extract import extract_partition_walls
+
+        rows = extract_partition_walls(
+            spark.read.parquet(corpus), num_partitions=CPUS * 4
+        ).collect()
+        worked = sorted(r["wall_sec"] for r in rows if r["n_docs"] > 0)
+        if worked:
+            straggler = round(worked[-1] / _stats.median(worked), 3)
+    except Exception:
+        pass  # diagnostics must never eat the bench
     if SCALING:
         # pre-generate the (smaller) scaling corpus with the full-width
         # session so the clean-process measurements below only measure
@@ -334,6 +351,7 @@ def main() -> None:
         "extract_docs": big["docs"],
         "extract_wall_sec": big["wall_sec"],
         "extract_bytes_per_sec": big["bytes_per_sec"],
+        "straggler_ratio": straggler,
         "queries_timed": len(timings),
         "queries_total_sec": round(sum(timings.values()), 2),
         "queries": slowest,  # 10 slowest only — full map in BENCH/DETAIL.json
