@@ -26,6 +26,7 @@ from __future__ import annotations
 import random
 import zlib
 from datetime import datetime, timedelta
+from functools import lru_cache
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 from ..pdfwriter import build_pdf, make_image, pdf_from_lines
@@ -314,6 +315,7 @@ _FORMULA_DIGIT_DIFFS = {
 _FORMULA_IMG_FILTERS = ["DCTDecode", "CCITTFaxDecode", "JPXDecode", "FlateDecode"]
 
 
+@lru_cache(maxsize=1024)
 def formula_statement_pdf(i: int, aes256: bool = False) -> bytes:
     """Serialize formula statement ``i`` with the hazard mix rotating by
     formula — every stratum rounds 1-3 added to the corpus: xref streams
@@ -375,6 +377,7 @@ def formula_statement_pdf(i: int, aes256: bool = False) -> bytes:
     )
 
 
+@lru_cache(maxsize=1024)
 def formula_statement_html(i: int) -> bytes:
     """The HTML face of the formula corpus: the SAME formula statement as
     :func:`formula_statement_lines`, rendered the way the web carries it —
