@@ -85,3 +85,14 @@ def test_semantic_dedup_drops_planted_clones(spark):
     # every kept row has no dup_of; every row accounted for
     assert all(r["dup_of"] is None for r in out if r["keep"])
     assert len(out) == e.count() + n_clones
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    # decisions are pure functions of (vec, seed, threshold): repartitioning
+    # the input must not change a single keep/dup_of verdict
+    from b_pdf_parser_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    a = sorted(map(tuple, semantic_dedup(e.coalesce(1)).collect()))
+    b = sorted(map(tuple, semantic_dedup(e.repartition(16)).collect()))
+    assert a == b
