@@ -1,20 +1,30 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Image/audio/video libraries are not available in this runtime, so the
-*decode* step is stubbed (clearly marked), but everything Spark-side is real
-and tested: schema, Arrow batch shape, partitioning, the ``mapInPandas``
-feature-extraction signature, and a deterministic fake codec so pipelines
-exercise end-to-end.
+Decode status, honestly labeled per format:
 
-Fake container format (deterministic, self-describing):
-``b"FAKE" + kind(3s) + width(u16be) + height(u16be) + channels(u8) + pixels``
-— enough structure to make header parse, validation, resize bookkeeping and
-frame sampling meaningful without a real codec.
+* **REAL, from scratch (round 5)**: PNG, BMP and WAV decode via
+  ``b_pdf_parser_spark.mediacodec`` — stdlib-only (zlib/struct), full
+  chunk walks with CRC/padding/filter handling, value-oracled through the
+  real-roundtrip-vs-formula pattern (``synth_real_media_df`` →
+  ``real_media_features`` → DuckDB recomputes exact integer pixel/sample
+  sums from the generating formulas).
+* **STUBBED**: JPEG/DCT, JPEG2000, CCITT and compressed audio/video need
+  entropy-coded bitstream decoders or the absent native libs (PIL/ffmpeg/
+  opencv are not in this runtime) — those payloads land in the ``error``
+  column, never crash the batch.
+
+Everything Spark-side is real and tested for both classes: schema, Arrow
+batch shape, partitioning, the ``mapInPandas`` feature-extraction
+signature. The deterministic FAKE container
+(``b"FAKE" + kind(3s) + width(u16be) + height(u16be) + channels(u8) +
+pixels``) remains for pipeline plumbing tests where the codec itself is
+not the subject.
 """
 
 from __future__ import annotations
 
 import math
+import struct
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -24,10 +34,13 @@ from pyspark.sql import DataFrame
 __all__ = [
     "MEDIA_SCHEMA_DDL",
     "FEATURES_SCHEMA_DDL",
+    "REAL_FEATURES_SCHEMA_DDL",
     "encode_fake_media",
     "synth_media_df",
     "decode_features",
     "frame_sample",
+    "synth_real_media_df",
+    "real_media_features",
     "synth_imagedoc_df",
     "pdf_image_features",
 ]
@@ -86,10 +99,35 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
         row["error"] = "empty payload"
         return row
     if payload[:4] != _MAGIC:
-        # REAL-FORMAT DECODE IS STUBBED: no image/audio libs in this runtime.
-        # In production this branch dispatches to PIL/ffmpeg inside the same
-        # Arrow batch; the Spark plumbing around it is identical.
-        row["error"] = "NotImplementedError: real codec decode is stubbed"
+        # REAL-format dispatch: PNG/BMP/WAV decode from scratch (stdlib
+        # only — b_pdf_parser_spark.mediacodec); everything else (JPEG/DCT,
+        # compressed A/V) needs entropy-coded bitstream decoders or the
+        # absent native libs and stays honestly stubbed in the error column.
+        try:
+            from ..mediacodec import decode_bmp, decode_png, decode_wav
+
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h, ch, px = decode_png(bytes(payload))
+            elif payload[:2] == b"BM":
+                w, h, ch, px = decode_bmp(bytes(payload))
+            elif payload[:4] == b"RIFF":
+                rate, ch, samples = decode_wav(bytes(payload))
+                w, h = len(samples) // max(ch, 1), None
+                px = struct.pack(f"<{len(samples)}h", *samples)
+            else:
+                raise NotImplementedError(
+                    "real codec decode is stubbed for this container"
+                )
+            row.update(width=w, height=h, channels=ch)
+            counts: dict = {}
+            for byte in px:
+                counts[byte] = counts.get(byte, 0) + 1
+            n = len(px)
+            row["byte_entropy"] = round(
+                -sum((c / n) * math.log2(c / n) for c in counts.values()), 6
+            ) if n else 0.0
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {e}"
         return row
     try:
         w = int.from_bytes(payload[7:9], "big")
@@ -148,6 +186,141 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame", "offset", "length"])
 
     return media.mapInPandas(run, schema="media_id BIGINT, frame INT, offset BIGINT, length INT")
+
+
+# ---------------------------------------------------------------------------
+# REAL container formats (PNG / BMP / WAV) — from-scratch decode, oracle-able
+# ---------------------------------------------------------------------------
+
+REAL_FEATURES_SCHEMA_DDL = (
+    "media_id BIGINT, fmt STRING, width INT, height INT, channels INT, "
+    "sample_rate INT, n_values BIGINT, value_sum BIGINT, weighted_sum BIGINT, "
+    "error STRING"
+)
+
+
+def real_media_dims(i: int) -> dict:
+    """The generating formulas for real-media doc ``i`` — shared by the
+    corpus builder, the feature expectations and the DuckDB oracle, so the
+    SQL can restate them as closed forms. Pixels:
+    ``p[k] = (i*31 + k*7) % 251``; WAV samples:
+    ``s[k] = ((i*13 + k*7) % 2003) - 1001``."""
+    fmt = ("png", "bmp", "wav")[i % 3]
+    if fmt == "png":
+        return {
+            "fmt": fmt,
+            "w": 9 + i % 8,
+            "h": 7 + i % 6,
+            "ch": (1, 3, 4)[(i // 3) % 3],
+        }
+    if fmt == "bmp":
+        return {"fmt": fmt, "w": 9 + i % 8, "h": 7 + i % 6, "ch": 3}
+    return {
+        "fmt": fmt,
+        # (i//3) % 3, not i % 3 — wav docs all have i ≡ 2 (mod 3), so the
+        # latter would freeze every sample rate at one value
+        "rate": 8000 + ((i // 3) % 3) * 4000,
+        "ch": 1 + i % 2,
+        "n": (200 + i % 77) * (1 + i % 2),
+    }
+
+
+def encode_real_media(i: int) -> bytes:
+    """Real PNG/BMP/WAV payload for doc ``i`` (pure function, no RNG)."""
+    from ..mediacodec import encode_bmp, encode_png, encode_wav
+
+    d = real_media_dims(i)
+    if d["fmt"] == "wav":
+        samples = [((i * 13 + k * 7) % 2003) - 1001 for k in range(d["n"])]
+        return encode_wav(d["rate"], d["ch"], samples)
+    pixels = bytes(
+        (i * 31 + k * 7) % 251 for k in range(d["w"] * d["h"] * d["ch"])
+    )
+    if d["fmt"] == "png":
+        # filter_seed=i rotates the row filter start → all 5 PNG filter
+        # types occur across the corpus and within taller images
+        return encode_png(d["w"], d["h"], d["ch"], pixels, filter_seed=i)
+    return encode_bmp(d["w"], d["h"], pixels)
+
+
+def synth_real_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                {
+                    "media_id": int(i),
+                    "kind": real_media_dims(int(i))["fmt"],
+                    "payload": encode_real_media(int(i)),
+                }
+                for i in b["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
+
+
+def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
+    from ..mediacodec import decode_bmp, decode_png, decode_wav
+
+    row = {
+        "media_id": media_id, "fmt": None, "width": None, "height": None,
+        "channels": None, "sample_rate": None, "n_values": None,
+        "value_sum": None, "weighted_sum": None, "error": None,
+    }
+    try:
+        if not payload:
+            raise ValueError("empty payload")
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, ch, px = decode_png(bytes(payload))
+            row.update(fmt="png", width=w, height=h, channels=ch)
+            vals = list(px)
+        elif payload[:2] == b"BM":
+            w, h, ch, px = decode_bmp(bytes(payload))
+            row.update(fmt="bmp", width=w, height=h, channels=ch)
+            vals = list(px)
+        elif payload[:4] == b"RIFF":
+            rate, ch, samples = decode_wav(bytes(payload))
+            row.update(fmt="wav", sample_rate=rate, channels=ch)
+            vals = samples
+        else:
+            raise NotImplementedError(
+                "no from-scratch decoder for this container (JPEG/DCT and "
+                "compressed A/V need entropy-coded bitstream decode or the "
+                "absent native libs)"
+            )
+        row.update(
+            n_values=len(vals),
+            value_sum=int(sum(vals)),
+            # (k+1)-weighted: position-sensitive, so a row-order, channel
+            # -order or padding bug changes the value even when the plain
+            # sum survives it
+            weighted_sum=int(sum((k + 1) * v for k, v in enumerate(vals))),
+        )
+    except Exception as e:  # malformed/unsupported → error row, batch survives
+        row["error"] = f"{type(e).__name__}: {e}"
+    return row
+
+
+def real_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode (PNG/BMP/WAV) → exact integer features per payload.
+
+    One Arrow-batch Python dispatch per payload; the decoded canonical
+    values (top-down RGB pixels / int16 samples) reduce to order-sensitive
+    integer sums a SQL oracle can recompute from the generating formulas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "fmt", "width", "height", "channels",
+                "sample_rate", "n_values", "value_sum", "weighted_sum", "error"]
+        for b in batches:
+            rows = [
+                _real_decode_one(int(i), p)
+                for i, p in zip(b["media_id"], b["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, schema=REAL_FEATURES_SCHEMA_DDL)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,118 @@
+"""From-scratch PNG/BMP/WAV codecs: round-trips over every PNG filter
+type and channel count, BMP padding/orientation, WAV chunk-walk, and
+loud failure on corruption — the decode third of the multimodal axis
+that needs no native libs (see b_pdf_parser_spark/mediacodec.py)."""
+
+import struct
+import zlib
+
+import pytest
+
+from b_pdf_parser_spark.mediacodec import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+)
+
+
+def _pixels(i, n):
+    return bytes((i * 31 + k * 7) % 251 for k in range(n))
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_channels(ch, seed):
+    # filter_seed + height >= 5 guarantees every filter type 0..4 occurs
+    w, h = 11, 9
+    px = _pixels(seed * 7 + ch, w * h * ch)
+    got = decode_png(encode_png(w, h, ch, px, filter_seed=seed))
+    assert got == (w, h, ch, px)
+
+
+def test_png_multi_idat_and_crc():
+    w, h = 40, 30  # big enough that the encoder splits IDAT
+    px = _pixels(5, w * h * 3)
+    data = encode_png(w, h, 3, px, filter_seed=2)
+    assert data.count(b"IDAT") == 2
+    assert decode_png(data)[3] == px
+    # flip one byte inside a chunk body -> CRC must catch it loudly
+    bad = bytearray(data)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_rejects_unsupported_shapes():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all----")
+    # 16-bit depth IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+        + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+@pytest.mark.parametrize("w", [9, 10, 11, 12])  # all paddings 0..3 bytes
+def test_bmp_roundtrip_every_padding(w):
+    h = 5
+    px = _pixels(w, w * h * 3)
+    assert decode_bmp(encode_bmp(w, h, px)) == (w, h, 3, px)
+
+
+def test_bmp_order_sensitivity():
+    # the decoder must undo bottom-up + BGR: a naive byte copy of the body
+    # would keep the sum but break the position-weighted sum
+    w, h = 4, 3
+    px = _pixels(9, w * h * 3)
+    data = encode_bmp(w, h, px)
+    body = data[54:]
+    assert body != px  # really stored transformed (BGR, bottom-up, padded)
+    _, _, _, decoded = decode_bmp(data)
+    assert decoded == px
+
+
+def test_wav_roundtrip_chunk_walk_and_stereo():
+    samples = [((11 * k) % 2003) - 1001 for k in range(501)]  # odd count
+    data = encode_wav(16000, 1, samples)
+    assert b"LIST" in data  # junk chunk the walk must skip
+    assert decode_wav(data) == (16000, 1, samples)
+    stereo = [((7 * k) % 1999) - 999 for k in range(400)]
+    assert decode_wav(encode_wav(44100, 2, stereo)) == (44100, 2, stereo)
+
+
+def test_wav_rejects_non_pcm():
+    data = bytearray(encode_wav(8000, 1, [0, 1, 2, 3]))
+    fmt_at = data.find(b"fmt ") + 8
+    data[fmt_at] = 3  # IEEE float format code
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(data))
+
+
+def test_decode_features_real_formats_through_spark(spark):
+    # the generic decode_features path must REALLY decode PNG/BMP/WAV
+    # payloads inside mapInPandas (dims filled, no error), and keep the
+    # honest stub error for entropy-coded containers
+    import pyspark.sql.functions as F
+
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        decode_features,
+        synth_real_media_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    out = decode_features(synth_real_media_df(spark, 24)).collect()
+    assert len(out) == 24 and all(r["error"] is None for r in out)
+    assert all(r["channels"] is not None and r["byte_entropy"] > 0 for r in out)
+    jpeg = spark.createDataFrame(
+        [(0, "img", bytearray(b"\xff\xd8\xff\xe0" + bytes(32)))],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    err = decode_features(jpeg).collect()[0]["error"]
+    assert err and "NotImplementedError" in err
