@@ -116,3 +116,18 @@ def test_decode_features_real_formats_through_spark(spark):
     )
     err = decode_features(jpeg).collect()[0]["error"]
     assert err and "NotImplementedError" in err
+
+
+def test_bmp_top_down_negative_height():
+    # the spec's other orientation: h < 0 stores rows top-down; build one
+    # by rewriting an encoded BMP's height field and reordering its rows
+    import struct as _s
+
+    w, h = 5, 4
+    px = _pixels(3, w * h * 3)
+    data = bytearray(encode_bmp(w, h, px))
+    stride = w * 3 + ((-(w * 3)) % 4)
+    rows = [bytes(data[54 + r * stride : 54 + (r + 1) * stride]) for r in range(h)]
+    data[14:34] = _s.pack("<IiiHHI", 40, w, -h, 1, 24, 0)
+    data[54:] = b"".join(reversed(rows))  # bottom-up -> top-down storage
+    assert decode_bmp(bytes(data)) == (w, h, 3, px)
