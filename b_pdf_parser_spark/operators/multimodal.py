@@ -54,6 +54,18 @@ FEATURES_SCHEMA_DDL = (
 _MAGIC = b"FAKE"
 
 
+def _byte_entropy(buf: bytes) -> float:
+    """Shannon entropy (bits/byte) over a byte buffer — shared by the
+    fake-container and real-decode feature branches."""
+    if not buf:
+        return 0.0
+    counts: dict = {}
+    for byte in buf:
+        counts[byte] = counts.get(byte, 0) + 1
+    n = len(buf)
+    return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+
+
 def encode_fake_media(media_id: int, kind: str = "img") -> bytes:
     """Deterministic fake payload for ``media_id`` (no RNG, pure function)."""
     w = 4 + (media_id % 13)
@@ -119,13 +131,7 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
                     "real codec decode is stubbed for this container"
                 )
             row.update(width=w, height=h, channels=ch)
-            counts: dict = {}
-            for byte in px:
-                counts[byte] = counts.get(byte, 0) + 1
-            n = len(px)
-            row["byte_entropy"] = round(
-                -sum((c / n) * math.log2(c / n) for c in counts.values()), 6
-            ) if n else 0.0
+            row["byte_entropy"] = _byte_entropy(px)
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {e}"
         return row
@@ -133,13 +139,8 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
         w = int.from_bytes(payload[7:9], "big")
         h = int.from_bytes(payload[9:11], "big")
         ch = payload[11]
-        pixels = payload[12:]
-        counts: dict = {}
-        for byte in pixels:
-            counts[byte] = counts.get(byte, 0) + 1
-        n = len(pixels)
-        ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
-        row.update(width=w, height=h, channels=ch, byte_entropy=round(ent, 6))
+        row.update(width=w, height=h, channels=ch,
+                   byte_entropy=_byte_entropy(payload[12:]))
     except Exception as e:  # malformed container → error column
         row["error"] = f"{type(e).__name__}: {e}"
     return row

@@ -216,30 +216,37 @@ class FrontierState:
         self.absorb(new)
 
     def _fold_committed_into_leg(self) -> None:
-        """Fold the per-epoch frames into a level-0 leg, then merge legs
-        binary-counter style (equal levels fold pairwise upward) — the
-        LSM-tree shape: O(log N) legs live, O(N log N) total copy work."""
+        """Fold the per-epoch frames plus every equal-level mate into ONE
+        new leg, binary-counter style — the LSM-tree shape: O(log N) legs
+        live, O(N log N) total copy work.
 
-        def _ckpt_union(frames: List[DataFrame]) -> DataFrame:
-            out = frames[0]
-            for f in frames[1:]:
-                out = out.unionByName(f)
-            return out.localCheckpoint(eager=True)
+        Two deliberate properties (round-5 review findings):
 
-        leg = _ckpt_union(
-            [
-                df.select(self.key_col, F.lit(int(e)).cast("long").alias("epoch"))
-                for e, df in self._committed.items()
-            ]
-        )
-        self._committed = {}
+        * the whole cascade is ONE union + ONE eager checkpoint — not a
+          re-materialization per consumed level;
+        * ``_committed``/``_legs`` are swapped ONLY AFTER the checkpoint
+          action succeeds. Mutating first would, on a checkpoint failure
+          (executor loss, disk-full) followed by a retry on the same
+          FrontierState, drop those epochs from ``_history_df`` while
+          their bits stay in the bloom — maybe_seen keys would fail the
+          confirm join and be re-emitted: a silent exactness violation.
+        """
+        frames = [
+            df.select(self.key_col, F.lit(int(e)).cast("long").alias("epoch"))
+            for e, df in self._committed.items()
+        ]
+        remaining = list(self._legs)
         level = 0
-        while any(lv == level for lv, _ in self._legs):
-            mate = next(df for lv, df in self._legs if lv == level)
-            self._legs = [(lv, df) for lv, df in self._legs if lv != level]
-            leg = _ckpt_union([mate, leg])
+        while any(lv == level for lv, _ in remaining):
+            frames.append(next(df for lv, df in remaining if lv == level))
+            remaining = [(lv, df) for lv, df in remaining if lv != level]
             level += 1
-        self._legs.append((level, leg))
+        folded = frames[0]
+        for f in frames[1:]:
+            folded = folded.unionByName(f)
+        new_leg = folded.localCheckpoint(eager=True)  # the one fallible action
+        self._legs = remaining + [(level, new_leg)]
+        self._committed = {}
 
 
 def frontier_stream(

@@ -323,10 +323,12 @@ def main() -> None:
             spark.read.parquet(corpus), num_partitions=CPUS * 4
         ).collect()
         worked = sorted(r["wall_sec"] for r in rows if r["n_docs"] > 0)
-        if worked:
+        # sub-resolution walls can median to 0.0 on tiny corpora — a null
+        # ratio then means "too fast to measure", not "broken"
+        if worked and _stats.median(worked) > 0:
             straggler = round(worked[-1] / _stats.median(worked), 3)
-    except Exception:
-        pass  # diagnostics must never eat the bench
+    except Exception as e:  # diagnostics must never eat the bench
+        print(f"straggler pass failed: {type(e).__name__}: {e}", file=sys.stderr)
     if SCALING:
         # pre-generate the (smaller) scaling corpus with the full-width
         # session so the clean-process measurements below only measure
