@@ -61,6 +61,12 @@ MAX_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_WINDOWS", "3"))
 # round-4 shipped a single (clean) window; the verdict asked for >= 2
 # unconditionally so one outlier pair can never carry the headline alone
 MIN_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_WINDOWS", "2"))
+# whole-bench wall budget: a window costs ~5-7 min, and the driver's
+# patience is finite — past this elapsed time no NEW window starts (the
+# one in flight completes), so extra windows are best-effort, never an
+# unbounded tail. A budget-capped run reports windows_budget_capped=true.
+BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1000"))
+_T0 = time.time()
 SEED = 42
 
 DETAIL_PATH = REPO / "BENCH" / "DETAIL.json"
@@ -198,6 +204,7 @@ def _scaling_probe() -> dict:
 
     windows = []  # each: {"reps": {n: [...], 4n: [...]}, "env_capacity_ratio": r}
     all_pairs: list[float] = []
+    budget_capped = False
 
     def _one_rep(rep_idx: int, reps: dict) -> None:
         order = (
@@ -212,6 +219,9 @@ def _scaling_probe() -> dict:
             reps[cpus].append(got)
 
     for w in range(MAX_WINDOWS):
+        if w > 0 and time.time() - _T0 > BENCH_BUDGET_SEC:
+            budget_capped = True
+            break
         reps = {SCALE_N: [], SCALE_N * 4: []}
         for rep_idx in range(3):
             _one_rep(rep_idx, reps)
@@ -261,6 +271,7 @@ def _scaling_probe() -> dict:
         "env_capacity_ratio": best["env_capacity_ratio"],
         "window_squeezed": best["squeezed"],
         "n_windows": len(windows),
+        "windows_budget_capped": budget_capped,
         "windows": windows,  # stripped from the stdout line, kept in DETAIL
     }
 
@@ -408,8 +419,10 @@ def main() -> None:
             "registry order + a cache-cleared re-time of the 5 slowest "
             "(min taken) to strip neighbor-pressure artifacts. Scaling: "
             "windows of 3 order-alternated clean-process rep pairs at "
-            "local[N]/local[4N], >= 2 windows always; windows repeat (<=3) "
-            "while raw-CPU capacity in-window < 3.8x (co-tenant squeeze); "
+            "local[N]/local[4N], >= 2 windows unless the whole-bench wall "
+            "budget is exhausted (windows_budget_capped); windows repeat "
+            "(<=3) while raw-CPU capacity in-window < 3.8x (co-tenant "
+            "squeeze); "
             "efficiency = best-window median paired ratio / 4; all-window "
             "median and capacity-capped best pair reported alongside. "
             "scale_1m: tools/bench_scale.py (1M-doc wall, straggler ratio, "
