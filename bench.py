@@ -63,8 +63,10 @@ MAX_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_WINDOWS", "3"))
 MIN_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_WINDOWS", "2"))
 # whole-bench wall budget: a window costs ~5-7 min, and the driver's
 # patience is finite — past this elapsed time no NEW window starts (the
-# one in flight completes), so extra windows are best-effort, never an
-# unbounded tail. A budget-capped run reports windows_budget_capped=true.
+# one in flight completes). The first MIN_WINDOWS windows are exempt
+# (the verdict's ">= 2 windows" guarantee holds regardless of clock);
+# only the squeeze-retry windows beyond that are best-effort, so the
+# tail is bounded. A budget-capped run reports windows_budget_capped.
 BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1000"))
 _T0 = time.time()
 SEED = 42
@@ -219,7 +221,7 @@ def _scaling_probe() -> dict:
             reps[cpus].append(got)
 
     for w in range(MAX_WINDOWS):
-        if w > 0 and time.time() - _T0 > BENCH_BUDGET_SEC:
+        if w >= MIN_WINDOWS and time.time() - _T0 > BENCH_BUDGET_SEC:
             budget_capped = True
             break
         reps = {SCALE_N: [], SCALE_N * 4: []}
@@ -419,10 +421,10 @@ def main() -> None:
             "registry order + a cache-cleared re-time of the 5 slowest "
             "(min taken) to strip neighbor-pressure artifacts. Scaling: "
             "windows of 3 order-alternated clean-process rep pairs at "
-            "local[N]/local[4N], >= 2 windows unless the whole-bench wall "
-            "budget is exhausted (windows_budget_capped); windows repeat "
-            "(<=3) while raw-CPU capacity in-window < 3.8x (co-tenant "
-            "squeeze); "
+            "local[N]/local[4N], >= 2 windows always; squeeze-retry "
+            "windows beyond that repeat (<=3) while raw-CPU capacity "
+            "in-window < 3.8x (co-tenant squeeze), unless the whole-bench "
+            "wall budget is exhausted (windows_budget_capped); "
             "efficiency = best-window median paired ratio / 4; all-window "
             "median and capacity-capped best pair reported alongside. "
             "scale_1m: tools/bench_scale.py (1M-doc wall, straggler ratio, "
