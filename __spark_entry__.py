@@ -1840,6 +1840,8 @@ def queries() -> dict[str, _T]:
         "pdf_images": q_pdf_images,
         "pdf_outlinks": q_pdf_outlinks,
         "media_features": q_media_features,
+        # real PNG/BMP/WAV decode, value-oracled to the pixel sums — round-5
+        "real_media_decode": q_real_media_decode,
         # -- web / link graph ---------------------------------------------
         "outlinks": q_outlinks,
         "canonical_urls": q_canonical_urls,
@@ -1859,6 +1861,8 @@ def queries() -> dict[str, _T]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "duplicate_spans": q_duplicate_spans,
         "decontamination": q_decontamination,
+        # the family's third axis (exact / lexical / semantic) — round-5
+        "semantic_dedup": q_semantic_dedup,
         # -- similarity / ANN ---------------------------------------------
         "ann_topk": q_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1872,10 +1876,8 @@ def queries() -> dict[str, _T]:
         "repeated_lines": q_repeated_lines,
         "strip_boilerplate": q_strip_boilerplate,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "doc_logprob": q_doc_logprob,
         "pii_scrub": q_pii_scrub,
         # -- sampling / mixture -------------------------------------------
-        "hash_sample": q_hash_sample,
         "training_mix": q_training_mix,
         "host_cap_threshold": q_host_cap_threshold,
         "token_shards_bucketed": q_token_shards_bucketed,
@@ -1911,8 +1913,12 @@ def extra_queries() -> dict[str, _T]:
         # (round-5: restore RNG-corpus driver visibility) — parity kept here
         "url_audit": q_url_audit,
         "frontier_stream_equiv": q_frontier_stream_equiv,
-        "semantic_dedup": q_semantic_dedup,
-        "real_media_decode": q_real_media_decode,
+        # retired round-5 for the semantic_dedup / real_media_decode slots:
+        # doc_logprob's unigram-NLL stays the quality family's 8th parity
+        # row here; hash_sample's md5-threshold keep rule is the same
+        # primitive training_mix/host_cap_threshold exercise in-window
+        "doc_logprob": q_doc_logprob,
+        "hash_sample": q_hash_sample,
         "temperature_mix": q_temperature_mix,
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
