@@ -1272,17 +1272,22 @@ def q_frontier_new(spark, sf):
 
 def q_real_media_decode(spark, sf):
     """REAL media decode, value-oracled (round 5 — the un-stubbing of the
-    decodable third of the multimodal axis): 48 genuine PNG/BMP/WAV
-    payloads built by the from-scratch stdlib encoders (PNG row filters
-    rotating over all 5 types, split IDAT, CRC-verified chunks; BMP
-    bottom-up BGR with row padding; WAV chunk walk past a junk LIST
-    chunk), decoded by the from-scratch decoders in
-    ``b_pdf_parser_spark.mediacodec``, reduced to exact integer features —
-    dimensions/rate/channel counts plus order-SENSITIVE (k+1)-weighted
-    value sums — that the DuckDB oracle recomputes from the generating
-    formulas. A row-order, channel-order, padding, filter or chunk-walk
-    bug changes the hash. JPEG/DCT and compressed A/V stay honestly
-    stubbed (entropy-coded bitstreams; no native libs here)."""
+    decodable third of the multimodal axis): 60 genuine PNG/BMP/WAV/GIF/
+    μ-law payloads built by the from-scratch stdlib encoders (PNG row
+    filters rotating over all 5 types, split IDAT, CRC-verified chunks;
+    BMP bottom-up BGR with row padding; WAV chunk walk past a junk LIST
+    chunk; GIF LSB-first variable-width LZW — the bit-order twin of the
+    PDF LZWDecode filter — with 4 palette sizes, extension blocks and
+    4-pass interlace rotation; G.711 μ-law code bytes), decoded by the
+    from-scratch decoders in ``b_pdf_parser_spark.mediacodec``, reduced
+    to exact integer features — dimensions/rate/channel counts plus
+    order-SENSITIVE (k+1)-weighted value sums — that the DuckDB oracle
+    recomputes from the generating formulas (including the G.711
+    complement/exponent/mantissa expansion restated as SQL integer
+    arithmetic). A row-order, channel-order, padding, filter, palette,
+    interlace or chunk-walk bug changes the hash. JPEG/DCT and
+    compressed A/V stay honestly stubbed (entropy-coded bitstreams; no
+    native libs here)."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1291,7 +1296,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 48))
+    return real_media_features(synth_real_media_df(spark, 60))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2432,38 +2437,59 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 48)),
+            WITH m AS (SELECT range AS i FROM range(0, 60)),
             dims AS (
                 SELECT i,
-                       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                            ELSE 'wav' END AS fmt,
-                       CASE WHEN i % 3 = 2 THEN NULL
+                       CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                            WHEN 2 THEN 'wav' WHEN 3 THEN 'gif'
+                            ELSE 'ulaw' END AS fmt,
+                       CASE WHEN i % 5 IN (2, 4) THEN NULL
                             ELSE 9 + i % 8 END AS w,
-                       CASE WHEN i % 3 = 2 THEN NULL
+                       CASE WHEN i % 5 IN (2, 4) THEN NULL
                             ELSE 7 + i % 6 END AS h,
-                       CASE i % 3
-                            WHEN 0 THEN ([1, 3, 4])[CAST((i // 3) % 3 AS INT) + 1]
-                            WHEN 1 THEN 3
-                            ELSE 1 + i % 2 END AS ch,
-                       CASE WHEN i % 3 = 2
-                            THEN 8000 + ((i // 3) % 3) * 4000
+                       CASE i % 5
+                            WHEN 0 THEN ([1, 3, 4])[CAST((i // 5) % 3 AS INT) + 1]
+                            WHEN 2 THEN 1 + i % 2
+                            WHEN 4 THEN 1 + i % 2
+                            ELSE 3 END AS ch,
+                       CASE WHEN i % 5 IN (2, 4)
+                            THEN 8000 + ((i // 5) % 3) * 4000
                             ELSE NULL END AS rate,
-                       CASE WHEN i % 3 = 2
-                            THEN (200 + i % 77) * (1 + i % 2)
-                            ELSE (9 + i % 8) * (7 + i % 6) *
-                                 (CASE i % 3
-                                  WHEN 0 THEN ([1, 3, 4])[CAST((i // 3) % 3 AS INT) + 1]
-                                  ELSE 3 END)
-                            END AS nv
+                       CASE i % 5
+                            WHEN 2 THEN (200 + i % 77) * (1 + i % 2)
+                            WHEN 4 THEN (150 + i % 60) * (1 + i % 2)
+                            WHEN 0 THEN (9 + i % 8) * (7 + i % 6) *
+                                 ([1, 3, 4])[CAST((i // 5) % 3 AS INT) + 1]
+                            ELSE (9 + i % 8) * (7 + i % 6) * 3
+                            END AS nv,
+                       CASE WHEN i % 5 = 3
+                            THEN ([4, 16, 64, 256])[CAST((i // 5) % 4 AS INT) + 1]
+                            ELSE NULL END AS psize
                 FROM m),
             vals AS (
-                SELECT d.i, d.fmt, unnest(range(0, d.nv)) AS k
+                SELECT d.i, d.fmt, d.psize, unnest(range(0, d.nv)) AS k
                 FROM dims d),
             v AS (
                 SELECT i, k,
-                       CASE WHEN fmt = 'wav'
-                            THEN ((i * 13 + k * 7) % 2003) - 1001
-                            ELSE (i * 31 + k * 7) % 251 END AS val
+                       CASE fmt
+                       WHEN 'wav' THEN ((i * 13 + k * 7) % 2003) - 1001
+                       -- G.711 mu-law expansion as pure integer SQL:
+                       -- u = complement byte, mag = ((u%16)*8+132)<<exp - 132
+                       WHEN 'ulaw' THEN
+                            (CASE WHEN (255 - ((i * 17 + k * 11) % 256)) >= 128
+                                  THEN -1 ELSE 1 END)
+                            * (((255 - ((i * 17 + k * 11) % 256)) % 16 * 8 + 132)
+                               * (1 << CAST(((255 - ((i * 17 + k * 11) % 256)) // 16) % 8 AS INT))
+                               - 132)
+                       -- GIF: palette index idx = (i*31 + pixel*7) % psize,
+                       -- value stream is RGB per pixel (k = 3*pixel + channel)
+                       WHEN 'gif' THEN
+                            CASE k % 3
+                            WHEN 0 THEN (i * 7 + ((i * 31 + (k // 3) * 7) % psize) * 3) % 256
+                            WHEN 1 THEN (i * 11 + ((i * 31 + (k // 3) * 7) % psize) * 5) % 256
+                            ELSE (i * 13 + ((i * 31 + (k // 3) * 7) % psize) * 9) % 256
+                            END
+                       ELSE (i * 31 + k * 7) % 251 END AS val
                 FROM vals),
             sums AS (
                 SELECT i,

@@ -13,8 +13,16 @@ their decode paths are implemented for real here, from the public specs:
   pixel byte stream).
 * **BMP** (BITMAPINFOHEADER, BI_RGB): 24-bit uncompressed, bottom-up rows,
   BGR order, 4-byte row padding — decoded back to canonical top-down RGB.
-* **WAV** (RIFF/WAVE, PCM): 16-bit little-endian PCM, fmt/data chunk walk
+* **WAV** (RIFF/WAVE): 16-bit little-endian PCM and 8-bit G.711 μ-law
+  (ITU-T G.711 — decoded by the public complement/exponent/mantissa
+  integer expansion, so a SQL oracle can restate it); fmt/data chunk walk
   (unknown chunks skipped per spec), any channel count.
+* **GIF** (GIF89a): the LSB-first variable-code-width LZW that is the
+  bit-order twin of the PDF ``LZWDecode`` filter (pdfmodel._lzw is
+  MSB-first with EarlyChange; GIF packs codes little-endian with a
+  per-image minimum code size and no early change), global color table
+  lookup back to canonical RGB, sub-block reassembly, extension-block
+  skipping, and both sequential and 4-pass interlaced row order.
 
 Every decoder returns canonical values (top-down RGB pixel bytes / int16
 samples) so value-level oracles can recompute exact integer features
@@ -42,6 +50,9 @@ __all__ = [
     "decode_bmp",
     "encode_wav",
     "decode_wav",
+    "encode_gif",
+    "decode_gif",
+    "ulaw_expand",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -232,29 +243,60 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     return w, h, 3, bytes(out)
 
 
-def encode_wav(sample_rate: int, channels: int, samples: List[int]) -> bytes:
-    """Interleaved int16 samples → RIFF/WAVE PCM16. A junk ``LIST`` chunk
-    is inserted before ``data`` so decoders must actually walk chunks."""
-    body = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate,
-        sample_rate * channels * 2, channels * 2, 16,
-    )
+def encode_wav(
+    sample_rate: int, channels: int, samples: List[int], ulaw: bool = False
+) -> bytes:
+    """Interleaved samples → RIFF/WAVE. PCM16 by default (``samples`` are
+    int16); with ``ulaw=True`` the samples are raw G.711 μ-law code bytes
+    (0–255) and the fmt chunk says audio format 7 / 8 bits. A junk
+    ``LIST`` chunk is inserted before ``data`` so decoders must actually
+    walk chunks."""
+    if ulaw:
+        body = bytes(samples)
+        fmt = struct.pack(
+            "<HHIIHH", 7, channels, sample_rate,
+            sample_rate * channels, channels, 8,
+        )
+    else:
+        body = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, sample_rate,
+            sample_rate * channels * 2, channels * 2, 16,
+        )
     junk = b"INFOsynthetic corpus\x00"
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
         + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
-    """→ (sample_rate, channels, interleaved int16 samples)."""
+def ulaw_expand(b: int) -> int:
+    """ITU-T G.711 μ-law code byte → linear int16 sample (the public
+    complement / exponent / mantissa integer expansion — pure integer
+    arithmetic, so a SQL oracle can restate it verbatim)."""
+    u = ~b & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    mag -= 0x84
+    return -mag if u & 0x80 else mag
+
+
+def decode_wav(
+    data: bytes, return_codec: bool = False
+) -> Tuple[int, ...]:
+    """→ (sample_rate, channels, interleaved linear int16 samples)
+    [+ codec name ``"pcm16"``/``"ulaw"`` when ``return_codec``].
+
+    Accepts PCM16 (audio format 1) and G.711 μ-law (format 7, 8-bit);
+    μ-law code bytes are expanded to linear int16 so both forms return
+    canonical values."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     rate = ch = None
+    audio_fmt = None
     samples: List[int] = []
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -262,13 +304,237 @@ def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or bits != 16:
+            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt")
-            samples = list(struct.unpack(f"<{ln // 2}h", body[: (ln // 2) * 2]))
+            if audio_fmt == 7:
+                samples = [ulaw_expand(v) for v in body]
+            else:
+                samples = list(struct.unpack(f"<{ln // 2}h", body[: (ln // 2) * 2]))
         pos += 8 + ln + (ln % 2)  # chunks are word-aligned
     if rate is None:
         raise ValueError("missing fmt chunk")
+    if return_codec:
+        return rate, ch, samples, ("ulaw" if audio_fmt == 7 else "pcm16")
     return rate, ch, samples
+
+
+# ---------------------------------------------------------------------------
+# GIF — the LSB-first LZW sibling of the PDF LZWDecode filter
+# ---------------------------------------------------------------------------
+
+# GIF's 4-pass interlace: (first row, row step) per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> List[int]:
+    return [y for start, step in _GIF_INTERLACE for y in range(start, height, step)]
+
+
+def _gif_lzw_compress(indices: bytes, mcs: int) -> bytes:
+    """Real dictionary LZW, GIF flavor: codes packed LSB-first, width
+    grows 1 past each power of two the *decoder's* table crosses (the
+    encoder runs one dictionary entry ahead of the decoder, hence the
+    ``next_code == (1 << width) + 1`` bump — no EarlyChange, unlike the
+    PDF filter), clear code emitted whenever the table fills at 4096."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    w = b""
+    for byte in indices:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int, expect: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_compress`; stops after ``expect`` output
+    bytes or the EOI code."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    prev: bytes = b""
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = b""
+                continue
+            if code == eoi:
+                return bytes(out)
+            if not prev:
+                if code >= len(table):
+                    raise ValueError("GIF LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expect:
+                return bytes(out[:expect])
+    raise ValueError("GIF LZW: ran out of data before EOI")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: List[Tuple[int, int, int]],
+    indices: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """Palette (power-of-two length 2–256) + per-pixel palette indices →
+    a real GIF89a. A comment extension and a graphic control extension
+    precede the image so decoders must walk 0x21 blocks; ``interlace``
+    writes rows in the 4-pass order."""
+    psize = len(palette)
+    if psize < 2 or psize & (psize - 1):
+        raise ValueError("palette length must be a power of two in [2, 256]")
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if max(indices) >= psize:
+        raise ValueError("palette index out of range")
+    depth = psize.bit_length() - 1  # log2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | ((depth - 1) & 7) << 4 | (depth - 1) & 7, 0, 0))
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    # graphic control + comment extensions: decoders must skip these
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x21\xfe\x10synthetic corpus\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes((0x40 if interlace else 0,))
+    if interlace:
+        rows = _gif_interlace_order(height)
+        body = b"".join(indices[y * width : (y + 1) * width] for y in rows)
+    else:
+        body = indices
+    mcs = max(2, depth)
+    out.append(mcs)
+    comp = _gif_lzw_compress(body, mcs)
+    for off in range(0, len(comp), 255):
+        block = comp[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
+    """→ (width, height, 3, canonical top-down RGB pixel bytes): walks the
+    header/extensions, reassembles sub-blocks, LZW-decodes the index
+    stream, undoes interlacing, and maps through the color table."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    pos = 13
+    gct: List[Tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        for j in range(n):
+            o = pos + 3 * j
+            gct.append((data[o], data[o + 1], data[o + 2]))
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte then sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+        flags = data[pos + 8]
+        pos += 9
+        pal = gct
+        if flags & 0x80:  # local color table
+            n = 2 << (flags & 7)
+            pal = [
+                (data[pos + 3 * j], data[pos + 3 * j + 1], data[pos + 3 * j + 2])
+                for j in range(n)
+            ]
+            pos += 3 * n
+        if not pal:
+            raise ValueError("GIF image has no color table")
+        mcs = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decompress(bytes(comp), mcs, w * h)
+        if flags & 0x40:  # undo 4-pass interlace
+            ordered = bytearray(w * h)
+            for src, y in enumerate(_gif_interlace_order(h)):
+                ordered[y * w : (y + 1) * w] = idx[src * w : (src + 1) * w]
+            idx = bytes(ordered)
+        out = bytearray(w * h * 3)
+        for k, v in enumerate(idx):
+            if v >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            out[3 * k], out[3 * k + 1], out[3 * k + 2] = pal[v]
+        return w, h, 3, bytes(out)
+    raise ValueError("GIF contains no image descriptor")

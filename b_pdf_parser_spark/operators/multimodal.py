@@ -116,12 +116,16 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
         # compressed A/V) needs entropy-coded bitstream decoders or the
         # absent native libs and stays honestly stubbed in the error column.
         try:
-            from ..mediacodec import decode_bmp, decode_png, decode_wav
+            from ..mediacodec import (
+                decode_bmp, decode_gif, decode_png, decode_wav,
+            )
 
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, ch, px = decode_png(bytes(payload))
             elif payload[:2] == b"BM":
                 w, h, ch, px = decode_bmp(bytes(payload))
+            elif payload[:4] == b"GIF8":
+                w, h, ch, px = decode_gif(bytes(payload))
             elif payload[:4] == b"RIFF":
                 rate, ch, samples = decode_wav(bytes(payload))
                 w, h = len(samples) // max(ch, 1), None
@@ -203,37 +207,68 @@ REAL_FEATURES_SCHEMA_DDL = (
 def real_media_dims(i: int) -> dict:
     """The generating formulas for real-media doc ``i`` — shared by the
     corpus builder, the feature expectations and the DuckDB oracle, so the
-    SQL can restate them as closed forms. Pixels:
-    ``p[k] = (i*31 + k*7) % 251``; WAV samples:
-    ``s[k] = ((i*13 + k*7) % 2003) - 1001``."""
-    fmt = ("png", "bmp", "wav")[i % 3]
+    SQL can restate them as closed forms. PNG/BMP pixels:
+    ``p[k] = (i*31 + k*7) % 251``; PCM WAV samples:
+    ``s[k] = ((i*13 + k*7) % 2003) - 1001``; GIF palette indices:
+    ``idx[k] = (i*31 + k*7) % psize`` through palette entry
+    ``((i*7+j*3)%256, (i*11+j*5)%256, (i*13+j*9)%256)``; μ-law code
+    bytes: ``b[k] = (i*17 + k*11) % 256`` through the G.711 expansion."""
+    fmt = ("png", "bmp", "wav", "gif", "ulaw")[i % 5]
     if fmt == "png":
         return {
             "fmt": fmt,
             "w": 9 + i % 8,
             "h": 7 + i % 6,
-            "ch": (1, 3, 4)[(i // 3) % 3],
+            "ch": (1, 3, 4)[(i // 5) % 3],
         }
     if fmt == "bmp":
         return {"fmt": fmt, "w": 9 + i % 8, "h": 7 + i % 6, "ch": 3}
+    if fmt == "gif":
+        return {
+            "fmt": fmt,
+            "w": 9 + i % 8,
+            "h": 7 + i % 6,
+            "ch": 3,
+            "psize": (4, 16, 64, 256)[(i // 5) % 4],
+            "interlace": (i // 5) % 2 == 1,
+        }
+    if fmt == "ulaw":
+        return {
+            "fmt": fmt,
+            "rate": 8000 + ((i // 5) % 3) * 4000,
+            "ch": 1 + i % 2,
+            "n": (150 + i % 60) * (1 + i % 2),
+        }
     return {
         "fmt": fmt,
-        # (i//3) % 3, not i % 3 — wav docs all have i ≡ 2 (mod 3), so the
+        # (i//5) % 3, not i % 5 — wav docs share one residue mod 5, so the
         # latter would freeze every sample rate at one value
-        "rate": 8000 + ((i // 3) % 3) * 4000,
+        "rate": 8000 + ((i // 5) % 3) * 4000,
         "ch": 1 + i % 2,
         "n": (200 + i % 77) * (1 + i % 2),
     }
 
 
 def encode_real_media(i: int) -> bytes:
-    """Real PNG/BMP/WAV payload for doc ``i`` (pure function, no RNG)."""
-    from ..mediacodec import encode_bmp, encode_png, encode_wav
+    """Real PNG/BMP/WAV/GIF/μ-law payload for doc ``i`` (pure function,
+    no RNG)."""
+    from ..mediacodec import encode_bmp, encode_gif, encode_png, encode_wav
 
     d = real_media_dims(i)
     if d["fmt"] == "wav":
         samples = [((i * 13 + k * 7) % 2003) - 1001 for k in range(d["n"])]
         return encode_wav(d["rate"], d["ch"], samples)
+    if d["fmt"] == "ulaw":
+        code_bytes = [(i * 17 + k * 11) % 256 for k in range(d["n"])]
+        return encode_wav(d["rate"], d["ch"], code_bytes, ulaw=True)
+    if d["fmt"] == "gif":
+        psize = d["psize"]
+        palette = [
+            ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
+            for j in range(psize)
+        ]
+        idx = bytes((i * 31 + k * 7) % psize for k in range(d["w"] * d["h"]))
+        return encode_gif(d["w"], d["h"], palette, idx, interlace=d["interlace"])
     pixels = bytes(
         (i * 31 + k * 7) % 251 for k in range(d["w"] * d["h"] * d["ch"])
     )
@@ -263,7 +298,7 @@ def synth_real_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
 
 
 def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
-    from ..mediacodec import decode_bmp, decode_png, decode_wav
+    from ..mediacodec import decode_bmp, decode_gif, decode_png, decode_wav
 
     row = {
         "media_id": media_id, "fmt": None, "width": None, "height": None,
@@ -281,9 +316,16 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
             w, h, ch, px = decode_bmp(bytes(payload))
             row.update(fmt="bmp", width=w, height=h, channels=ch)
             vals = list(px)
+        elif payload[:4] == b"GIF8":
+            w, h, ch, px = decode_gif(bytes(payload))
+            row.update(fmt="gif", width=w, height=h, channels=ch)
+            vals = list(px)
         elif payload[:4] == b"RIFF":
-            rate, ch, samples = decode_wav(bytes(payload))
-            row.update(fmt="wav", sample_rate=rate, channels=ch)
+            rate, ch, samples, codec = decode_wav(bytes(payload), return_codec=True)
+            row.update(
+                fmt="ulaw" if codec == "ulaw" else "wav",
+                sample_rate=rate, channels=ch,
+            )
             vals = samples
         else:
             raise NotImplementedError(
