@@ -1273,21 +1273,24 @@ def q_frontier_new(spark, sf):
 def q_real_media_decode(spark, sf):
     """REAL media decode, value-oracled (round 5 — the un-stubbing of the
     decodable third of the multimodal axis): 60 genuine PNG/BMP/WAV/GIF/
-    μ-law payloads built by the from-scratch stdlib encoders (PNG row
+    μ-law/JPEG payloads built by the from-scratch encoders (PNG row
     filters rotating over all 5 types, split IDAT, CRC-verified chunks;
     BMP bottom-up BGR with row padding; WAV chunk walk past a junk LIST
     chunk; GIF LSB-first variable-width LZW — the bit-order twin of the
     PDF LZWDecode filter — with 4 palette sizes, extension blocks and
-    4-pass interlace rotation; G.711 μ-law code bytes), decoded by the
-    from-scratch decoders in ``b_pdf_parser_spark.mediacodec``, reduced
-    to exact integer features — dimensions/rate/channel counts plus
-    order-SENSITIVE (k+1)-weighted value sums — that the DuckDB oracle
-    recomputes from the generating formulas (including the G.711
-    complement/exponent/mantissa expansion restated as SQL integer
+    4-pass interlace rotation; G.711 μ-law code bytes; baseline JFIF
+    JPEG with Annex-K Huffman entropy coding, restart-marker rotation,
+    and flat 8×8 blocks whose DC-quant-8 decode is bit-exact), decoded
+    by the from-scratch decoders in ``b_pdf_parser_spark.mediacodec``
+    and ``.jpegcodec``, reduced to exact integer features —
+    dimensions/rate/channel counts plus order-SENSITIVE (k+1)-weighted
+    value sums — that the DuckDB oracle recomputes from the generating
+    formulas (the G.711 complement/exponent/mantissa expansion and the
+    JPEG fixed-point integer YCbCr round trip restated as SQL integer
     arithmetic). A row-order, channel-order, padding, filter, palette,
-    interlace or chunk-walk bug changes the hash. JPEG/DCT and
-    compressed A/V stay honestly stubbed (entropy-coded bitstreams; no
-    native libs here)."""
+    interlace, Huffman, restart-resync or chunk-walk bug changes the
+    hash. Progressive/arithmetic JPEG and compressed A/V stay honestly
+    stubbed (no native libs here)."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -2440,35 +2443,76 @@ def _all_oracles() -> dict[str, str]:
             WITH m AS (SELECT range AS i FROM range(0, 60)),
             dims AS (
                 SELECT i,
-                       CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                       CASE i % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                             WHEN 2 THEN 'wav' WHEN 3 THEN 'gif'
-                            ELSE 'ulaw' END AS fmt,
-                       CASE WHEN i % 5 IN (2, 4) THEN NULL
+                            WHEN 4 THEN 'ulaw' ELSE 'jpeg' END AS fmt,
+                       CASE WHEN i % 6 IN (2, 4) THEN NULL
+                            WHEN i % 6 = 5 THEN 8 * (1 + (i // 6) % 3)
                             ELSE 9 + i % 8 END AS w,
-                       CASE WHEN i % 5 IN (2, 4) THEN NULL
+                       CASE WHEN i % 6 IN (2, 4) THEN NULL
+                            WHEN i % 6 = 5 THEN 8 * (1 + ((i // 6) // 3) % 2)
                             ELSE 7 + i % 6 END AS h,
-                       CASE i % 5
-                            WHEN 0 THEN ([1, 3, 4])[CAST((i // 5) % 3 AS INT) + 1]
+                       CASE i % 6
+                            WHEN 0 THEN ([1, 3, 4])[CAST((i // 6) % 3 AS INT) + 1]
                             WHEN 2 THEN 1 + i % 2
                             WHEN 4 THEN 1 + i % 2
+                            WHEN 5 THEN CASE WHEN (i // 6) % 2 = 0 THEN 1 ELSE 3 END
                             ELSE 3 END AS ch,
-                       CASE WHEN i % 5 IN (2, 4)
-                            THEN 8000 + ((i // 5) % 3) * 4000
+                       CASE WHEN i % 6 IN (2, 4)
+                            THEN 8000 + ((i // 6) % 3) * 4000
                             ELSE NULL END AS rate,
-                       CASE i % 5
+                       CASE i % 6
                             WHEN 2 THEN (200 + i % 77) * (1 + i % 2)
                             WHEN 4 THEN (150 + i % 60) * (1 + i % 2)
                             WHEN 0 THEN (9 + i % 8) * (7 + i % 6) *
-                                 ([1, 3, 4])[CAST((i // 5) % 3 AS INT) + 1]
+                                 ([1, 3, 4])[CAST((i // 6) % 3 AS INT) + 1]
+                            WHEN 5 THEN 8 * (1 + (i // 6) % 3)
+                                 * 8 * (1 + ((i // 6) // 3) % 2)
+                                 * (CASE WHEN (i // 6) % 2 = 0 THEN 1 ELSE 3 END)
                             ELSE (9 + i % 8) * (7 + i % 6) * 3
                             END AS nv,
-                       CASE WHEN i % 5 = 3
-                            THEN ([4, 16, 64, 256])[CAST((i // 5) % 4 AS INT) + 1]
+                       CASE WHEN i % 6 = 3
+                            THEN ([4, 16, 64, 256])[CAST((i // 6) % 4 AS INT) + 1]
                             ELSE NULL END AS psize
                 FROM m),
             vals AS (
-                SELECT d.i, d.fmt, d.psize, unnest(range(0, d.nv)) AS k
+                SELECT d.i, d.fmt, d.psize, d.w, d.ch,
+                       unnest(range(0, d.nv)) AS k
                 FROM dims d),
+            -- JPEG flat 8x8 blocks: block index from pixel position, flat
+            -- RGB per block, then the codec's documented fixed-point
+            -- integer YCbCr round trip ((k*x+128)>>8 == FLOOR(../256)).
+            -- Grayscale (ch=1) skips color conversion entirely; DC quant 8
+            -- makes flat blocks bit-exact, so this IS the decoded output.
+            jp AS (
+                SELECT i, k, ch, k % ch AS c,
+                       (i * 31 + ((((k // ch) // w) // 8) * (w // 8)
+                                  + (((k // ch) % w) // 8)) * 17) % 256 AS r0,
+                       (i * 31 + ((((k // ch) // w) // 8) * (w // 8)
+                                  + (((k // ch) % w) // 8)) * 17 + 101) % 256 AS g0,
+                       (i * 31 + ((((k // ch) // w) // 8) * (w // 8)
+                                  + (((k // ch) % w) // 8)) * 17 + 202) % 256 AS b0
+                FROM vals WHERE fmt = 'jpeg'),
+            jy AS (
+                SELECT i, k, ch, c, r0,
+                       CAST(FLOOR((77 * r0 + 150 * g0 + 29 * b0 + 128) / 256.0)
+                            AS BIGINT) AS y,
+                       CAST(FLOOR((-43 * r0 - 85 * g0 + 128 * b0 + 128) / 256.0)
+                            AS BIGINT) + 128 AS cb,
+                       CAST(FLOOR((128 * r0 - 107 * g0 - 21 * b0 + 128) / 256.0)
+                            AS BIGINT) + 128 AS cr
+                FROM jp),
+            jv AS (
+                SELECT i, k,
+                       CASE WHEN ch = 1 THEN r0
+                            WHEN c = 0 THEN LEAST(255, GREATEST(0, y +
+                                 CAST(FLOOR((359 * (cr - 128) + 128) / 256.0) AS BIGINT)))
+                            WHEN c = 1 THEN LEAST(255, GREATEST(0, y -
+                                 CAST(FLOOR((88 * (cb - 128) + 183 * (cr - 128) + 128) / 256.0) AS BIGINT)))
+                            ELSE LEAST(255, GREATEST(0, y +
+                                 CAST(FLOOR((454 * (cb - 128) + 128) / 256.0) AS BIGINT)))
+                       END AS val
+                FROM jy),
             v AS (
                 SELECT i, k,
                        CASE fmt
@@ -2490,7 +2534,8 @@ def _all_oracles() -> dict[str, str]:
                             ELSE (i * 13 + ((i * 31 + (k // 3) * 7) % psize) * 9) % 256
                             END
                        ELSE (i * 31 + k * 7) % 251 END AS val
-                FROM vals),
+                FROM vals WHERE fmt != 'jpeg'
+                UNION ALL SELECT i, k, val FROM jv),
             sums AS (
                 SELECT i,
                        CAST(SUM(val) AS BIGINT) AS value_sum,

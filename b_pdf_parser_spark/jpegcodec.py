@@ -1,0 +1,625 @@
+"""From-scratch baseline JPEG (ITU-T T.81 / ISO 10918-1) — REAL codec.
+
+The multimodal axis honestly stubbed JPEG because entropy-coded bitstream
+decode needs real work, not just a chunk walk. This module does that work
+from the public spec, with numpy for the DCT and pure Python for the
+entropy coder:
+
+* **Encoder**: 8-bit baseline sequential DCT, grayscale (1 component) or
+  YCbCr 4:4:4 (3 components, sampling factors 1x1 — no subsampling, the
+  one honest simplification), level shift, forward 2-D DCT-II
+  (orthonormal matrix form), quantization (round-half-away-from-zero),
+  zigzag, DC prediction (differential), run/size AC coding with ZRL/EOB,
+  canonical Huffman codes built from BITS/HUFFVAL exactly as Annex C
+  specifies, 0xFF byte stuffing, optional restart markers (DRI + RST0-7
+  with DC predictor reset), and a COM segment so decoders must walk
+  markers they don't care about. Default tables are the Annex K K.1/K.2
+  quantization and K.3 Huffman tables, but DQT/DHT are always written and
+  always parsed — nothing is assumed shared between the two sides.
+* **Decoder**: full marker walk (skips APPn/COM, handles multi-table DQT
+  and DHT segments), DHT → canonical code table per the Annex C flow
+  (HUFFSIZE/HUFFCODE generation), bit reader that undoes 0xFF00 stuffing
+  and resyncs at restart markers, Huffman DC/AC decode with EXTEND sign
+  recovery, dequantize, un-zigzag, inverse DCT, +128 level shift with
+  round-half-up and clamp, and fixed-point integer YCbCr→RGB.
+
+**Exactness contract (what lets a SQL oracle check this end to end):**
+color conversion is defined in fixed-point *integer* arithmetic (8-bit
+coefficients, ``floor((k·x + 128) / 256)`` — the libjpeg-style scaled
+integers, not floats), and a flat 8×8 block survives the whole pipeline
+bit-exactly whenever the DC quantization step divides ``8·(v−128)``: the
+63 AC coefficients of a constant block are exactly zero, the DC is
+exactly ``8·(v−128)``, and the IDCT of a DC-only block is constant. The
+corpus uses DC quant 8, so decoded == source for every flat block and
+DuckDB can restate the expected pixels (through the same integer YCbCr
+round trip) as closed-form SQL. Non-flat content is covered by fixture
+tests (roundtrip error bounds, coefficient-domain AC bitstreams, restart
+resync) where exactness is impossible by design — JPEG is lossy.
+
+Public sources: ITU-T T.81 (Annex C Huffman generation, Annex F decode
+flow, Annex K example tables), JFIF 1.02 (APP0), libjpeg's scaled-integer
+color convert idea (re-derived; coefficients are the rounded 2^8 scalings
+of the BT.601 matrix).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "encode_jpeg",
+    "decode_jpeg",
+    "rgb_to_ycbcr",
+    "ycbcr_to_rgb",
+    "QUANT_LUM",
+    "QUANT_CHROMA",
+]
+
+# ---------------------------------------------------------------------------
+# Annex K example tables (public spec text)
+# ---------------------------------------------------------------------------
+
+QUANT_LUM = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)  # K.1, row-major (natural order)
+
+QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)  # K.2
+
+# K.3.3.1 / K.3.3.2: (BITS[1..16], HUFFVAL) for the four example tables
+_DC_LUM_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUM_VALS = tuple(range(12))
+_DC_CHR_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHR_VALS = tuple(range(12))
+_AC_LUM_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUM_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+_AC_CHR_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHR_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+# Zigzag: index i in zigzag order -> index in natural (row-major) order
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Orthonormal 8-point DCT-II matrix: DCT(B) = C @ B @ C.T.  With this
+# scaling a constant block v has DC = 8*v and AC exactly 0, matching the
+# spec's FDCT up to the level shift.
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point integer color conversion (SQL-restatable: only +, *, //)
+# ---------------------------------------------------------------------------
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> Tuple[int, int, int]:
+    """BT.601 full-range, 8-bit fixed point: ``(k·x + 128) >> 8`` with the
+    rounded 256-scaled coefficients. Pure integer — a SQL oracle restates
+    it verbatim with FLOOR((expr + 128) / 256)."""
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+    cr = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+    return (_clamp8(y), _clamp8(cb), _clamp8(cr))
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> Tuple[int, int, int]:
+    """Inverse fixed-point transform (same >> 8 convention)."""
+    r = y + ((359 * (cr - 128) + 128) >> 8)
+    g = y - ((88 * (cb - 128) + 183 * (cr - 128) + 128) >> 8)
+    b = y + ((454 * (cb - 128) + 128) >> 8)
+    return (_clamp8(r), _clamp8(g), _clamp8(b))
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables (Annex C generation — shared by encoder and decoder)
+# ---------------------------------------------------------------------------
+
+def _build_codes(bits: Sequence[int], vals: Sequence[int]) -> Dict[int, Tuple[int, int]]:
+    """BITS/HUFFVAL → {symbol: (code, length)} via C.1-C.3: codes of each
+    length are consecutive, starting from (prev + count(prev)) << 1."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _magnitude(v: int) -> Tuple[int, int]:
+    """→ (size category SSSS, appended bits) per F.1.2.1: negatives are
+    stored as value-1 in SSSS low bits (one's-complement style)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude (spec EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: un-stuffs 0xFF00, stops at any
+    other marker (position left ON the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG: bitstream ran out")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("JPEG: hit marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> Optional[int]:
+        """Discard pad bits; if the next bytes are a marker, consume and
+        return its second byte, else return None."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+            m = d[self.pos + 1]
+            self.pos += 2
+            return m
+        return None
+
+
+class _HuffDecoder:
+    """min/max-code per length (Annex F.2.2.3 DECODE procedure)."""
+
+    def __init__(self, bits: Sequence[int], vals: Sequence[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.vals = list(vals)
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bit()
+        length = 1
+        while code > self.maxcode[length]:
+            if length >= 16:
+                raise ValueError("JPEG: invalid Huffman code")
+            code = (code << 1) | br.bit()
+            length += 1
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+# ---------------------------------------------------------------------------
+# Block transforms
+# ---------------------------------------------------------------------------
+
+def _fdct_quant(block: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Level-shifted 8x8 int block → quantized zigzag int coefficients
+    (round half away from zero — deterministic, sign-symmetric)."""
+    coeffs = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    q = coeffs / quant
+    rounded = np.sign(q) * np.floor(np.abs(q) + 0.5)
+    return rounded.astype(np.int32).reshape(64)[list(ZIGZAG)]
+
+
+def _dequant_idct(zz: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
+    """Zigzag quantized coefficients → clamped uint8 spatial block.
+    Reconstruction rounds half UP (floor(x+0.5)) — the documented
+    convention the flat-block oracle relies on."""
+    nat = np.zeros(64, dtype=np.float64)
+    nat[list(ZIGZAG)] = zz * quant_zz
+    spatial = _C.T @ nat.reshape(8, 8) @ _C + 128.0
+    return np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    qtables: Optional[Tuple[Sequence[int], Sequence[int]]] = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Interleaved top-down pixels (grayscale or RGB) → baseline JFIF
+    JPEG, 4:4:4, Annex-K Huffman tables, explicit DQT/DHT, optional
+    restart markers every ``restart_interval`` MCUs."""
+    if channels not in (1, 3):
+        raise ValueError("JPEG encoder supports 1 or 3 channels")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    qlum = np.array(qtables[0] if qtables else QUANT_LUM, dtype=np.float64).reshape(8, 8)
+    qchr = np.array(qtables[1] if qtables else QUANT_CHROMA, dtype=np.float64).reshape(8, 8)
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 3:
+        r = img[:, :, 0].astype(np.int64)
+        g = img[:, :, 1].astype(np.int64)
+        b = img[:, :, 2].astype(np.int64)
+        # vectorized twin of rgb_to_ycbcr (>> floors like the scalar form)
+        y = (77 * r + 150 * g + 29 * b + 128) >> 8
+        cb = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+        cr = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+        quants = [qlum, qchr, qchr]
+    else:
+        planes = [img[:, :, 0].astype(np.int64)]
+        quants = [qlum]
+
+    # pad to multiples of 8 by edge replication (spec-recommended)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8), dtype=np.int64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[height - 1 : height, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        padded.append(pp)
+
+    dc_lum = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chr = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_chr = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+    comp_codes = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (channels - 1)
+
+    bw_writer = _BitWriter()
+    pred = [0] * channels
+    mcu = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.flush()
+                bw_writer.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * channels
+            for ci in range(channels):
+                zz = _fdct_quant(
+                    padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    quants[ci],
+                )
+                dc_codes, ac_codes = comp_codes[ci]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, extra = _magnitude(diff)
+                code, ln = dc_codes[size]
+                bw_writer.write(code, ln)
+                if size:
+                    bw_writer.write(extra, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw_writer.write(code, ln)
+                        run -= 16
+                    size, extra = _magnitude(v)
+                    code, ln = ac_codes[(run << 4) | size]
+                    bw_writer.write(code, ln)
+                    bw_writer.write(extra, size)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw_writer.write(code, ln)
+            mcu += 1
+    bw_writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFE, b"synthetic corpus")  # COM: decoders must skip
+    # DQT (one segment, both tables, zigzag order per spec)
+    dqt = bytearray()
+    for tid, q in ((0, qlum), (1, qchr))[: (2 if channels == 3 else 1)]:
+        dqt.append(tid)
+        flat = q.reshape(64)
+        dqt += bytes(int(flat[ZIGZAG[i]]) for i in range(64))
+    out += _seg(0xDB, bytes(dqt))
+    # SOF0
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for ci in range(channels):
+        sof += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+    out += _seg(0xC0, bytes(sof))
+    # DHT — all needed tables in one segment
+    dht = bytearray()
+    tables = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS)]
+    if channels == 3:
+        tables += [(0x01, _DC_CHR_BITS, _DC_CHR_VALS), (0x11, _AC_CHR_BITS, _AC_CHR_VALS)]
+    for tc, bits, vals in tables:
+        dht.append(tc)
+        dht += bytes(bits)
+        dht += bytes(vals)
+    out += _seg(0xC4, bytes(dht))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    # SOS
+    sos = bytearray((channels,))
+    for ci in range(channels):
+        sos += bytes((ci + 1, 0x00 if ci == 0 else 0x11))
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, bytes(sos))
+    out += bw_writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+    """→ (width, height, channels, interleaved top-down pixel bytes);
+    RGB for 3-component YCbCr input, grayscale passthrough for 1."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: Dict[int, np.ndarray] = {}
+    dc_tabs: Dict[int, _HuffDecoder] = {}
+    ac_tabs: Dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (width, height, [(comp_id, qtab_id)])
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                zzvals = body[p + 1 : p + 65]
+                nat = np.zeros(64, dtype=np.float64)
+                nat[list(ZIGZAG)] = np.frombuffer(zzvals, dtype=np.uint8)
+                qtabs[tq] = nat[list(ZIGZAG)]  # keep in zigzag order
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                (ac_tabs if tc else dc_tabs)[th] = _HuffDecoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("JPEG: only 4:4:4 (1x1 sampling) supported")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: non-baseline frame 0x{marker:02x} unsupported")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            w, h, comps = frame
+            ns = body[0]
+            scan_tabs = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                td, ta = tdta >> 4, tdta & 0x0F
+                tq = dict(comps)[cs]
+                scan_tabs.append((dc_tabs[td], ac_tabs[ta], qtabs[tq]))
+            return _decode_scan(data, pos, w, h, scan_tabs, restart_interval)
+        # else: APPn / COM / unknown — skipped by the length walk
+    raise ValueError("JPEG: no SOS marker found")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    scan_tabs: List[Tuple[_HuffDecoder, _HuffDecoder, np.ndarray]],
+    restart_interval: int,
+) -> Tuple[int, int, int, bytes]:
+    nc = len(scan_tabs)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+    br = _BitReader(data, pos)
+    pred = [0] * nc
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                m = br.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("JPEG: expected restart marker")
+                pred = [0] * nc
+            for ci, (dct, act, quant) in enumerate(scan_tabs):
+                zz = np.zeros(64, dtype=np.int64)
+                size = dct.decode(br)
+                diff = _extend(br.bits(size), size) if size else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = act.decode(br)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG: AC run overflows block")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _dequant_idct(
+                    zz, quant
+                )
+            mcu += 1
+    if nc == 1:
+        return width, height, 1, planes[0][:height, :width].tobytes()
+    y = planes[0][:height, :width].astype(np.int64)
+    cb = planes[1][:height, :width].astype(np.int64)
+    cr = planes[2][:height, :width].astype(np.int64)
+    # vectorized twin of ycbcr_to_rgb
+    r = y + ((359 * (cr - 128) + 128) >> 8)
+    g = y - ((88 * (cb - 128) + 183 * (cr - 128) + 128) >> 8)
+    b = y + ((454 * (cb - 128) + 128) >> 8)
+    out = np.stack(
+        [np.clip(c, 0, 255).astype(np.uint8) for c in (r, g, b)], axis=-1
+    )
+    return width, height, 3, out.tobytes()

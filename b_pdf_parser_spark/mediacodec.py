@@ -31,9 +31,11 @@ real-roundtrip-vs-formula pattern. Encoders exist to build the test
 corpus deterministically; the PNG encoder rotates the row filter type so
 the decoder's whole unfilter surface is exercised by round-trips.
 
-What remains stubbed — and why: JPEG/DCT, JPEG2000, CCITT, and every
-audio/video compression codec require entropy-coded bitstream decoders
-(or the absent native libs); those payloads still take the honest
+Baseline JPEG (entropy-coded DCT) lives in the sibling module
+``jpegcodec.py`` — implemented from scratch as of round 5. What remains
+stubbed — and why: progressive/arithmetic JPEG, JPEG2000, CCITT, and
+every audio/video compression codec still need decoders we haven't
+built (or the absent native libs); those payloads take the honest
 NotImplementedError path in operators/multimodal.py.
 """
 

@@ -111,11 +111,12 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
         row["error"] = "empty payload"
         return row
     if payload[:4] != _MAGIC:
-        # REAL-format dispatch: PNG/BMP/WAV decode from scratch (stdlib
-        # only — b_pdf_parser_spark.mediacodec); everything else (JPEG/DCT,
-        # compressed A/V) needs entropy-coded bitstream decoders or the
-        # absent native libs and stays honestly stubbed in the error column.
+        # REAL-format dispatch: PNG/BMP/WAV/GIF/baseline-JPEG decode from
+        # scratch (b_pdf_parser_spark.mediacodec / .jpegcodec); what's
+        # left (progressive/arithmetic JPEG, JPEG2000, compressed A/V)
+        # stays honestly stubbed in the error column.
         try:
+            from ..jpegcodec import decode_jpeg
             from ..mediacodec import (
                 decode_bmp, decode_gif, decode_png, decode_wav,
             )
@@ -126,6 +127,8 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
                 w, h, ch, px = decode_bmp(bytes(payload))
             elif payload[:4] == b"GIF8":
                 w, h, ch, px = decode_gif(bytes(payload))
+            elif payload[:3] == b"\xff\xd8\xff":
+                w, h, ch, px = decode_jpeg(bytes(payload))
             elif payload[:4] == b"RIFF":
                 rate, ch, samples = decode_wav(bytes(payload))
                 w, h = len(samples) // max(ch, 1), None
@@ -212,14 +215,18 @@ def real_media_dims(i: int) -> dict:
     ``s[k] = ((i*13 + k*7) % 2003) - 1001``; GIF palette indices:
     ``idx[k] = (i*31 + k*7) % psize`` through palette entry
     ``((i*7+j*3)%256, (i*11+j*5)%256, (i*13+j*9)%256)``; μ-law code
-    bytes: ``b[k] = (i*17 + k*11) % 256`` through the G.711 expansion."""
-    fmt = ("png", "bmp", "wav", "gif", "ulaw")[i % 5]
+    bytes: ``b[k] = (i*17 + k*11) % 256`` through the G.711 expansion;
+    JPEG flat 8×8 blocks: channel value ``(i*31 + b*17 + c*101) % 256``
+    for block ``b`` — with DC quant 8 the decode is bit-exact (grayscale)
+    or exact through the fixed-point integer YCbCr round trip (color), so
+    the oracle restates lossy-codec output as integer SQL."""
+    fmt = ("png", "bmp", "wav", "gif", "ulaw", "jpeg")[i % 6]
     if fmt == "png":
         return {
             "fmt": fmt,
             "w": 9 + i % 8,
             "h": 7 + i % 6,
-            "ch": (1, 3, 4)[(i // 5) % 3],
+            "ch": (1, 3, 4)[(i // 6) % 3],
         }
     if fmt == "bmp":
         return {"fmt": fmt, "w": 9 + i % 8, "h": 7 + i % 6, "ch": 3}
@@ -229,32 +236,68 @@ def real_media_dims(i: int) -> dict:
             "w": 9 + i % 8,
             "h": 7 + i % 6,
             "ch": 3,
-            "psize": (4, 16, 64, 256)[(i // 5) % 4],
-            "interlace": (i // 5) % 2 == 1,
+            "psize": (4, 16, 64, 256)[(i // 6) % 4],
+            "interlace": (i // 6) % 2 == 1,
         }
     if fmt == "ulaw":
         return {
             "fmt": fmt,
-            "rate": 8000 + ((i // 5) % 3) * 4000,
+            "rate": 8000 + ((i // 6) % 3) * 4000,
             "ch": 1 + i % 2,
             "n": (150 + i % 60) * (1 + i % 2),
         }
+    if fmt == "jpeg":
+        j = i // 6
+        return {
+            "fmt": fmt,
+            # whole 8x8 blocks only: flat-block exactness is the contract
+            "w": 8 * (1 + j % 3),
+            "h": 8 * (1 + (j // 3) % 2),
+            "ch": (1, 3)[j % 2],
+            "restart": (0, 2, 3)[j % 3],
+        }
     return {
         "fmt": fmt,
-        # (i//5) % 3, not i % 5 — wav docs share one residue mod 5, so the
+        # (i//6) % 3, not i % 6 — wav docs share one residue mod 6, so the
         # latter would freeze every sample rate at one value
-        "rate": 8000 + ((i // 5) % 3) * 4000,
+        "rate": 8000 + ((i // 6) % 3) * 4000,
         "ch": 1 + i % 2,
         "n": (200 + i % 77) * (1 + i % 2),
     }
 
 
+def _jpeg_flat_pixels(i: int, w: int, h: int, ch: int) -> bytes:
+    """Flat-per-8×8-block pixel buffer: block ``b`` (row-major), channel
+    ``c`` gets ``(i*31 + b*17 + c*101) % 256`` — the same formula the
+    DuckDB oracle evaluates per decoded pixel position."""
+    bw = w // 8
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            b = (y // 8) * bw + (x // 8)
+            for c in range(ch):
+                out.append((i * 31 + b * 17 + c * 101) % 256)
+    return bytes(out)
+
+
 def encode_real_media(i: int) -> bytes:
-    """Real PNG/BMP/WAV/GIF/μ-law payload for doc ``i`` (pure function,
-    no RNG)."""
+    """Real PNG/BMP/WAV/GIF/μ-law/JPEG payload for doc ``i`` (pure
+    function, no RNG)."""
     from ..mediacodec import encode_bmp, encode_gif, encode_png, encode_wav
 
     d = real_media_dims(i)
+    if d["fmt"] == "jpeg":
+        from ..jpegcodec import QUANT_CHROMA, QUANT_LUM, encode_jpeg
+
+        # Annex-K tables with the DC step forced to 8: divides 8*(v-128)
+        # for every integer v, so flat blocks decode bit-exactly (the AC
+        # steps are irrelevant — a flat block's 63 AC coefficients are 0)
+        return encode_jpeg(
+            d["w"], d["h"], d["ch"],
+            _jpeg_flat_pixels(i, d["w"], d["h"], d["ch"]),
+            qtables=((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:]),
+            restart_interval=d["restart"],
+        )
     if d["fmt"] == "wav":
         samples = [((i * 13 + k * 7) % 2003) - 1001 for k in range(d["n"])]
         return encode_wav(d["rate"], d["ch"], samples)
@@ -298,6 +341,7 @@ def synth_real_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
 
 
 def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
+    from ..jpegcodec import decode_jpeg
     from ..mediacodec import decode_bmp, decode_gif, decode_png, decode_wav
 
     row = {
@@ -327,11 +371,14 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
                 sample_rate=rate, channels=ch,
             )
             vals = samples
+        elif payload[:3] == b"\xff\xd8\xff":
+            w, h, ch, px = decode_jpeg(bytes(payload))
+            row.update(fmt="jpeg", width=w, height=h, channels=ch)
+            vals = list(px)
         else:
             raise NotImplementedError(
-                "no from-scratch decoder for this container (JPEG/DCT and "
-                "compressed A/V need entropy-coded bitstream decode or the "
-                "absent native libs)"
+                "no from-scratch decoder for this container (progressive/"
+                "arithmetic JPEG, JPEG2000 and compressed A/V stay stubbed)"
             )
         row.update(
             n_values=len(vals),
@@ -347,7 +394,8 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
 
 
 def real_media_features(media: DataFrame) -> DataFrame:
-    """REAL decode (PNG/BMP/WAV) → exact integer features per payload.
+    """REAL decode (PNG/BMP/WAV/GIF/μ-law/JPEG) → exact integer features
+    per payload.
 
     One Arrow-batch Python dispatch per payload; the decoded canonical
     values (top-down RGB pixels / int16 samples) reduce to order-sensitive

@@ -109,12 +109,23 @@ def test_decode_features_real_formats_through_spark(spark):
     b_pdf_parser_spark.ship_package(spark)
     out = decode_features(synth_real_media_df(spark, 24)).collect()
     assert len(out) == 24 and all(r["error"] is None for r in out)
-    assert all(r["channels"] is not None and r["byte_entropy"] > 0 for r in out)
-    jpeg = spark.createDataFrame(
+    # byte_entropy == 0 is legitimate for single-block flat JPEGs (all
+    # decoded pixels identical); every other corpus payload has spread
+    assert all(r["channels"] is not None and r["byte_entropy"] >= 0 for r in out)
+    assert sum(1 for r in out if r["byte_entropy"] > 0) >= 20
+    # a truncated JPEG now hits the REAL decoder and must fail loudly
+    bad_jpeg = spark.createDataFrame(
         [(0, "img", bytearray(b"\xff\xd8\xff\xe0" + bytes(32)))],
         "media_id LONG, kind STRING, payload BINARY",
     )
-    err = decode_features(jpeg).collect()[0]["error"]
+    err = decode_features(bad_jpeg).collect()[0]["error"]
+    assert err and "ValueError" in err
+    # still-stubbed container (JPEG2000 signature box) keeps the honest stub
+    jp2 = spark.createDataFrame(
+        [(0, "img", bytearray(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + bytes(32)))],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    err = decode_features(jp2).collect()[0]["error"]
     assert err and "NotImplementedError" in err
 
 
