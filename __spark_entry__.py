@@ -1473,6 +1473,25 @@ def q_pdf_images(spark, sf):
     return pdf_image_features(synth_imagedoc_df(spark, 300))
 
 
+def q_pdf_jpeg_decode(spark, sf):
+    """Two from-scratch subsystems meet: 120 deterministic PDFs embed
+    REAL baseline JPEGs (flat-block bit-exact stratum, gray+color,
+    restart rotation) as /DCTDecode image XObjects next to a pseudo-byte
+    CCITT decoy; the PDF walk surfaces the encoded streams, ``jpegcodec``
+    decodes them to pixels, and the DuckDB oracle recomputes the exact
+    integer pixel sums from the generating formulas — so a bug in the
+    XObject walk, the filter routing, OR the entropy decode breaks the
+    parity hash."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        pdf_jpeg_pixel_features,
+        synth_jpegdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return pdf_jpeg_pixel_features(synth_jpegdoc_df(spark, 120))
+
+
 def q_media_frame_sample(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import frame_sample, synth_media_df
@@ -1954,6 +1973,7 @@ def extra_queries() -> dict[str, _T]:
         "robots_filter": q_robots_filter,
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
+        "pdf_jpeg_decode": q_pdf_jpeg_decode,
         "link_hosts": q_link_hosts,
         "sitemap_urls": q_sitemap_urls,
         "length_histogram": q_length_histogram,
@@ -3628,6 +3648,66 @@ def _all_oracles() -> dict[str, str]:
                                      * (8 + (doc_id * j) % 24)) // 4) AS BIGINT)
                        AS n_bytes
             FROM imgs
+        """,
+        "pdf_jpeg_decode": """
+            WITH d AS (SELECT range AS i FROM range(0, 120)),
+            imgs AS (
+                SELECT i, CAST(unnest(range(0, i % 3)) AS INT) AS j FROM d),
+            dims AS (
+                SELECT i, j,
+                       8 * (1 + (i + j) % 3) AS w,
+                       8 * (1 + j % 2) AS h,
+                       CASE WHEN (i + j) % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                       i * 13 + j * 7 AS s
+                FROM imgs),
+            vals AS (
+                SELECT i, j, w, ch, s, unnest(range(0, w * h * ch)) AS k
+                FROM dims),
+            -- flat-block JPEG decode, restated: block index from pixel
+            -- position, seed-s flat RGB per block, fixed-point integer
+            -- YCbCr round trip (identical to the real_media_decode oracle)
+            jp AS (
+                SELECT i, j, k, ch, k % ch AS c,
+                       (s * 31 + ((((k // ch) // w) // 8) * (w // 8)
+                                  + (((k // ch) % w) // 8)) * 17) % 256 AS r0,
+                       (s * 31 + ((((k // ch) // w) // 8) * (w // 8)
+                                  + (((k // ch) % w) // 8)) * 17 + 101) % 256 AS g0,
+                       (s * 31 + ((((k // ch) // w) // 8) * (w // 8)
+                                  + (((k // ch) % w) // 8)) * 17 + 202) % 256 AS b0
+                FROM vals),
+            jy AS (
+                SELECT i, j, k, ch, c, r0,
+                       CAST(FLOOR((77 * r0 + 150 * g0 + 29 * b0 + 128) / 256.0)
+                            AS BIGINT) AS y,
+                       CAST(FLOOR((-43 * r0 - 85 * g0 + 128 * b0 + 128) / 256.0)
+                            AS BIGINT) + 128 AS cb,
+                       CAST(FLOOR((128 * r0 - 107 * g0 - 21 * b0 + 128) / 256.0)
+                            AS BIGINT) + 128 AS cr
+                FROM jp),
+            jv AS (
+                SELECT i, j, k,
+                       CASE WHEN ch = 1 THEN r0
+                            WHEN c = 0 THEN LEAST(255, GREATEST(0, y +
+                                 CAST(FLOOR((359 * (cr - 128) + 128) / 256.0) AS BIGINT)))
+                            WHEN c = 1 THEN LEAST(255, GREATEST(0, y -
+                                 CAST(FLOOR((88 * (cb - 128) + 183 * (cr - 128) + 128) / 256.0) AS BIGINT)))
+                            ELSE LEAST(255, GREATEST(0, y +
+                                 CAST(FLOOR((454 * (cb - 128) + 128) / 256.0) AS BIGINT)))
+                       END AS val
+                FROM jy),
+            sums AS (
+                SELECT i, j, COUNT(*) AS nv,
+                       CAST(SUM(val) AS BIGINT) AS value_sum,
+                       CAST(SUM((k + 1) * val) AS BIGINT) AS weighted_sum
+                FROM jv GROUP BY i, j)
+            SELECT dm.i AS doc_id, CAST(0 AS INT) AS page,
+                   'Im' || dm.j AS name,
+                   CAST(dm.w AS INT) AS width, CAST(dm.h AS INT) AS height,
+                   CAST(dm.ch AS INT) AS channels,
+                   CAST(s2.nv AS BIGINT) AS n_values,
+                   s2.value_sum, s2.weighted_sum,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM dims dm JOIN sums s2 USING (i, j)
         """,
         "media_frame_sample": """
             WITH m AS (SELECT range AS media_id FROM range(0, 200)),

@@ -2,16 +2,19 @@
 
 Decode status, honestly labeled per format:
 
-* **REAL, from scratch (round 5)**: PNG, BMP and WAV decode via
-  ``b_pdf_parser_spark.mediacodec`` — stdlib-only (zlib/struct), full
-  chunk walks with CRC/padding/filter handling, value-oracled through the
+* **REAL, from scratch (round 5)**: PNG, BMP, WAV/μ-law and GIF decode
+  via ``b_pdf_parser_spark.mediacodec`` (stdlib-only: zlib/struct, full
+  chunk walks with CRC/padding/filter/LZW handling) and baseline JPEG
+  via ``b_pdf_parser_spark.jpegcodec`` (Huffman entropy decode, DCT,
+  fixed-point YCbCr) — all value-oracled through the
   real-roundtrip-vs-formula pattern (``synth_real_media_df`` →
   ``real_media_features`` → DuckDB recomputes exact integer pixel/sample
-  sums from the generating formulas).
-* **STUBBED**: JPEG/DCT, JPEG2000, CCITT and compressed audio/video need
-  entropy-coded bitstream decoders or the absent native libs (PIL/ffmpeg/
-  opencv are not in this runtime) — those payloads land in the ``error``
-  column, never crash the batch.
+  sums from the generating formulas). ``pdf_jpeg_pixel_features`` closes
+  the loop with the PDF walk: DCTDecode image XObjects decode to pixels.
+* **STUBBED**: progressive/arithmetic JPEG, JPEG2000, CCITT and
+  compressed audio/video need decoders we haven't built or the absent
+  native libs (PIL/ffmpeg/opencv are not in this runtime) — those
+  payloads land in the ``error`` column, never crash the batch.
 
 Everything Spark-side is real and tested for both classes: schema, Arrow
 batch shape, partitioning, the ``mapInPandas`` feature-extraction
@@ -43,6 +46,8 @@ __all__ = [
     "real_media_features",
     "synth_imagedoc_df",
     "pdf_image_features",
+    "synth_jpegdoc_df",
+    "pdf_jpeg_pixel_features",
 ]
 
 MEDIA_SCHEMA_DDL = "media_id BIGINT, kind STRING, payload BINARY"
@@ -487,3 +492,120 @@ def pdf_image_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(run, schema=IMAGE_INV_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# PDF × JPEG: decode DCTDecode image XObjects with the from-scratch codec
+# ---------------------------------------------------------------------------
+
+JPEG_PIX_SCHEMA_DDL = (
+    "doc_id BIGINT, page INT, name STRING, width INT, height INT, "
+    "channels INT, n_values BIGINT, value_sum BIGINT, weighted_sum BIGINT, "
+    "error STRING"
+)
+
+
+def _jpeg_xobject_dims(i: int, j: int) -> dict:
+    """Generating formulas for embedded JPEG ``j`` of doc ``i`` — shared
+    by the corpus builder and the DuckDB oracle. Pixel seed ``s = i*13 +
+    j*7`` feeds the same flat-block formula as the real-media corpus."""
+    return {
+        "w": 8 * (1 + (i + j) % 3),
+        "h": 8 * (1 + j % 2),
+        "ch": (1, 3)[(i + j) % 2],
+        "restart": (0, 2, 3)[(i + j) % 3],
+        "seed": i * 13 + j * 7,
+    }
+
+
+def synth_jpegdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    """``n`` deterministic PDFs, each embedding ``i % 3`` REAL baseline
+    JPEGs (flat 8×8 blocks, DC quant 8 — the bit-exact stratum) as
+    /DCTDecode image XObjects, plus one pseudo-byte CCITT decoy per doc
+    so a filter-routing bug (decoding the wrong stream) breaks the
+    oracle with an error row instead of passing silently."""
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.jpegcodec import (
+            QUANT_CHROMA, QUANT_LUM, encode_jpeg,
+        )
+        from b_pdf_parser_spark.pdfwriter import build_pdf, make_image
+
+        q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                spans = [[(40.0, 700.0, f"jpeg doc {i}")]]
+                imgs = []
+                for j in range(i % 3):
+                    d = _jpeg_xobject_dims(i, j)
+                    payload = encode_jpeg(
+                        d["w"], d["h"], d["ch"],
+                        _jpeg_flat_pixels(d["seed"], d["w"], d["h"], d["ch"]),
+                        qtables=q8, restart_interval=d["restart"],
+                    )
+                    imgs.append({
+                        "page": 0, "width": d["w"], "height": d["h"],
+                        "filter": "DCTDecode", "data": payload,
+                    })
+                imgs.append(make_image(0, 16, 8, "CCITTFaxDecode", seed=i))
+                rows.append({
+                    "doc_id": i,
+                    "pdf": build_pdf(spans, xref_stream=(i % 2 == 0), images=imgs),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    return base.mapInPandas(gen, schema=IMAGEDOC_SCHEMA_DDL)
+
+
+def pdf_jpeg_pixel_features(docs: DataFrame) -> DataFrame:
+    """PDF walk → DCTDecode image XObject streams → REAL JPEG decode →
+    exact integer pixel features per embedded image. Two from-scratch
+    subsystems meet: ``pdfmodel`` surfaces the encoded stream bytes,
+    ``jpegcodec`` turns them into canonical pixels; non-DCT images are
+    routed past the codec (inventory only, no row here). One Arrow-batch
+    Python dispatch per document."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.jpegcodec import decode_jpeg
+        from b_pdf_parser_spark.pdfmodel import image_inventory
+
+        cols = ["doc_id", "page", "name", "width", "height", "channels",
+                "n_values", "value_sum", "weighted_sum", "error"]
+        for b in batches:
+            rows = []
+            for did, pdf in zip(b["doc_id"], b["pdf"]):
+                try:
+                    for rec in image_inventory(bytes(pdf), with_data=True):
+                        if rec["filter"] != "DCTDecode":
+                            continue
+                        w, h, ch, px = decode_jpeg(rec["data"])
+                        vals = list(px)
+                        if (w, h) != (rec["width"], rec["height"]):
+                            raise ValueError(
+                                f"XObject dims {rec['width']}x{rec['height']}"
+                                f" != JPEG dims {w}x{h}"
+                            )
+                        rows.append({
+                            "doc_id": int(did), "page": rec["page"],
+                            "name": rec["name"], "width": w, "height": h,
+                            "channels": ch, "n_values": len(vals),
+                            "value_sum": int(sum(vals)),
+                            "weighted_sum": int(
+                                sum((k + 1) * v for k, v in enumerate(vals))
+                            ),
+                            "error": None,
+                        })
+                except Exception as e:  # corrupt doc/stream → error row
+                    rows.append({
+                        "doc_id": int(did), "page": -1, "name": "",
+                        "width": None, "height": None, "channels": None,
+                        "n_values": None, "value_sum": None,
+                        "weighted_sum": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=JPEG_PIX_SCHEMA_DDL)

@@ -1738,7 +1738,7 @@ def _detect_tables(line_spans: List[List[_Span]]) -> List[List[List[str]]]:
 # ---------------------------------------------------------------------------
 
 
-def image_inventory(data: bytes) -> List[Dict[str, Any]]:
+def image_inventory(data: bytes, with_data: bool = False) -> List[Dict[str, Any]]:
     """Metadata for every image XObject reachable from the page tree —
     the multimodal-pipeline side of the walk. Web PDFs are byte-dominated
     by DCT/JPX/CCITT image streams the text path must *skip* (see
@@ -1769,7 +1769,7 @@ def image_inventory(data: bytes) -> List[Dict[str, Any]]:
                 filt = filt[-1] if filt else None
             w = doc.resolve(d.get("Width"))
             h = doc.resolve(d.get("Height"))
-            out.append({
+            rec = {
                 "page": pno,
                 "name": str(name),
                 # a malformed Width/Height (dict/list/name) reports 0, the
@@ -1778,7 +1778,13 @@ def image_inventory(data: bytes) -> List[Dict[str, Any]]:
                 "height": int(h) if isinstance(h, (int, float)) else 0,
                 "filter": str(filt) if filt is not None else "",
                 "n_bytes": len(xo.raw),
-            })
+            }
+            if with_data:
+                # the encoded stream bytes verbatim (for DCTDecode that IS
+                # the JFIF payload) — consumers with a real codec (e.g.
+                # jpegcodec) can decode pixels; inventory callers skip this
+                rec["data"] = xo.raw
+            out.append(rec)
     return out
 
 

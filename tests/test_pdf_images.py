@@ -95,3 +95,46 @@ def test_image_inventory_total_on_mutated_real_pdf(data):
         image_inventory(bytes(pdf))
     except pm.PdfError:
         pass
+
+
+def test_with_data_returns_stream_bytes_verbatim():
+    pdf = build_pdf(SPANS, images=IMAGES)
+    plain = image_inventory(pdf)
+    withd = image_inventory(pdf, with_data=True)
+    assert [
+        {k: v for k, v in r.items() if k != "data"} for r in withd
+    ] == plain
+    for r in withd:
+        assert isinstance(r["data"], bytes) and len(r["data"]) == r["n_bytes"]
+
+
+def test_pdf_jpeg_decode_flat_blocks_roundtrip_and_decoy_routing():
+    # real JPEG XObject decodes to the exact flat-block pixels; the CCITT
+    # decoy with pseudo bytes must be routed PAST the codec, and routing
+    # it INTO the codec (tampered filter name) must fail loudly
+    from b_pdf_parser_spark.jpegcodec import (
+        QUANT_CHROMA, QUANT_LUM, decode_jpeg, encode_jpeg,
+    )
+    from b_pdf_parser_spark.operators.multimodal import _jpeg_flat_pixels
+
+    q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
+    px = _jpeg_flat_pixels(9, 16, 8, 3)
+    jpeg = encode_jpeg(16, 8, 3, px, qtables=q8, restart_interval=2)
+    imgs = [
+        {"page": 0, "width": 16, "height": 8, "filter": "DCTDecode",
+         "data": jpeg},
+        make_image(0, 16, 8, "CCITTFaxDecode", seed=3),
+    ]
+    pdf = build_pdf(SPANS, images=imgs)
+    recs = image_inventory(pdf, with_data=True)
+    assert [r["filter"] for r in recs] == ["DCTDecode", "CCITTFaxDecode"]
+    w, h, ch, out = decode_jpeg(recs[0]["data"])
+    assert (w, h, ch) == (16, 8, 3)
+    from b_pdf_parser_spark.jpegcodec import rgb_to_ycbcr, ycbcr_to_rgb
+
+    exp = bytearray()
+    for k in range(0, len(px), 3):
+        exp += bytes(ycbcr_to_rgb(*rgb_to_ycbcr(px[k], px[k + 1], px[k + 2])))
+    assert out == bytes(exp)
+    with pytest.raises(ValueError):
+        decode_jpeg(recs[1]["data"])  # pseudo bytes are not a JPEG
