@@ -1287,10 +1287,14 @@ def q_real_media_decode(spark, sf):
     value sums — that the DuckDB oracle recomputes from the generating
     formulas (the G.711 complement/exponent/mantissa expansion and the
     JPEG fixed-point integer YCbCr round trip restated as SQL integer
-    arithmetic). A row-order, channel-order, padding, filter, palette,
-    interlace, Huffman, restart-resync or chunk-walk bug changes the
-    hash. Progressive/arithmetic JPEG and compressed A/V stay honestly
-    stubbed (no native libs here)."""
+    arithmetic). Half the restart-free JPEG docs are PROGRESSIVE (SOF2,
+    Annex-G spectral-selection + successive-approximation scan script) —
+    the coefficient pipeline is shared with baseline so the oracle
+    formulas hold unchanged while the multi-scan decode is value-checked.
+    A row-order, channel-order, padding, filter, palette, interlace,
+    Huffman, restart-resync, scan-script or chunk-walk bug changes the
+    hash. Arithmetic-coded JPEG and compressed A/V stay honestly stubbed
+    (no native libs here)."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1475,8 +1479,9 @@ def q_pdf_images(spark, sf):
 
 def q_pdf_jpeg_decode(spark, sf):
     """Two from-scratch subsystems meet: 120 deterministic PDFs embed
-    REAL baseline JPEGs (flat-block bit-exact stratum, gray+color,
-    restart rotation) as /DCTDecode image XObjects next to a pseudo-byte
+    REAL JPEGs (flat-block bit-exact stratum, gray+color, restart
+    rotation, baseline SOF0 + progressive SOF2) as /DCTDecode image
+    XObjects next to a pseudo-byte
     CCITT decoy; the PDF walk surfaces the encoded streams, ``jpegcodec``
     decodes them to pixels, and the DuckDB oracle recomputes the exact
     integer pixel sums from the generating formulas — so a bug in the

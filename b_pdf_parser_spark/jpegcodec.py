@@ -51,6 +51,7 @@ import numpy as np
 
 __all__ = [
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "decode_jpeg",
     "rgb_to_ycbcr",
     "ycbcr_to_rgb",
@@ -358,17 +359,17 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
+def _prep_planes(
     width: int,
     height: int,
     channels: int,
     pixels: bytes,
-    qtables: Optional[Tuple[Sequence[int], Sequence[int]]] = None,
-    restart_interval: int = 0,
-) -> bytes:
-    """Interleaved top-down pixels (grayscale or RGB) → baseline JFIF
-    JPEG, 4:4:4, Annex-K Huffman tables, explicit DQT/DHT, optional
-    restart markers every ``restart_interval`` MCUs."""
+    qtables: Optional[Tuple[Sequence[int], Sequence[int]]],
+) -> Tuple[List[np.ndarray], List[np.ndarray], int, int]:
+    """Shared encoder front half: validate, color-convert, pad.
+
+    → (padded planes, per-plane quant matrices, blocks-wide, blocks-high).
+    """
     if channels not in (1, 3):
         raise ValueError("JPEG encoder supports 1 or 3 channels")
     if len(pixels) != width * height * channels:
@@ -400,6 +401,46 @@ def encode_jpeg(
         pp[height:, :width] = p[height - 1 : height, :]
         pp[:, width:] = pp[:, width - 1 : width]
         padded.append(pp)
+    return padded, quants, bw, bh
+
+
+def _frame_segments(
+    width: int,
+    height: int,
+    channels: int,
+    quants: List[np.ndarray],
+    sof_marker: int,
+) -> bytes:
+    """SOI + APP0 + COM + DQT + SOFn — shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFE, b"synthetic corpus")  # COM: decoders must skip
+    # DQT (one segment, both tables, zigzag order per spec)
+    dqt = bytearray()
+    for tid, q in ((0, quants[0]), (1, quants[-1]))[: (2 if channels == 3 else 1)]:
+        dqt.append(tid)
+        flat = q.reshape(64)
+        dqt += bytes(int(flat[ZIGZAG[i]]) for i in range(64))
+    out += _seg(0xDB, bytes(dqt))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for ci in range(channels):
+        sof += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+    out += _seg(sof_marker, bytes(sof))
+    return bytes(out)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    qtables: Optional[Tuple[Sequence[int], Sequence[int]]] = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Interleaved top-down pixels (grayscale or RGB) → baseline JFIF
+    JPEG, 4:4:4, Annex-K Huffman tables, explicit DQT/DHT, optional
+    restart markers every ``restart_interval`` MCUs."""
+    padded, quants, bw, bh = _prep_planes(width, height, channels, pixels, qtables)
 
     dc_lum = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_lum = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -452,21 +493,7 @@ def encode_jpeg(
             mcu += 1
     bw_writer.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xFE, b"synthetic corpus")  # COM: decoders must skip
-    # DQT (one segment, both tables, zigzag order per spec)
-    dqt = bytearray()
-    for tid, q in ((0, qlum), (1, qchr))[: (2 if channels == 3 else 1)]:
-        dqt.append(tid)
-        flat = q.reshape(64)
-        dqt += bytes(int(flat[ZIGZAG[i]]) for i in range(64))
-    out += _seg(0xDB, bytes(dqt))
-    # SOF0
-    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
-    for ci in range(channels):
-        sof += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
-    out += _seg(0xC0, bytes(sof))
+    out = bytearray(_frame_segments(width, height, channels, quants, 0xC0))
     # DHT — all needed tables in one segment
     dht = bytearray()
     tables = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS)]
@@ -491,12 +518,350 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# Scan script (the decoder accepts ANY legal script; this is what we emit):
+#   1. DC first pass, all components interleaved          Ss=0 Se=0  Ah=0 Al=1
+#   2. per component: AC band 1-5   first pass            Ss=1 Se=5  Ah=0 Al=1
+#   3. per component: AC band 6-63  first pass            Ss=6 Se=63 Ah=0 Al=1
+#   4. DC refinement, all components interleaved          Ss=0 Se=0  Ah=1 Al=0
+#   5. per component: AC band 1-63  refinement            Ss=1 Se=63 Ah=1 Al=0
+# Every Huffman-coded scan runs TWICE: a counting pass feeds the Annex-K
+# optimal-table flow (K.9 code sizes by pair-merge, K.11 16-bit length
+# adjustment, K.10 sort), a DHT with the per-scan table precedes each SOS
+# (progressive needs EOBn symbols, which the fixed Annex-K baseline tables
+# do not contain), then the emitting pass writes the entropy segment.
+
+_MAX_EOBRUN = 0x7FFF  # largest run one EOBn symbol can carry (n<=14)
+
+
+def _optimal_table(freq: Dict[int, int]) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Symbol frequencies → (BITS[1..16], HUFFVAL) per Annex K.2.
+
+    The classic JPEG optimal-code flow: repeated least-frequent pair
+    merging tracking code sizes (Figure K.9), a reserved extra symbol so
+    the all-ones code stays unused (F.1.4.4.1 requirement), then the
+    Figure K.11 adjustment folding lengths >16 down into shorter slots.
+    """
+    freqs = [0] * 257
+    for sym, c in freq.items():
+        if c:
+            freqs[sym] = c
+    freqs[256] = 1  # reserved: guarantees no real symbol gets all-ones
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        nz = [(f, i) for i, f in enumerate(freqs) if f > 0]
+        if len(nz) <= 1:
+            break
+        # least-frequency pair; ties broken toward the larger index (K.9)
+        nz.sort(key=lambda t: (t[0], -t[1]))
+        (f1, v1), (f2, v2) = nz[0], nz[1]
+        freqs[v1] = f1 + f2
+        freqs[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    # K.11: fold code lengths longer than 16 into available shorter slots
+    i = 32
+    while i > 16:
+        if bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        else:
+            i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code point
+    # K.10: HUFFVAL in (code size, symbol) order, reserved symbol excluded
+    huffval = [
+        s for size in range(1, 17) for s in range(256) if codesize[s] == size
+    ]
+    return tuple(bits[1:17]), tuple(huffval)
+
+
+class _SymCounter:
+    """Counting-pass twin of the emitting pass: same symbol stream, no
+    bits. ``put`` (raw appended bits) is a no-op by construction."""
+
+    def __init__(self) -> None:
+        self.freq: Dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def put(self, value: int, nbits: int) -> None:
+        pass
+
+
+class _SymWriter:
+    """Emitting pass: symbols through the scan's Huffman table, raw bits
+    verbatim, into the shared stuffing bit writer."""
+
+    def __init__(self, codes: Dict[int, Tuple[int, int]], wtr: _BitWriter) -> None:
+        self.codes = codes
+        self.wtr = wtr
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.wtr.write(code, ln)
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.wtr.write(value, nbits)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (toward zero), sign kept."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_dc_first(out, comps: List[np.ndarray], tab_of: List[int], al: int) -> None:
+    """Interleaved DC first pass: diff coding of the Al-shifted DC terms.
+    ``out`` is a list of emitters, one per DC table id; ``tab_of[ci]``
+    picks the table for component ci (DC shift is ARITHMETIC — G.1.2.1)."""
+    pred = [0] * len(comps)
+    for i in range(comps[0].shape[0]):
+        for ci, arr in enumerate(comps):
+            t = int(arr[i, 0]) >> al
+            diff = t - pred[ci]
+            pred[ci] = t
+            size, extra = _magnitude(diff)
+            o = out[tab_of[ci]]
+            o.sym(size)
+            o.put(extra, size)
+
+
+def _enc_dc_refine(wtr: _BitWriter, comps: List[np.ndarray], al: int) -> None:
+    """DC refinement: one raw bit (bit Al of the DC term) per block —
+    no Huffman coding at all (G.1.2.1)."""
+    for i in range(comps[0].shape[0]):
+        for arr in comps:
+            wtr.write((int(arr[i, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(out, arr: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC first pass over one component's band: baseline run/size coding
+    plus EOBn run accumulation across all-zero bands (G.1.2.2)."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            out.sym(n << 4)
+            out.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for i in range(arr.shape[0]):
+        vals = [_pt_ac(int(v), al) for v in arr[i, ss : se + 1]]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush()
+            continue
+        flush()
+        r = 0
+        for v in vals:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                out.sym(0xF0)  # ZRL
+                r -= 16
+            size, extra = _magnitude(v)
+            out.sym((r << 4) | size)
+            out.put(extra, size)
+            r = 0
+        if r:  # trailing zeros in the band → this block opens an EOB run
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(out, arr: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC refinement pass (G.1.2.3) — the intricate one: newly-significant
+    coefficients get a (run<<4)|1 symbol + sign bit; already-nonzero
+    coefficients contribute bare correction bits, BUFFERED until the next
+    symbol (or the EOBn that closes their run) so decoder and encoder walk
+    the band in lockstep."""
+    eobrun = 0
+    pending: List[int] = []  # correction bits owed after the next EOBn
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            out.sym(n << 4)
+            out.put(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            out.put(b, 1)
+        pending = []
+
+    for i in range(arr.shape[0]):
+        band = [int(v) for v in arr[i, ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        eob = -1  # index of the last NEWLY-significant coefficient
+        for j, a in enumerate(absv):
+            if a == 1:
+                eob = j
+        r = 0
+        br: List[int] = []  # this block's buffered correction bits
+        for j, v in enumerate(band):
+            a = absv[j]
+            if a == 0:
+                r += 1
+                continue
+            # ZRLs are due at EVERY nonzero once 16+ zeros accumulated
+            # (unless the zeros can fold into the EOB run, j > eob);
+            # each ZRL releases the correction bits buffered so far —
+            # the decoder's ZRL walk consumes them at the nonzero
+            # positions it steps over.
+            while r > 15 and j <= eob:
+                flush()
+                out.sym(0xF0)
+                r -= 16
+                for bb in br:
+                    out.put(bb, 1)
+                br = []
+            if a > 1:  # history-nonzero: correction bit only
+                br.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            flush()
+            out.sym((r << 4) | 1)
+            out.put(1 if v > 0 else 0, 1)
+            for bb in br:
+                out.put(bb, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == _MAX_EOBRUN or len(pending) > 900:
+                flush()
+    flush()
+
+
+def _dht_seg(tc_th: int, bits: Sequence[int], vals: Sequence[int]) -> bytes:
+    return _seg(0xC4, bytes((tc_th,)) + bytes(bits) + bytes(vals))
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    qtables: Optional[Tuple[Sequence[int], Sequence[int]]] = None,
+) -> bytes:
+    """Interleaved top-down pixels → progressive (SOF2) JFIF JPEG.
+
+    Same coefficient pipeline as :func:`encode_jpeg` (identical FDCT,
+    quantization and color transform — so a progressive decode must equal
+    the baseline decode bit-for-bit on the same input, which is exactly
+    what the tests pin); the entropy layer is the full Annex-G progressive
+    machinery with per-scan optimal Huffman tables."""
+    padded, quants, bw, bh = _prep_planes(width, height, channels, pixels, qtables)
+    comps: List[np.ndarray] = []
+    for p, q in zip(padded, quants):
+        arr = np.empty((bh * bw, 64), dtype=np.int64)
+        i = 0
+        for by in range(bh):
+            for bx in range(bw):
+                arr[i] = _fdct_quant(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q)
+                i += 1
+        comps.append(arr)
+
+    out = bytearray(_frame_segments(width, height, channels, quants, 0xC2))
+
+    def sos(comp_sel: List[Tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray((len(comp_sel),))
+        for cid, tsel in comp_sel:
+            body += bytes((cid, tsel))
+        body += bytes((ss, se, (ah << 4) | al))
+        return _seg(0xDA, bytes(body))
+
+    # ---- scan 1: DC first pass (interleaved), tables 0 (luma) / 1 (chroma)
+    tab_of = [0] + [1] * (channels - 1)
+    n_dc_tabs = 2 if channels == 3 else 1
+    counters = [_SymCounter() for _ in range(n_dc_tabs)]
+    _enc_dc_first(counters, comps, tab_of, al=1)
+    tables = [_optimal_table(c.freq) for c in counters]
+    for tid, (bits, vals) in enumerate(tables):
+        out += _dht_seg(0x00 | tid, bits, vals)
+    out += sos([(ci + 1, tab_of[ci] << 4) for ci in range(channels)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    writers = [_SymWriter(_build_codes(b, v), wtr) for b, v in tables]
+    _enc_dc_first(writers, comps, tab_of, al=1)
+    wtr.flush()
+    out += wtr.out
+
+    # ---- scans 2-3: AC first passes per component, two spectral bands
+    for ci in range(channels):
+        tid = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            counter = _SymCounter()
+            _enc_ac_first(counter, comps[ci], ss, se, al=1)
+            bits, vals = _optimal_table(counter.freq)
+            out += _dht_seg(0x10 | tid, bits, vals)
+            out += sos([(ci + 1, tid)], ss, se, 0, 1)
+            wtr = _BitWriter()
+            _enc_ac_first(_SymWriter(_build_codes(bits, vals), wtr), comps[ci], ss, se, al=1)
+            wtr.flush()
+            out += wtr.out
+
+    # ---- scan 4: DC refinement (interleaved, raw bits, no table)
+    out += sos([(ci + 1, 0x00) for ci in range(channels)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    _enc_dc_refine(wtr, comps, al=0)
+    wtr.flush()
+    out += wtr.out
+
+    # ---- scan 5: AC refinement per component, full band
+    for ci in range(channels):
+        tid = 0 if ci == 0 else 1
+        counter = _SymCounter()
+        _enc_ac_refine(counter, comps[ci], 1, 63, al=0)
+        bits, vals = _optimal_table(counter.freq)
+        out += _dht_seg(0x10 | tid, bits, vals)
+        out += sos([(ci + 1, tid)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        _enc_ac_refine(_SymWriter(_build_codes(bits, vals), wtr), comps[ci], 1, 63, al=0)
+        wtr.flush()
+        out += wtr.out
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, interleaved top-down pixel bytes);
-    RGB for 3-component YCbCr input, grayscale passthrough for 1."""
+    RGB for 3-component YCbCr input, grayscale passthrough for 1.
+    Handles baseline (SOF0/SOF1) in one scan and progressive (SOF2) by
+    accumulating coefficients across its scan script."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -505,12 +870,18 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     ac_tabs: Dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (width, height, [(comp_id, qtab_id)])
-    while pos + 4 <= len(data):
+    progressive = False
+    saw_eoi = False
+    coef: Optional[List[np.ndarray]] = None  # per comp: [nblocks, 64] zigzag
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:
+            saw_eoi = True
             break
+        if pos + 4 > len(data):
+            raise ValueError("JPEG: truncated marker segment")
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -536,7 +907,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 p += 17 + n
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -547,11 +918,24 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                     raise ValueError("JPEG: only 4:4:4 (1x1 sampling) supported")
                 comps.append((cid, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                coef = [np.zeros((bw * bh, 64), dtype=np.int64) for _ in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: non-baseline frame 0x{marker:02x} unsupported")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
+            if progressive:
+                if restart_interval:
+                    raise ValueError(
+                        "JPEG: restart markers in progressive scans unsupported"
+                    )
+                pos = _decode_prog_scan(
+                    data, pos, body, frame, coef, dc_tabs, ac_tabs
+                )
+                continue
             w, h, comps = frame
             ns = body[0]
             scan_tabs = []
@@ -562,7 +946,152 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 scan_tabs.append((dc_tabs[td], ac_tabs[ta], qtabs[tq]))
             return _decode_scan(data, pos, w, h, scan_tabs, restart_interval)
         # else: APPn / COM / unknown — skipped by the length walk
+    if progressive and coef is not None:
+        if not saw_eoi:
+            # fell off the end of the data mid-scan-script: a truncated
+            # progressive stream must fail loud, not render partial scans
+            raise ValueError("JPEG: progressive stream truncated (no EOI)")
+        w, h, comps = frame
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        planes = []
+        for (cid, tq), blocks in zip(comps, coef):
+            plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+            i = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _dequant_idct(
+                        blocks[i], qtabs[tq]
+                    )
+                    i += 1
+            planes.append(plane)
+        return _planes_to_pixels(planes, w, h)
     raise ValueError("JPEG: no SOS marker found")
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    body: bytes,
+    frame: Tuple[int, int, List[Tuple[int, int]]],
+    coef: List[np.ndarray],
+    dc_tabs: Dict[int, _HuffDecoder],
+    ac_tabs: Dict[int, _HuffDecoder],
+) -> int:
+    """Decode ONE progressive scan into the coefficient accumulators
+    (Annex G decode flows: G.2 / F.2.2 with successive approximation).
+    Returns the position of the next marker after the entropy segment."""
+    w, h, comps = frame
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    nblocks = bw * bh
+    ns = body[0]
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    scan_comps = []  # (component index, dc table id, ac table id)
+    for si in range(ns):
+        cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+        scan_comps.append((cid_to_idx[cs], tdta >> 4, tdta & 0x0F))
+    br = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan (the only kind that may interleave components)
+        if se != 0:
+            raise ValueError("JPEG: DC scan must have Se=0")
+        if ah == 0:  # first pass: diff coding of the Al-shifted DC
+            pred = [0] * len(scan_comps)
+            for i in range(nblocks):
+                for si, (idx, td, _ta) in enumerate(scan_comps):
+                    size = dc_tabs[td].decode(br)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    pred[si] += diff
+                    coef[idx][i, 0] = pred[si] << al
+        else:  # refinement: one raw bit per block, no Huffman
+            p1 = 1 << al
+            for i in range(nblocks):
+                for idx, _td, _ta in scan_comps:
+                    if br.bit():
+                        coef[idx][i, 0] |= p1
+    else:  # AC scan — exactly one component per spec
+        if len(scan_comps) != 1:
+            raise ValueError("JPEG: progressive AC scan must be single-component")
+        idx, _td, ta = scan_comps[0]
+        act = ac_tabs[ta]
+        blocks = coef[idx]
+        eobrun = 0
+        if ah == 0:  # first pass: run/size with EOBn runs
+            for i in range(nblocks):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = act.decode(br)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # this block is part of the run
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC run overflows band")
+                    blocks[i, k] = _extend(br.bits(s), s) << al
+                    k += 1
+        else:  # refinement pass (G.1.2.3 inverse)
+            p1 = 1 << al
+            m1 = -p1
+            for i in range(nblocks):
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = act.decode(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s:
+                            if s != 1:
+                                raise ValueError("JPEG: refinement size must be 1")
+                            s = p1 if br.bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # advance over r zero-history coefficients (16 for
+                        # ZRL), appending correction bits to nonzero ones
+                        while k <= se:
+                            v = int(blocks[i, k])
+                            if v != 0:
+                                if br.bit() and not (v & p1):
+                                    blocks[i, k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s:
+                            if k > se:
+                                raise ValueError("JPEG: refinement insert past band")
+                            blocks[i, k] = s
+                        k += 1
+                if eobrun > 0:
+                    # remainder of the band: correction bits only
+                    while k <= se:
+                        v = int(blocks[i, k])
+                        if v != 0:
+                            if br.bit() and not (v & p1):
+                                blocks[i, k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+    # skip padding to the next marker (0xFF fill bytes are legal)
+    p = br.pos
+    if p >= len(data) or data[p] != 0xFF:
+        raise ValueError("JPEG: expected marker after progressive scan")
+    while p + 1 < len(data) and data[p + 1] == 0xFF:
+        p += 1
+    return p
 
 
 def _decode_scan(
@@ -610,7 +1139,15 @@ def _decode_scan(
                     zz, quant
                 )
             mcu += 1
-    if nc == 1:
+    return _planes_to_pixels(planes, width, height)
+
+
+def _planes_to_pixels(
+    planes: List[np.ndarray], width: int, height: int
+) -> Tuple[int, int, int, bytes]:
+    """Padded component planes → cropped interleaved pixels (shared by the
+    baseline and progressive reconstruction paths)."""
+    if len(planes) == 1:
         return width, height, 1, planes[0][:height, :width].tobytes()
     y = planes[0][:height, :width].astype(np.int64)
     cb = planes[1][:height, :width].astype(np.int64)

@@ -4,17 +4,18 @@ Decode status, honestly labeled per format:
 
 * **REAL, from scratch (round 5)**: PNG, BMP, WAV/μ-law and GIF decode
   via ``b_pdf_parser_spark.mediacodec`` (stdlib-only: zlib/struct, full
-  chunk walks with CRC/padding/filter/LZW handling) and baseline JPEG
-  via ``b_pdf_parser_spark.jpegcodec`` (Huffman entropy decode, DCT,
+  chunk walks with CRC/padding/filter/LZW handling) and JPEG — baseline
+  SOF0/SOF1 and progressive SOF2 (Annex-G scan scripts) — via
+  ``b_pdf_parser_spark.jpegcodec`` (Huffman entropy decode, DCT,
   fixed-point YCbCr) — all value-oracled through the
   real-roundtrip-vs-formula pattern (``synth_real_media_df`` →
   ``real_media_features`` → DuckDB recomputes exact integer pixel/sample
   sums from the generating formulas). ``pdf_jpeg_pixel_features`` closes
   the loop with the PDF walk: DCTDecode image XObjects decode to pixels.
-* **STUBBED**: progressive/arithmetic JPEG, JPEG2000, CCITT and
-  compressed audio/video need decoders we haven't built or the absent
-  native libs (PIL/ffmpeg/opencv are not in this runtime) — those
-  payloads land in the ``error`` column, never crash the batch.
+* **STUBBED**: arithmetic-coded JPEG, JPEG2000, CCITT and compressed
+  audio/video need decoders we haven't built or the absent native libs
+  (PIL/ffmpeg/opencv are not in this runtime) — those payloads land in
+  the ``error`` column, never crash the batch.
 
 Everything Spark-side is real and tested for both classes: schema, Arrow
 batch shape, partitioning, the ``mapInPandas`` feature-extraction
@@ -260,6 +261,11 @@ def real_media_dims(i: int) -> dict:
             "h": 8 * (1 + (j // 3) % 2),
             "ch": (1, 3)[j % 2],
             "restart": (0, 2, 3)[j % 3],
+            # progressive (SOF2, Annex G) on half the restart-free docs:
+            # identical coefficient pipeline -> identical decoded pixels,
+            # so the oracle formulas are unchanged while the multi-scan
+            # successive-approximation decode path is value-checked
+            "prog": j % 3 == 0 and (j // 3) % 2 == 0,
         }
     return {
         "fmt": fmt,
@@ -292,16 +298,23 @@ def encode_real_media(i: int) -> bytes:
 
     d = real_media_dims(i)
     if d["fmt"] == "jpeg":
-        from ..jpegcodec import QUANT_CHROMA, QUANT_LUM, encode_jpeg
+        from ..jpegcodec import (
+            QUANT_CHROMA,
+            QUANT_LUM,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         # Annex-K tables with the DC step forced to 8: divides 8*(v-128)
         # for every integer v, so flat blocks decode bit-exactly (the AC
         # steps are irrelevant — a flat block's 63 AC coefficients are 0)
+        q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
+        px = _jpeg_flat_pixels(i, d["w"], d["h"], d["ch"])
+        if d["prog"]:
+            return encode_jpeg_progressive(d["w"], d["h"], d["ch"], px, qtables=q8)
         return encode_jpeg(
-            d["w"], d["h"], d["ch"],
-            _jpeg_flat_pixels(i, d["w"], d["h"], d["ch"]),
-            qtables=((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:]),
-            restart_interval=d["restart"],
+            d["w"], d["h"], d["ch"], px,
+            qtables=q8, restart_interval=d["restart"],
         )
     if d["fmt"] == "wav":
         samples = [((i * 13 + k * 7) % 2003) - 1001 for k in range(d["n"])]
@@ -382,8 +395,8 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
             vals = list(px)
         else:
             raise NotImplementedError(
-                "no from-scratch decoder for this container (progressive/"
-                "arithmetic JPEG, JPEG2000 and compressed A/V stay stubbed)"
+                "no from-scratch decoder for this container (arithmetic-"
+                "coded JPEG, JPEG2000 and compressed A/V stay stubbed)"
             )
         row.update(
             n_values=len(vals),
@@ -514,21 +527,26 @@ def _jpeg_xobject_dims(i: int, j: int) -> dict:
         "h": 8 * (1 + j % 2),
         "ch": (1, 3)[(i + j) % 2],
         "restart": (0, 2, 3)[(i + j) % 3],
+        # progressive SOF2 on half the restart-free XObjects (decoded
+        # pixels — and hence the oracle formulas — are identical)
+        "prog": (i + j) % 3 == 0 and i % 2 == 0,
         "seed": i * 13 + j * 7,
     }
 
 
 def synth_jpegdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
-    """``n`` deterministic PDFs, each embedding ``i % 3`` REAL baseline
-    JPEGs (flat 8×8 blocks, DC quant 8 — the bit-exact stratum) as
-    /DCTDecode image XObjects, plus one pseudo-byte CCITT decoy per doc
+    """``n`` deterministic PDFs, each embedding ``i % 3`` REAL JPEGs
+    (flat 8×8 blocks, DC quant 8 — the bit-exact stratum; baseline SOF0
+    with restart rotation + progressive SOF2 on half the restart-free
+    slots) as /DCTDecode image XObjects, plus one pseudo-byte CCITT
+    decoy per doc
     so a filter-routing bug (decoding the wrong stream) breaks the
     oracle with an error row instead of passing silently."""
     base = spark.range(0, n, 1, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from b_pdf_parser_spark.jpegcodec import (
-            QUANT_CHROMA, QUANT_LUM, encode_jpeg,
+            QUANT_CHROMA, QUANT_LUM, encode_jpeg, encode_jpeg_progressive,
         )
         from b_pdf_parser_spark.pdfwriter import build_pdf, make_image
 
@@ -541,11 +559,16 @@ def synth_jpegdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
                 imgs = []
                 for j in range(i % 3):
                     d = _jpeg_xobject_dims(i, j)
-                    payload = encode_jpeg(
-                        d["w"], d["h"], d["ch"],
-                        _jpeg_flat_pixels(d["seed"], d["w"], d["h"], d["ch"]),
-                        qtables=q8, restart_interval=d["restart"],
-                    )
+                    px = _jpeg_flat_pixels(d["seed"], d["w"], d["h"], d["ch"])
+                    if d["prog"]:
+                        payload = encode_jpeg_progressive(
+                            d["w"], d["h"], d["ch"], px, qtables=q8,
+                        )
+                    else:
+                        payload = encode_jpeg(
+                            d["w"], d["h"], d["ch"], px,
+                            qtables=q8, restart_interval=d["restart"],
+                        )
                     imgs.append({
                         "page": 0, "width": d["w"], "height": d["h"],
                         "filter": "DCTDecode", "data": payload,

@@ -11,6 +11,7 @@ from b_pdf_parser_spark.jpegcodec import (
     QUANT_LUM,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     rgb_to_ycbcr,
     ycbcr_to_rgb,
 )
@@ -116,7 +117,9 @@ def test_bad_inputs_raise():
     with pytest.raises(ValueError):
         decode_jpeg(good[:-20])  # truncated entropy segment
     with pytest.raises(ValueError):
-        # progressive SOF2 must be refused, not mis-decoded
+        # SOF2 marker splice over a baseline stream: the scan script is
+        # invalid progressive (full-band interleaved AC), so the decoder
+        # must raise rather than mis-decode it as a progressive file
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2"))
     with pytest.raises(ValueError):
         encode_jpeg(8, 8, 2, bytes(128), qtables=_Q8)  # 2-channel unsupported
@@ -138,3 +141,50 @@ def test_ycbcr_fixed_point_twins_match_scalar_vs_vectorized():
         assert (y, cb, cr) == (yv, cbv, crv)
         r2, g2, b2 = ycbcr_to_rgb(y, cb, cr)
         assert max(abs(r2 - r), abs(g2 - g), abs(b2 - b)) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2, Annex G) — the progressive encoder shares the entire
+# coefficient pipeline with the baseline encoder, so a progressive decode
+# must be BIT-IDENTICAL to the baseline decode of the same pixels.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "w,h,c",
+    [(8, 8, 1), (16, 16, 3), (13, 11, 3), (29, 17, 1), (64, 48, 3)],
+)
+def test_progressive_decode_equals_baseline_decode(w, h, c):
+    rng = np.random.RandomState(w * 1000 + h * 10 + c)
+    px = rng.randint(0, 256, size=h * w * c, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, c, px, qtables=_Q8))
+    prog = encode_jpeg_progressive(w, h, c, px, qtables=_Q8)
+    # really SOF2 (before the first SOS), not baseline
+    assert prog.index(b"\xff\xc2") < prog.index(b"\xff\xda")
+    assert decode_jpeg(prog) == base
+
+
+def test_progressive_flat_blocks_bit_exact():
+    # the oracle contract: flat 8x8 blocks survive DCT+quant exactly,
+    # and the progressive scan script must reassemble them exactly too
+    for i in (0, 3, 17):
+        px = _flat_gray(i, 32, 16)
+        dw, dh, dc, out = decode_jpeg(
+            encode_jpeg_progressive(32, 16, 1, px, qtables=_Q8)
+        )
+        assert (dw, dh, dc) == (32, 16, 1)
+        assert out == px
+
+
+def test_progressive_annexk_bounded_on_smooth_gradient():
+    w, h = 40, 24
+    px = bytes(((x * 3 + y * 2) // 4) % 256 for y in range(h) for x in range(w))
+    # gradient is smooth enough that even the lossy Annex-K tables stay close
+    _, _, _, base = decode_jpeg(encode_jpeg(w, h, 1, px))
+    _, _, _, prog = decode_jpeg(encode_jpeg_progressive(w, h, 1, px))
+    assert prog == base  # identical coefficient pipeline -> identical output
+
+
+def test_progressive_truncated_scan_raises():
+    prog = encode_jpeg_progressive(16, 16, 3, bytes(16 * 16 * 3), qtables=_Q8)
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[:-10])
