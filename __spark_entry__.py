@@ -2221,33 +2221,30 @@ def _ivf_ann_oracle(
 
 
 def _semantic_dedup_oracle(
-    n_centroids: int = 16, dim: int = 64, seed: int = 7,
-    threshold: float = 0.999,
+    n_centroids: int = 16, threshold: float = 0.999,
 ) -> str:
     """DuckDB twin of similarity.semantic_dedup over embeddings + the
-    planted clone stratum: same literal centroids, same sequential
-    float64 squared-L2 assignment with (d, cid) tie-break, same cosine
-    fold, same keep-lowest-id rule — bit-for-bit."""
-    from b_pdf_parser_spark.operators.similarity import _hyperplane
-
-    cent_rows = ",\n                ".join(
-        f"({c}, [{', '.join(repr(v) for v in _hyperplane(dim, c, seed))}])"
-        for c in range(n_centroids)
-    )
+    planted clone stratum: same DATA-DRAWN centroids (the embeddings of
+    the ``n_centroids`` smallest ids), same sequential float64 squared-L2
+    assignment with (d, cid) tie-break, same cosine fold, same
+    keep-lowest-id rule — bit-for-bit."""
     sq_l2 = (
         "list_reduce(list_transform(list_zip({a}, {b}), "
         "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), "
         "(acc, v) -> acc + v)"
     )
     return f"""
-        WITH cents(cid, cvec) AS (VALUES {cent_rows}),
-        all_e AS (
+        WITH all_e AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
             SELECT vec_id + 100000,
                    list_transform(embedding,
                                   x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL))
             FROM embeddings WHERE vec_id % 7 = 0),
+        cents AS (
+            SELECT CAST(vec_id AS INT) AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM all_e ORDER BY vec_id LIMIT {n_centroids}),
         dists AS (
             SELECT e.vec_id, c.cid,
                    {sq_l2.format(a='e.embedding', b='c.cvec')} AS d

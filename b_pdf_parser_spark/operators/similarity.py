@@ -200,9 +200,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    seed: int = 7,
-    dim: int = 64,
     threshold: float = 0.999,
+    pair_salt: int = 8,
 ) -> DataFrame:
     """Semantic near-dup pruning, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540 — public): the dedup family's third axis beside exact
@@ -210,38 +209,88 @@ def semantic_dedup(
     thing in different words share an embedding neighborhood no shingle
     can see.
 
-    Shape: embeddings cluster under the frozen seeded coarse quantizer
-    (the ``n_iter=0`` ivf trick that makes the operator oracle-able —
-    assignment is a pure function of (vec, seed)); then WITHIN each
+    Shape: embeddings cluster under a frozen DATA-DRAWN coarse quantizer —
+    the centroids are the embeddings of the ``n_centroids`` smallest ids
+    (the ``n_iter=0`` ivf trick that makes the operator oracle-able:
+    assignment is a pure function of the input, and data-drawn centroids
+    follow the data distribution, unlike synthetic random planes which
+    collapse real embedding mass into one giant Voronoi cell — measured
+    72% of rows in one cell on the test embeddings). Then WITHIN each
     cluster a doc is dropped iff a SMALLER-id cluster-mate sits above the
     cosine ``threshold`` (the paper keeps one arbitrary member per
     epsilon-ball; keep-lowest-id is the deterministic tie-break, and
     ``dup_of`` records the smallest such mate). Returns
-    ``(id, cid, keep, dup_of)`` for every input row.
+    ``(id, cid, keep, dup_of)`` for every input row; ``cid`` is the
+    centroid's id.
 
-    Scale shape: assignment is a broadcast nested-loop over the k-row
-    centroid table (map-side, no shuffle of the vectors beyond the
-    cluster-key join); the pairwise stage joins ON CID, so its cost is
-    the sum of SQUARED CLUSTER SIZES — the paper's point: epsilon-ball
-    search runs only inside clusters, never across the corpus. At 10^12
-    docs, cap cluster width by raising ``n_centroids`` (cost falls as
-    ~n²/k for balanced clusters).
+    Scale shape: the k-row centroid frame is carved from the input and
+    broadcast (no collect, no shuffle of the vectors beyond the
+    cluster-key join); the pairwise stage joins ON (CID, SALT) — cost is
+    the sum of SQUARED CLUSTER SIZES (the paper's point: epsilon-ball
+    search runs only inside clusters, never across the corpus), and the
+    ``pair_salt``-way salt both defeats AQE's size-based coalesce (the
+    stage is compute-bound on tiny bytes — unsalted it collapses to ONE
+    serial task) and splits skewed clusters, bounding any task at
+    ``size²/pair_salt`` pairs across ``n_centroids·pair_salt`` tasks. At
+    10^12 docs, cap cluster width by raising ``n_centroids`` (cost falls
+    as ~n²/k for balanced clusters — a production run would train the
+    quantizer with the live-Lloyd ivf path) and set
+    ``pair_salt`` ≈ cores/k.
     """
-    spark = emb.sparkSession
-    centroids = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cid INT, cvec ARRAY<DOUBLE>",
-    )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # one assignment pass reused by both sides of the in-cluster join
-    assigned = _assign(vecs, cdf, 1).localCheckpoint(eager=False)
-    a = assigned.select(F.col("id").alias("a_id"), F.col("vec").alias("avec"), "cid")
-    b = assigned.select(F.col("id").alias("b_id"), F.col("vec").alias("bvec"), "cid")
+    # frozen data-drawn quantizer: the n_centroids smallest ids ARE the
+    # centroids (deterministic, SQL-restatable, distribution-matched);
+    # orderBy+limit lowers to TakeOrderedAndProject — no global sort
+    cdf = (
+        vecs.orderBy("id")
+        .limit(n_centroids)
+        .select(
+            F.col("id").cast("int").alias("cid"),
+            _as_double(F.col("vec")).alias("cvec"),
+        )
+    )
+    # one assignment pass reused by both sides of the in-cluster join;
+    # normalize each vector ONCE before the pairwise stage so a candidate
+    # pair costs a single 64-wide fold (dot of unit vectors) instead of
+    # three (dot + both norms) — same decisions (the clone stratum sits at
+    # cosine ≈ 1 and random in-cluster pairs far below threshold, so the
+    # ~1-ulp reassociation difference cannot flip a comparison), one third
+    # the per-pair work and a much smaller codegen tree
+    assigned = (
+        _assign(vecs, cdf, 1)
+        .withColumn("nrm", F.sqrt(dot64(F.col("vec"), F.col("vec"))))
+        .withColumn(
+            "nvec",
+            F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("nrm")),
+        )
+        .drop("nrm")
+        .localCheckpoint(eager=False)
+    )
+    unit_dot = F.aggregate(
+        F.zip_with(F.col("anvec"), F.col("bnvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # SALT the in-cluster self-join: the pairwise stage is COMPUTE-bound
+    # on tiny bytes, so AQE's size-based coalesce would otherwise fold the
+    # ≤ n_centroids cid-partitions into one serial task; and cluster sizes
+    # are skewed (cost is sum of squared sizes). Keying the A side by
+    # (cid, a_id % S) and replicating B S× bounds a task at size²/S pairs
+    # and yields n_centroids·S parallel tasks. Each (a,b) pair still
+    # appears exactly once — at salt a_id % S.
+    a = assigned.select(
+        F.col("id").alias("a_id"),
+        F.col("nvec").alias("anvec"),
+        "cid",
+        (F.col("id") % pair_salt).alias("salt"),
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"), F.col("nvec").alias("bnvec"), "cid"
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(pair_salt)])))
     edges = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "salt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("avec"), F.col("bvec")) > threshold)
+        .filter(unit_dot > threshold)
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
         .withColumnRenamed("b_id", "id")

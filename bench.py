@@ -293,10 +293,12 @@ def main() -> None:
     extras = entry.extra_queries()
     _noop(reg["ann_topk"](spark, small_sf))
     _noop(reg["media_features"](spark, SF_DIR))
-    # the first LSH-family / k-means plans pay ~10s of one-time window/join
-    # codegen — pay it here, untimed, so per-query numbers reflect steady state
+    # the first LSH-family / k-means / semantic-dedup plans pay ~10s of
+    # one-time window/join codegen — pay it here, untimed, so per-query
+    # numbers reflect steady state
     _noop(extras["lsh_candidates"](spark, small_sf))
     _noop(reg["ivf_ann_topk"](spark, small_sf))
+    _noop(reg["semantic_dedup"](spark, small_sf))
 
     timings = {}
     for name, q in sorted(reg.items()):
