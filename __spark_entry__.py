@@ -1497,6 +1497,27 @@ def q_pdf_jpeg_decode(spark, sf):
     return pdf_jpeg_pixel_features(synth_jpegdoc_df(spark, 120))
 
 
+def q_pdf_ccitt_decode(spark, sf):
+    """The fax twin of ``pdf_jpeg_decode``: 120 deterministic PDFs embed
+    REAL CCITT Group 4 (ITU-T T.6) bi-level images — pass/horizontal/
+    vertical mode coding over T.4 run alphabets, mostly non-byte-aligned
+    widths — as /CCITTFaxDecode XObjects (/K -1, /DeviceGray, 1 bpc)
+    next to a pseudo-byte DCT decoy. The PDF walk surfaces the encoded
+    streams, ``ccittcodec`` decodes them to pixels (LOSSLESS, so the
+    features are exact by construction), and the DuckDB oracle recomputes
+    the integer pixel sums from the generating pattern formula — a bug in
+    the XObject walk, the filter routing, the mode coder or the run
+    tables breaks the parity hash."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        pdf_ccitt_pixel_features,
+        synth_ccittdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return pdf_ccitt_pixel_features(synth_ccittdoc_df(spark, 120))
+
+
 def q_media_frame_sample(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import frame_sample, synth_media_df
@@ -1979,6 +2000,7 @@ def extra_queries() -> dict[str, _T]:
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
         "pdf_jpeg_decode": q_pdf_jpeg_decode,
+        "pdf_ccitt_decode": q_pdf_ccitt_decode,
         "link_hosts": q_link_hosts,
         "sitemap_urls": q_sitemap_urls,
         "length_histogram": q_length_histogram,
@@ -3706,6 +3728,39 @@ def _all_oracles() -> dict[str, str]:
                    'Im' || dm.j AS name,
                    CAST(dm.w AS INT) AS width, CAST(dm.h AS INT) AS height,
                    CAST(dm.ch AS INT) AS channels,
+                   CAST(s2.nv AS BIGINT) AS n_values,
+                   s2.value_sum, s2.weighted_sum,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM dims dm JOIN sums s2 USING (i, j)
+        """,
+        "pdf_ccitt_decode": """
+            WITH d AS (SELECT range AS i FROM range(0, 120)),
+            imgs AS (
+                SELECT i, CAST(unnest(range(0, 1 + i % 2)) AS INT) AS j FROM d),
+            dims AS (
+                SELECT i, j,
+                       21 + (i * 13 + j * 5) % 17 AS w,
+                       10 + (i * 3 + j) % 9 AS h
+                FROM imgs),
+            vals AS (
+                SELECT i, j, w, h, unnest(range(0, w * h)) AS k FROM dims),
+            -- the generating bi-level pattern, restated per pixel
+            -- (G4 coding is lossless, so decode == pattern exactly)
+            pv AS (
+                SELECT i, j, k,
+                       CASE WHEN (((k % w) // 3 + (k // w) // 2
+                                   + i * 7 + j * 3) % 5) < 3
+                            THEN 255 ELSE 0 END AS val
+                FROM vals),
+            sums AS (
+                SELECT i, j, COUNT(*) AS nv,
+                       CAST(SUM(val) AS BIGINT) AS value_sum,
+                       CAST(SUM((k + 1) * val) AS BIGINT) AS weighted_sum
+                FROM pv GROUP BY i, j)
+            SELECT dm.i AS doc_id, CAST(0 AS INT) AS page,
+                   'Im' || dm.j AS name,
+                   CAST(dm.w AS INT) AS width, CAST(dm.h AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
                    CAST(s2.nv AS BIGINT) AS n_values,
                    s2.value_sum, s2.weighted_sum,
                    CAST(NULL AS VARCHAR) AS error

@@ -32,11 +32,12 @@ corpus deterministically; the PNG encoder rotates the row filter type so
 the decoder's whole unfilter surface is exercised by round-trips.
 
 JPEG (entropy-coded DCT, baseline SOF0/SOF1 and progressive SOF2) lives
-in the sibling module ``jpegcodec.py`` — implemented from scratch as of
-round 5. What remains stubbed — and why: arithmetic-coded JPEG,
-JPEG2000, CCITT, and every audio/video compression codec still need
-decoders we haven't built (or the absent native libs); those payloads
-take the honest NotImplementedError path in operators/multimodal.py.
+in the sibling module ``jpegcodec.py``, and CCITT Group 4 fax (ITU-T
+T.6) in ``ccittcodec.py`` — both implemented from scratch as of round
+5. What remains stubbed — and why: arithmetic-coded JPEG, JPEG2000, and
+every audio/video compression codec still need decoders we haven't
+built (or the absent native libs); those payloads take the honest
+NotImplementedError path in operators/multimodal.py.
 """
 
 from __future__ import annotations

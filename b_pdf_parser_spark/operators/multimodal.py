@@ -10,9 +10,13 @@ Decode status, honestly labeled per format:
   fixed-point YCbCr) — all value-oracled through the
   real-roundtrip-vs-formula pattern (``synth_real_media_df`` →
   ``real_media_features`` → DuckDB recomputes exact integer pixel/sample
-  sums from the generating formulas). ``pdf_jpeg_pixel_features`` closes
-  the loop with the PDF walk: DCTDecode image XObjects decode to pixels.
-* **STUBBED**: arithmetic-coded JPEG, JPEG2000, CCITT and compressed
+  sums from the generating formulas), and CCITT Group 4 fax (ITU-T T.6)
+  via ``b_pdf_parser_spark.ccittcodec`` (2D mode coding over the T.4 run
+  alphabets — lossless, so its features are exact by construction).
+  ``pdf_jpeg_pixel_features`` / ``pdf_ccitt_pixel_features`` close the
+  loop with the PDF walk: DCTDecode / CCITTFaxDecode image XObjects
+  decode to pixels.
+* **STUBBED**: arithmetic-coded JPEG, JPEG2000 and compressed
   audio/video need decoders we haven't built or the absent native libs
   (PIL/ffmpeg/opencv are not in this runtime) — those payloads land in
   the ``error`` column, never crash the batch.
@@ -618,6 +622,117 @@ def pdf_jpeg_pixel_features(docs: DataFrame) -> DataFrame:
                             "value_sum": int(sum(vals)),
                             "weighted_sum": int(
                                 sum((k + 1) * v for k, v in enumerate(vals))
+                            ),
+                            "error": None,
+                        })
+                except Exception as e:  # corrupt doc/stream → error row
+                    rows.append({
+                        "doc_id": int(did), "page": -1, "name": "",
+                        "width": None, "height": None, "channels": None,
+                        "n_values": None, "value_sum": None,
+                        "weighted_sum": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=JPEG_PIX_SCHEMA_DDL)
+
+
+def _ccitt_xobject_dims(i: int, j: int) -> dict:
+    """Generating formulas for embedded CCITT G4 image ``j`` of doc ``i``
+    — shared by the corpus builder and the DuckDB oracle. Widths are
+    mostly NOT byte multiples (fax rows are bit-packed, so alignment bugs
+    only show on odd widths)."""
+    return {
+        "w": 21 + (i * 13 + j * 5) % 17,
+        "h": 10 + (i * 3 + j) % 9,
+    }
+
+
+def _ccitt_pattern_pixels(i: int, j: int, w: int, h: int) -> bytes:
+    """Bi-level test pattern (0 = black, 255 = white): white iff
+    ``(x//3 + y//2 + i*7 + j*3) % 5 < 3``. The 3-wide runs exercise
+    horizontal mode, the every-2-rows phase shift exercises the vertical
+    modes, and the wrap of the modulus produces pass-mode rows — while
+    staying a closed form a SQL oracle can restate per pixel."""
+    return bytes(
+        255 if ((x // 3 + y // 2 + i * 7 + j * 3) % 5) < 3 else 0
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    """``n`` deterministic PDFs, each embedding ``1 + i % 2`` REAL CCITT
+    Group 4 (ITU-T T.6) bi-level images as /CCITTFaxDecode XObjects
+    (/K -1, /DeviceGray, 1 bpc — the scanned-document-PDF shape), plus
+    one pseudo-byte DCTDecode decoy per doc so a filter-routing bug
+    (running the fax coder over the wrong stream) breaks the oracle with
+    an error row instead of passing silently."""
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.ccittcodec import encode_g4
+        from b_pdf_parser_spark.pdfwriter import build_pdf, make_image
+
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                spans = [[(40.0, 700.0, f"ccitt doc {i}")]]
+                imgs = []
+                for j in range(1 + i % 2):
+                    d = _ccitt_xobject_dims(i, j)
+                    imgs.append({
+                        "page": 0, "width": d["w"], "height": d["h"],
+                        "filter": "CCITTFaxDecode",
+                        "data": encode_g4(
+                            d["w"], d["h"],
+                            _ccitt_pattern_pixels(i, j, d["w"], d["h"]),
+                        ),
+                    })
+                imgs.append(make_image(0, 16, 8, "DCTDecode", seed=i))
+                rows.append({
+                    "doc_id": i,
+                    "pdf": build_pdf(spans, xref_stream=(i % 2 == 0), images=imgs),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    return base.mapInPandas(gen, schema=IMAGEDOC_SCHEMA_DDL)
+
+
+def pdf_ccitt_pixel_features(docs: DataFrame) -> DataFrame:
+    """PDF walk → /CCITTFaxDecode XObject streams → REAL Group 4 decode →
+    exact integer pixel features per embedded fax image (bi-level coding
+    is lossless, so the features are exact by construction, not by a
+    quantization argument like JPEG's flat-block stratum). Non-CCITT
+    images are routed past the codec. One Arrow-batch Python dispatch
+    per document."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.ccittcodec import decode_g4
+        from b_pdf_parser_spark.pdfmodel import image_inventory
+
+        cols = ["doc_id", "page", "name", "width", "height", "channels",
+                "n_values", "value_sum", "weighted_sum", "error"]
+        for b in batches:
+            rows = []
+            for did, pdf in zip(b["doc_id"], b["pdf"]):
+                try:
+                    for rec in image_inventory(bytes(pdf), with_data=True):
+                        if rec["filter"] != "CCITTFaxDecode":
+                            continue
+                        px = decode_g4(
+                            rec["data"], rec["width"], rec["height"]
+                        )
+                        rows.append({
+                            "doc_id": int(did), "page": rec["page"],
+                            "name": rec["name"], "width": rec["width"],
+                            "height": rec["height"], "channels": 1,
+                            "n_values": len(px),
+                            "value_sum": int(sum(px)),
+                            "weighted_sum": int(
+                                sum((k + 1) * v for k, v in enumerate(px))
                             ),
                             "error": None,
                         })

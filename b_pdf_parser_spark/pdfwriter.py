@@ -409,11 +409,23 @@ def build_pdf(
         name = b"/Im%d" % j
         by_page.setdefault(int(im["page"]), []).append((name, num))
         data = bytes(im["data"])  # already "encoded" — no recompress
+        filt = str(im["filter"])
+        if filt == "CCITTFaxDecode":
+            # bi-level fax image: Group 4 (K<0), PDF defaults otherwise
+            # (BlackIs1 false — decoded 0 bits are black), ISO 32000-2
+            # §7.4.6; Columns/Rows pinned to the image dimensions
+            color = (
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
+                % (int(im["width"]), int(im["height"]))
+            )
+        else:
+            color = b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
         img_objs[num] = (
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /%s /Length %d >>"
-            % (int(im["width"]), int(im["height"]),
-               str(im["filter"]).encode("ascii"), len(data))
+            % (int(im["width"]), int(im["height"]))
+            + color
+            + b"/Filter /%s /Length %d >>" % (filt.encode("ascii"), len(data))
             + b"\nstream\n" + data + b"\nendstream"
         )
     if images:

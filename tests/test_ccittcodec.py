@@ -1,0 +1,108 @@
+"""From-scratch CCITT Group 4 (ITU-T T.6): lossless roundtrips over
+patterns that exercise every coding mode, spec known-vectors, run-table
+prefix-freedom, and loud failure on truncated/malformed streams (see
+b_pdf_parser_spark/ccittcodec.py)."""
+
+import random
+
+import pytest
+
+from b_pdf_parser_spark.ccittcodec import (
+    BLACK_CODES,
+    EXT_MAKEUP,
+    WHITE_CODES,
+    decode_g4,
+    encode_g4,
+)
+
+
+def _bits(data: bytes) -> str:
+    return "".join(f"{b:08b}" for b in data)
+
+
+@pytest.mark.parametrize("name,codes", [
+    ("white", WHITE_CODES), ("black", BLACK_CODES),
+])
+def test_run_tables_prefix_free_and_complete(name, codes):
+    # T.4 alphabets: terminating 0..63, makeup 64..1728 step 64, plus the
+    # shared extended makeups 1792..2560 — prefix-free within each color
+    assert sorted(k for k in codes if k < 64) == list(range(64))
+    assert sorted(k for k in codes if k >= 64) == list(range(64, 1729, 64))
+    assert sorted(EXT_MAKEUP) == list(range(1792, 2561, 64))
+    full = list(codes.values()) + list(EXT_MAKEUP.values())
+    assert len(set(full)) == len(full)
+    for a in full:
+        for b in full:
+            assert a == b or not b.startswith(a), (name, a, b)
+
+
+def test_known_vector_first_row_horizontal():
+    # 4 white + 4 black, single row: horizontal mode (001) + white-4
+    # (1011) + black-4 (011), then EOFB — hand-decodable from the spec
+    data = encode_g4(8, 1, bytes([255] * 4 + [0] * 4))
+    assert _bits(data).startswith("0011011011" + "000000000001" * 2)
+
+
+def test_known_vector_all_white_row_is_v0():
+    # all-white row vs imaginary white reference: a1=b1=width -> one V0 bit
+    data = encode_g4(16, 1, bytes([255] * 16))
+    assert _bits(data).startswith("1" + "000000000001" * 2)
+
+
+@pytest.mark.parametrize("style", range(5))
+def test_roundtrip_exact(style):
+    rng = random.Random(style)
+    for _ in range(30):
+        w = rng.randint(1, 70)
+        h = rng.randint(1, 20)
+        if style == 0:  # blocky checker: horizontal + vertical modes
+            px = bytes(255 if (x // 4 + y // 3) % 2 else 0
+                       for y in range(h) for x in range(w))
+        elif style == 1:  # all white
+            px = bytes([255]) * (w * h)
+        elif style == 2:  # all black
+            px = bytes(w * h)
+        elif style == 3:  # per-pixel noise: worst case, heavy horizontal
+            px = bytes(rng.choice((0, 255)) for _ in range(w * h))
+        else:  # curved pattern: pass-mode rows
+            px = bytes(255 if (x * x + y * y) % 7 < 3 else 0
+                       for y in range(h) for x in range(w))
+        dec = decode_g4(encode_g4(w, h, px), w, h)
+        assert dec == bytes(255 if p else 0 for p in px), (style, w, h)
+
+
+@pytest.mark.parametrize("w", [64, 1728, 1729, 2560, 2561, 3000])
+def test_long_runs_makeup_codes(w):
+    # runs spanning makeup (64..1728) and extended makeup (1792..2560,
+    # repeated for longer) territory roundtrip exactly
+    px = bytes([0]) * w + bytes([255]) * w
+    assert decode_g4(encode_g4(w, 2, px), w, 2) == px
+
+
+def test_truncated_stream_raises():
+    px = bytes(255 if (x + y) % 5 < 2 else 0 for y in range(10) for x in range(40))
+    enc = encode_g4(40, 10, px)
+    with pytest.raises(ValueError):
+        decode_g4(enc[: len(enc) // 2], 40, 10)
+
+
+def test_garbage_raises():
+    with pytest.raises(ValueError):
+        decode_g4(b"\xaa\x55" * 40, 32, 8)  # hits an invalid code or overrun
+
+
+def test_bad_dims_raise():
+    with pytest.raises(ValueError):
+        encode_g4(0, 4, b"")
+    with pytest.raises(ValueError):
+        encode_g4(4, 4, bytes(15))  # size mismatch
+    with pytest.raises(ValueError):
+        decode_g4(b"\x00", 0, 4)
+
+
+def test_nonzero_is_white_convention():
+    # encoder treats any nonzero byte as white; decoder emits exactly 0/255
+    px_in = bytes([0, 1, 128, 255] * 4)
+    out = decode_g4(encode_g4(16, 1, px_in), 16, 1)
+    assert out == bytes(255 if p else 0 for p in px_in)
+    assert set(out) <= {0, 255}
