@@ -1518,6 +1518,26 @@ def q_pdf_ccitt_decode(spark, sf):
     return pdf_ccitt_pixel_features(synth_ccittdoc_df(spark, 120))
 
 
+def q_tiff_media_decode(spark, sf):
+    """REAL TIFF decode, value-oracled: 60 genuine TIFF 6.0 payloads
+    rotating four strata — CCITT G4 fax strips in BOTH byte orders
+    (class F, the container scanned documents travel the web in; strips
+    are independent G4 blocks restarting from the imaginary white row)
+    and uncompressed 8-bit gray / 24-bit RGB — across three strip
+    layouts (whole-image, 3-row, 5-row). The from-scratch IFD walk +
+    strip assembly + G4 decode reduce to exact integer features the
+    DuckDB oracle recomputes from the generating formulas; an endian,
+    IFD value-slot, strip-boundary or fax-coding bug breaks the hash."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        real_media_features,
+        synth_tiff_media_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return real_media_features(synth_tiff_media_df(spark, 60))
+
+
 def q_media_frame_sample(spark, sf):
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import frame_sample, synth_media_df
@@ -2001,6 +2021,7 @@ def extra_queries() -> dict[str, _T]:
         "media_frame_sample": q_media_frame_sample,
         "pdf_jpeg_decode": q_pdf_jpeg_decode,
         "pdf_ccitt_decode": q_pdf_ccitt_decode,
+        "tiff_media_decode": q_tiff_media_decode,
         "link_hosts": q_link_hosts,
         "sitemap_urls": q_sitemap_urls,
         "length_histogram": q_length_histogram,
@@ -3765,6 +3786,41 @@ def _all_oracles() -> dict[str, str]:
                    s2.value_sum, s2.weighted_sum,
                    CAST(NULL AS VARCHAR) AS error
             FROM dims dm JOIN sums s2 USING (i, j)
+        """,
+        "tiff_media_decode": """
+            WITH m AS (SELECT range AS i FROM range(0, 60)),
+            dims AS (
+                SELECT i, 9 + i % 8 AS w, 7 + i % 6 AS h,
+                       CASE WHEN i % 4 = 3 THEN 3 ELSE 1 END AS ch,
+                       CASE WHEN i % 4 IN (0, 1) THEN 4 ELSE 1 END AS comp
+                FROM m),
+            vals AS (
+                SELECT i, w, h, ch, comp,
+                       unnest(range(0, w * h * ch)) AS k
+                FROM dims),
+            -- fax strata: the bi-level generating pattern (G4 is
+            -- lossless); gray/RGB strata: the linear byte formula
+            pv AS (
+                SELECT i, k,
+                       CASE WHEN comp = 4
+                            THEN CASE WHEN (((k % w) // 3 + (k // w) // 2
+                                             + i) % 5) < 3
+                                      THEN 255 ELSE 0 END
+                            ELSE (i * 31 + k * 7) % 251 END AS val
+                FROM vals),
+            sums AS (
+                SELECT i, COUNT(*) AS nv,
+                       CAST(SUM(val) AS BIGINT) AS value_sum,
+                       CAST(SUM((k + 1) * val) AS BIGINT) AS weighted_sum
+                FROM pv GROUP BY i)
+            SELECT d.i AS media_id, 'tiff' AS fmt,
+                   CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+                   CAST(d.ch AS INT) AS channels,
+                   CAST(NULL AS INT) AS sample_rate,
+                   CAST(s.nv AS BIGINT) AS n_values,
+                   s.value_sum, s.weighted_sum,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM dims d JOIN sums s USING (i)
         """,
         "media_frame_sample": """
             WITH m AS (SELECT range AS media_id FROM range(0, 200)),

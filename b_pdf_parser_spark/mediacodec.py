@@ -23,6 +23,12 @@ their decode paths are implemented for real here, from the public specs:
   per-image minimum code size and no early change), global color table
   lookup back to canonical RGB, sub-block reassembly, extension-block
   skipping, and both sequential and 4-pass interlaced row order.
+* **TIFF** (TIFF 6.0 / class F): both byte orders, IFD walk with
+  inline-vs-offset value slots, strip organization (RowsPerStrip), 8-bit
+  gray/RGB uncompressed, and Compression=4 fax strips routed through the
+  from-scratch CCITT Group 4 codec (``ccittcodec.py``) with
+  PhotometricInterpretation honored — the container scanned documents
+  actually travel the web in.
 
 Every decoder returns canonical values (top-down RGB pixel bytes / int16
 samples) so value-level oracles can recompute exact integer features
@@ -44,7 +50,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 __all__ = [
     "encode_png",
@@ -55,6 +61,8 @@ __all__ = [
     "decode_wav",
     "encode_gif",
     "decode_gif",
+    "encode_tiff",
+    "decode_tiff",
     "ulaw_expand",
 ]
 
@@ -541,3 +549,220 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
             out[3 * k], out[3 * k + 1], out[3 * k + 2] = pal[v]
         return w, h, 3, bytes(out)
     raise ValueError("GIF contains no image descriptor")
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 (Adobe spec, public) — baseline strip-organized reader/writer in
+# both byte orders, plus TIFF class F: Compression=4 routes each strip
+# through the from-scratch CCITT Group 4 codec (ccittcodec.py), which is
+# how scanned documents actually travel the web (fax TIFFs). Strips are
+# independent G4 blocks (each restarts from the imaginary all-white row,
+# TIFF 6.0 §Section 11).
+# ---------------------------------------------------------------------------
+
+_TIFF_COMP_NONE = 1
+_TIFF_COMP_G4 = 4
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    *,
+    compression: int = _TIFF_COMP_NONE,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal-but-valid TIFF: 8-bit gray (ch 1) or RGB (ch 3) with
+    Compression=1, or bi-level class-F fax (ch 1, bytes 0=black else
+    white) with Compression=4 (CCITT G4). Strip-organized; ``pixels``
+    is row-major top-down."""
+    if channels not in (1, 3):
+        raise ValueError("TIFF: only 1 or 3 samples/pixel supported")
+    if len(pixels) != width * height * channels:
+        raise ValueError("TIFF: pixel buffer size mismatch")
+    if compression == _TIFF_COMP_G4 and channels != 1:
+        raise ValueError("TIFF: G4 compression is bi-level (1 sample)")
+    if compression not in (_TIFF_COMP_NONE, _TIFF_COMP_G4):
+        raise ValueError(f"TIFF: unsupported compression {compression}")
+    end = ">" if big_endian else "<"
+    rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
+
+    strips: List[bytes] = []
+    row_bytes = width * channels
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        raw = pixels[y0 * row_bytes : (y0 + rows) * row_bytes]
+        if compression == _TIFF_COMP_G4:
+            from .ccittcodec import encode_g4
+
+            strips.append(encode_g4(width, rows, raw))
+        else:
+            strips.append(raw)
+
+    # photometric: fax default 0 (WhiteIsZero); gray 1 (BlackIsZero); RGB 2
+    photometric = 0 if compression == _TIFF_COMP_G4 else (1 if channels == 1 else 2)
+    bits = 1 if compression == _TIFF_COMP_G4 else 8
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # value left-justified in its 4-byte slot per the spec
+        if typ == 3 and count == 1:  # SHORT
+            return struct.pack(end + "HHI", tag, typ, count) + struct.pack(
+                end + "HH", value, 0
+            )
+        return struct.pack(end + "HHII", tag, typ, count, value)
+
+    n_strips = len(strips)
+    # layout: header(8) | IFD | [bits array][strip offsets][strip counts] | strips
+    tags = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    ifd_size = 2 + len(tags) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+
+    def put_array(values: List[int], typ: int) -> int:
+        """Append a SHORT/LONG array to the extra area, return its offset."""
+        off = extra_base + len(extra)
+        fmt = "H" if typ == 3 else "I"
+        extra.extend(struct.pack(end + fmt * len(values), *values))
+        return off
+
+    if channels == 3:
+        bits_value = put_array([8, 8, 8], 3)
+        bits_entry = entry(258, 3, 3, bits_value)
+    else:
+        bits_entry = entry(258, 3, 1, bits)
+
+    # strip offset/count arrays (reserve now, fill after sizes are known)
+    data_base_guess = None
+    counts = [len(s) for s in strips]
+    if n_strips == 1:
+        counts_entry = entry(279, 4, 1, counts[0])
+    else:
+        counts_entry = entry(279, 4, n_strips, put_array(counts, 4))
+    # strip data begins after the extra area; offsets are computable now
+    # (extra grows only by the offsets array itself below, so account it)
+    off_array_len = 0 if n_strips == 1 else 4 * n_strips
+    data_base_guess = extra_base + len(extra) + off_array_len
+    offsets = []
+    pos = data_base_guess
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    if n_strips == 1:
+        offsets_entry = entry(273, 4, 1, offsets[0])
+    else:
+        offsets_entry = entry(273, 4, n_strips, put_array(offsets, 4))
+
+    entries = [
+        entry(256, 4, 1, width),
+        entry(257, 4, 1, height),
+        bits_entry,
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, photometric),
+        offsets_entry,
+        entry(277, 3, 1, channels),
+        entry(278, 4, 1, rps),
+        counts_entry,
+    ]
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(end + "HI", 42, 8)
+    out += struct.pack(end + "H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(end + "I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
+    """→ (width, height, channels, row-major top-down pixel bytes).
+    Handles both byte orders, multi-strip organization, Compression 1
+    (8-bit gray / 24-bit RGB) and Compression 4 (CCITT G4 bi-level via
+    ``ccittcodec``, honoring PhotometricInterpretation). Fails loud on
+    anything else."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("TIFF: bad byte-order mark")
+    end = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(end + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("TIFF: bad magic")
+    if ifd_off + 2 > len(data):
+        raise ValueError("TIFF: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(end + "H", data, ifd_off)
+    tag_sizes = {1: 1, 3: 2, 4: 4}
+
+    def values(tag_typ: int, count: int, slot: bytes) -> List[int]:
+        size = tag_sizes.get(tag_typ)
+        if size is None:
+            raise ValueError(f"TIFF: unsupported field type {tag_typ}")
+        fmt = {1: "B", 3: "H", 4: "I"}[tag_typ]
+        total = size * count
+        if total <= 4:
+            return list(struct.unpack_from(end + fmt * count, slot, 0))
+        (off,) = struct.unpack_from(end + "I", slot, 0)
+        if off + total > len(data):
+            raise ValueError("TIFF: value offset out of range")
+        return list(struct.unpack_from(end + fmt * count, data, off))
+
+    tags: Dict[int, List[int]] = {}
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        if base + 12 > len(data):
+            raise ValueError("TIFF: truncated IFD")
+        tag, typ, count = struct.unpack_from(end + "HHI", data, base)
+        tags[tag] = values(typ, count, data[base + 8 : base + 12])
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF: required tag {tag} missing")
+            return default
+        return tags[tag][0]
+
+    width = one(256)
+    height = one(257)
+    comp = one(259, 1)
+    photometric = one(262)
+    channels = one(277, 1)
+    rps = one(278, height)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing/mismatched strip tables")
+    bits = tags.get(258, [8])
+    if comp == _TIFF_COMP_G4:
+        if channels != 1 or bits != [1]:
+            raise ValueError("TIFF: G4 must be 1 sample at 1 bit")
+    elif comp == _TIFF_COMP_NONE:
+        if bits != [8] * channels or channels not in (1, 3):
+            raise ValueError("TIFF: only 8-bit gray/RGB uncompressed")
+    else:
+        raise ValueError(f"TIFF: unsupported compression {comp}")
+
+    out = bytearray()
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            raise ValueError("TIFF: strip out of range")
+        strip = data[off : off + cnt]
+        rows = min(rps, height - rows_done)
+        if rows <= 0:
+            raise ValueError("TIFF: more strips than image rows")
+        if comp == _TIFF_COMP_G4:
+            from .ccittcodec import decode_g4
+
+            px = decode_g4(strip, width, rows)
+            if photometric == 1:  # BlackIsZero fax: invert our convention
+                px = bytes(255 - v for v in px)
+            out += px
+        else:
+            if cnt != rows * width * channels:
+                raise ValueError("TIFF: strip byte count mismatch")
+            out += strip
+        rows_done += rows
+    if rows_done != height:
+        raise ValueError("TIFF: strips cover wrong number of rows")
+    return width, height, channels, bytes(out)

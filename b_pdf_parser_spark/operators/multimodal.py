@@ -362,9 +362,75 @@ def synth_real_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
 
 
+def tiff_media_dims(i: int) -> dict:
+    """Generating formulas for TIFF doc ``i`` — shared by the corpus
+    builder and the DuckDB oracle. Four strata rotate: G4 fax in both
+    byte orders (single- and multi-strip; bi-level pattern
+    ``white iff (x//3 + y//2 + i) % 5 < 3``) and uncompressed 8-bit
+    gray / 24-bit RGB (``v[k] = (i*31 + k*7) % 251``)."""
+    kind = i % 4
+    d = {
+        "w": 9 + i % 8,
+        "h": 7 + i % 6,
+        "kind": ("g4le", "g4be", "gray", "rgb")[kind],
+        "ch": 3 if kind == 3 else 1,
+        "big_endian": kind in (1, 3),
+        "compression": 4 if kind in (0, 1) else 1,
+        # rotate strip layout: whole-image and small multi-row strips
+        "rows_per_strip": (None, 3, 5)[(i // 4) % 3],
+    }
+    return d
+
+
+def encode_tiff_media(i: int) -> bytes:
+    """Real TIFF payload for doc ``i`` (pure function, no RNG)."""
+    from ..mediacodec import encode_tiff
+
+    d = tiff_media_dims(i)
+    w, h, ch = d["w"], d["h"], d["ch"]
+    if d["compression"] == 4:
+        px = bytes(
+            255 if ((x // 3 + y // 2 + i) % 5) < 3 else 0
+            for y in range(h)
+            for x in range(w)
+        )
+    else:
+        px = bytes((i * 31 + k * 7) % 251 for k in range(w * h * ch))
+    return encode_tiff(
+        w, h, ch, px,
+        compression=d["compression"],
+        big_endian=d["big_endian"],
+        rows_per_strip=d["rows_per_strip"],
+    )
+
+
+def synth_tiff_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                {
+                    "media_id": int(i),
+                    "kind": tiff_media_dims(int(i))["kind"],
+                    "payload": encode_tiff_media(int(i)),
+                }
+                for i in b["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
+
+
 def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
     from ..jpegcodec import decode_jpeg
-    from ..mediacodec import decode_bmp, decode_gif, decode_png, decode_wav
+    from ..mediacodec import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        decode_tiff,
+        decode_wav,
+    )
 
     row = {
         "media_id": media_id, "fmt": None, "width": None, "height": None,
@@ -396,6 +462,10 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
         elif payload[:3] == b"\xff\xd8\xff":
             w, h, ch, px = decode_jpeg(bytes(payload))
             row.update(fmt="jpeg", width=w, height=h, channels=ch)
+            vals = list(px)
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            w, h, ch, px = decode_tiff(bytes(payload))
+            row.update(fmt="tiff", width=w, height=h, channels=ch)
             vals = list(px)
         else:
             raise NotImplementedError(

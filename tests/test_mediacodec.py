@@ -142,3 +142,78 @@ def test_bmp_top_down_negative_height():
     data[14:34] = _s.pack("<IiiHHI", 40, w, -h, 1, 24, 0)
     data[54:] = b"".join(reversed(rows))  # bottom-up -> top-down storage
     assert decode_bmp(bytes(data)) == (w, h, 3, px)
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 / class F (both byte orders, strips, G4 fax via ccittcodec)
+# ---------------------------------------------------------------------------
+
+def test_tiff_gray_rgb_roundtrip_both_endians_and_strips():
+    from b_pdf_parser_spark.mediacodec import decode_tiff, encode_tiff
+
+    for be in (False, True):
+        for rps in (None, 2, 5):
+            for ch in (1, 3):
+                w, h = 11, 7
+                px = _pixels(9 if be else 4, w * h * ch)
+                enc = encode_tiff(w, h, ch, px, big_endian=be, rows_per_strip=rps)
+                assert enc[:2] == (b"MM" if be else b"II")
+                assert decode_tiff(enc) == (w, h, ch, px)
+
+
+def test_tiff_g4_fax_roundtrip_and_multistrip_independence():
+    from b_pdf_parser_spark.mediacodec import decode_tiff, encode_tiff
+
+    w, h = 21, 12  # non-byte-aligned width
+    px = bytes(255 if ((x // 3 + y // 2) % 5) < 3 else 0
+               for y in range(h) for x in range(w))
+    whole = encode_tiff(w, h, 1, px, compression=4)
+    stripped = encode_tiff(w, h, 1, px, compression=4, big_endian=True,
+                           rows_per_strip=3)
+    assert decode_tiff(whole) == (w, h, 1, px)
+    # strips are INDEPENDENT G4 blocks (each restarts from the imaginary
+    # white row) — a decoder that carries the reference row across a
+    # strip boundary decodes different pixels
+    assert decode_tiff(stripped) == (w, h, 1, px)
+    assert whole[8:] != stripped[8:]  # layouts genuinely differ
+
+
+def test_tiff_g4_photometric_blackiszero_inverts():
+    from b_pdf_parser_spark.mediacodec import decode_tiff, encode_tiff
+
+    w, h = 16, 4
+    px = bytes(255 if x < 8 else 0 for _ in range(h) for x in range(w))
+    enc = bytearray(encode_tiff(w, h, 1, px, compression=4))
+    # flip PhotometricInterpretation 0 -> 1 in the IFD (tag 262)
+    n = int.from_bytes(enc[8:10], "little")
+    for k in range(n):
+        base = 10 + 12 * k
+        if int.from_bytes(enc[base:base + 2], "little") == 262:
+            assert enc[base + 8] == 0
+            enc[base + 8] = 1
+            break
+    else:
+        raise AssertionError("photometric tag not found")
+    inv = decode_tiff(bytes(enc))
+    assert inv == (w, h, 1, bytes(255 - v for v in px))
+
+
+def test_tiff_bad_inputs_raise():
+    import pytest as _pytest
+
+    from b_pdf_parser_spark.mediacodec import decode_tiff, encode_tiff
+
+    good = encode_tiff(8, 8, 1, _pixels(1, 64))
+    with _pytest.raises(ValueError):
+        decode_tiff(b"ZZ" + good[2:])  # bad byte-order mark
+    with _pytest.raises(ValueError):
+        decode_tiff(good[:20])  # truncated IFD
+    with _pytest.raises(ValueError):
+        encode_tiff(8, 8, 3, bytes(64), compression=4)  # G4 needs 1 sample
+    with _pytest.raises(ValueError):
+        encode_tiff(8, 8, 1, bytes(63))  # size mismatch
+    # strip table out of range
+    bad = bytearray(good)
+    bad[-1] ^= 0  # keep bytes, then truncate the strip data entirely
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(bad[:-32]))
