@@ -1912,9 +1912,12 @@ def queries() -> dict[str, _T]:
         # -- PDF / multimodal ---------------------------------------------
         "pdf_images": q_pdf_images,
         "pdf_outlinks": q_pdf_outlinks,
-        "media_features": q_media_features,
-        # real PNG/BMP/WAV decode, value-oracled to the pixel sums — round-5
+        # real PNG/BMP/WAV/GIF/μ-law/JPEG decode, value-oracled — round-5
         "real_media_decode": q_real_media_decode,
+        # PDF walk × CCITT G4 fax codec, lossless pixel oracle — round-5
+        # (media_features' FAKE-container plumbing demo retired to extras;
+        # the real-decode rows above now carry the multimodal value checks)
+        "pdf_ccitt_decode": q_pdf_ccitt_decode,
         # -- web / link graph ---------------------------------------------
         "outlinks": q_outlinks,
         "canonical_urls": q_canonical_urls,
@@ -2020,8 +2023,10 @@ def extra_queries() -> dict[str, _T]:
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
         "pdf_jpeg_decode": q_pdf_jpeg_decode,
-        "pdf_ccitt_decode": q_pdf_ccitt_decode,
         "tiff_media_decode": q_tiff_media_decode,
+        # FAKE-container plumbing demo — retired round-5 for the
+        # pdf_ccitt_decode slot (real decode carries the value checks now)
+        "media_features": q_media_features,
         "link_hosts": q_link_hosts,
         "sitemap_urls": q_sitemap_urls,
         "length_histogram": q_length_histogram,
