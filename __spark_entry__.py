@@ -2290,7 +2290,7 @@ def _semantic_dedup_oracle(
                                   x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL))
             FROM embeddings WHERE vec_id % 7 = 0),
         cents AS (
-            SELECT CAST(vec_id AS INT) AS cid,
+            SELECT vec_id AS cid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
             FROM all_e ORDER BY vec_id LIMIT {n_centroids}),
         dists AS (

@@ -872,6 +872,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     frame = None  # (width, height, [(comp_id, qtab_id)])
     progressive = False
     saw_eoi = False
+    n_prog_scans = 0
     coef: Optional[List[np.ndarray]] = None  # per comp: [nblocks, 64] zigzag
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -935,6 +936,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 pos = _decode_prog_scan(
                     data, pos, body, frame, coef, dc_tabs, ac_tabs
                 )
+                n_prog_scans += 1
                 continue
             w, h, comps = frame
             ns = body[0]
@@ -951,6 +953,10 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             # fell off the end of the data mid-scan-script: a truncated
             # progressive stream must fail loud, not render partial scans
             raise ValueError("JPEG: progressive stream truncated (no EOI)")
+        if n_prog_scans == 0:
+            # SOF2+EOI with the scans stripped: zeroed accumulators would
+            # render a fabricated mid-gray image — fail loud instead
+            raise ValueError("JPEG: progressive frame has no scans")
         w, h, comps = frame
         bw, bh = (w + 7) // 8, (h + 7) // 8
         planes = []

@@ -733,12 +733,20 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF: missing/mismatched strip tables")
     bits = tags.get(258, [8])
+    if one(266, 1) != 1:  # FillOrder: LSB-first fax bytes would feed the
+        raise ValueError("TIFF: FillOrder 2 (LSB-first) unsupported")
     if comp == _TIFF_COMP_G4:
         if channels != 1 or bits != [1]:
             raise ValueError("TIFF: G4 must be 1 sample at 1 bit")
+        if photometric not in (0, 1):
+            raise ValueError(f"TIFF: fax photometric {photometric} invalid")
     elif comp == _TIFF_COMP_NONE:
         if bits != [8] * channels or channels not in (1, 3):
             raise ValueError("TIFF: only 8-bit gray/RGB uncompressed")
+        if channels == 3 and photometric != 2:
+            raise ValueError(f"TIFF: RGB needs photometric 2, got {photometric}")
+        if channels == 1 and photometric not in (0, 1):
+            raise ValueError(f"TIFF: gray photometric {photometric} invalid")
     else:
         raise ValueError(f"TIFF: unsupported compression {comp}")
 
@@ -761,7 +769,11 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
         else:
             if cnt != rows * width * channels:
                 raise ValueError("TIFF: strip byte count mismatch")
-            out += strip
+            if channels == 1 and photometric == 0:
+                # WhiteIsZero grayscale (some scanners): canonicalize
+                out += bytes(255 - v for v in strip)
+            else:
+                out += strip
         rows_done += rows
     if rows_done != height:
         raise ValueError("TIFF: strips cover wrong number of rows")

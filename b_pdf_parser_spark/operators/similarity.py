@@ -245,7 +245,10 @@ def semantic_dedup(
         vecs.orderBy("id")
         .limit(n_centroids)
         .select(
-            F.col("id").cast("int").alias("cid"),
+            # cid keeps the id's own (64-bit) type: a cast to INT would
+            # silently wrap hashed ids >= 2^31 and could collide two
+            # centroids onto one cid, merging their clusters
+            F.col("id").alias("cid"),
             _as_double(F.col("vec")).alias("cvec"),
         )
     )

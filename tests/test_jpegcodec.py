@@ -188,3 +188,12 @@ def test_progressive_truncated_scan_raises():
     prog = encode_jpeg_progressive(16, 16, 3, bytes(16 * 16 * 3), qtables=_Q8)
     with pytest.raises(ValueError):
         decode_jpeg(prog[:-10])
+
+
+def test_progressive_frame_without_scans_raises():
+    # SOF2 + EOI with the scans stripped must not render fabricated gray
+    prog = encode_jpeg_progressive(16, 16, 1, bytes([255] * 256), qtables=_Q8)
+    sos = prog.index(b"\xff\xda")
+    eoi = prog.rindex(b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[:sos] + prog[eoi:])

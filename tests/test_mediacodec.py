@@ -217,3 +217,35 @@ def test_tiff_bad_inputs_raise():
     bad[-1] ^= 0  # keep bytes, then truncate the strip data entirely
     with _pytest.raises(ValueError):
         decode_tiff(bytes(bad[:-32]))
+
+
+def test_tiff_gray_whiteiszero_inverts_and_fillorder2_rejected():
+    import pytest as _pytest
+
+    from b_pdf_parser_spark.mediacodec import decode_tiff, encode_tiff
+
+    w, h = 6, 5
+    px = _pixels(2, w * h)
+    enc = bytearray(encode_tiff(w, h, 1, px))
+    n = int.from_bytes(enc[8:10], "little")
+    for k in range(n):
+        base = 10 + 12 * k
+        if int.from_bytes(enc[base:base + 2], "little") == 262:
+            assert enc[base + 8] == 1  # gray default BlackIsZero
+            enc[base + 8] = 0          # -> WhiteIsZero
+            break
+    # scanner-style WhiteIsZero gray canonicalizes by inversion
+    assert decode_tiff(bytes(enc)) == (w, h, 1, bytes(255 - v for v in px))
+    # FillOrder=2 (LSB-first) is unsupported and must fail loud: splice a
+    # FillOrder entry over the RowsPerStrip tag slot (tag 278 -> 266)
+    enc2 = bytearray(encode_tiff(w, h, 1, px))
+    for k in range(n):
+        base = 10 + 12 * k
+        if int.from_bytes(enc2[base:base + 2], "little") == 278:
+            enc2[base:base + 2] = (266).to_bytes(2, "little")
+            enc2[base + 2:base + 4] = (3).to_bytes(2, "little")  # SHORT
+            enc2[base + 4:base + 8] = (1).to_bytes(4, "little")
+            enc2[base + 8:base + 12] = (2).to_bytes(2, "little") + b"\x00\x00"
+            break
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(enc2))
