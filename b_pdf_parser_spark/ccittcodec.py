@@ -1,13 +1,28 @@
-"""From-scratch CCITT Group 4 (ITU-T T.6, MMR) bi-level image codec.
+"""From-scratch CCITT Group 3 / Group 4 (ITU-T T.4 / T.6) bi-level codecs.
 
-This is the PDF ``/CCITTFaxDecode`` filter with ``K < 0`` (ISO 32000-2
-§7.4.6) — the variant that real scanned-document PDFs and TIFF class-F
-files use. Group 4 codes every row two-dimensionally against the row
-above it (the first row against an imaginary all-white row) with three
-modes — PASS, HORIZONTAL and VERTICAL(±3) — where horizontal mode falls
-back to the one-dimensional run-length alphabets of ITU-T T.4 §4.1
-(separate white/black terminating codes 0–63 and makeup codes 64–1728,
-plus the shared extended makeup codes 1792–2560).
+This is the PDF ``/CCITTFaxDecode`` filter (ISO 32000-2 §7.4.6) across
+all three ``K`` regimes:
+
+* ``K < 0`` — **Group 4** (T.6 MMR), the variant real scanned-document
+  PDFs and TIFF class-F files use. Every row is coded two-dimensionally
+  against the row above it (the first row against an imaginary all-white
+  row) with three modes — PASS, HORIZONTAL and VERTICAL(±3) — where
+  horizontal mode falls back to the one-dimensional run-length alphabets
+  of ITU-T T.4 §4.1.
+* ``K = 0`` — **Group 3 one-dimensional** (T.4 §4.1, Modified Huffman):
+  every row is an independent sequence of alternating white/black run
+  codes (starting white, with a zero-length white run when the row opens
+  black), each row preceded by an EOL code whose leading zeros absorb
+  fill bits.
+* ``K > 0`` — **Group 3 two-dimensional** (T.4 §4.2): each EOL carries a
+  one-bit tag — ``1`` means the next row is coded 1-D, ``0`` means it is
+  coded 2-D with the same PASS/HORIZONTAL/VERTICAL modes as Group 4 —
+  and at least every ``K``-th row must be 1-D so damage cannot propagate
+  more than ``K`` rows (this encoder makes rows ``y % K == 0`` 1-D).
+
+The shared T.4 §4.1 run alphabets are the separate white/black
+terminating codes 0–63 and makeup codes 64–1728, plus the shared
+extended makeup codes 1792–2560.
 
 Bi-level coding is LOSSLESS, so decode(encode(x)) == x bit-for-bit —
 which is what lets embedded CCITT images join the exact-integer value
@@ -27,7 +42,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
-__all__ = ["encode_g4", "decode_g4"]
+__all__ = ["encode_g4", "decode_g4", "encode_g3", "decode_g3"]
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +227,46 @@ def _b1_b2(ref: List[int], a0: int, color_white: bool, width: int) -> Tuple[int,
     return b1, b2
 
 
+def _encode_row_2d(out: _BitWriter, cur: List[int], ref: List[int], width: int) -> None:
+    """Code one row's transition list two-dimensionally against ``ref``
+    (T.6 §2.2 — shared verbatim by Group 4 and Group 3 2-D rows)."""
+    a0 = -1
+    color_white = True
+    ci = 0  # index into cur of the next change (= a1)
+    while a0 < width:
+        a1 = cur[ci] if ci < len(cur) else width
+        b1, b2 = _b1_b2(ref, a0, color_white, width)
+        if b2 < a1:
+            out.put(_MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            out.put(_MODE_V[a1 - b1])
+            a0 = a1
+            color_white = not color_white
+            ci += 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+            r1 = a1 - (a0 if a0 > 0 else 0)
+            r2 = a2 - a1
+            out.put(_MODE_H)
+            _emit_run(out, r1, color_white)
+            _emit_run(out, r2, not color_white)
+            a0 = a2
+            ci += 2
+
+
+def _encode_row_1d(out: _BitWriter, cur: List[int], width: int) -> None:
+    """Code one row as T.4 §4.1 Modified Huffman: alternating white/black
+    runs starting white (a row that opens black gets a zero-length white
+    run — ``WHITE_CODES[0]`` exists exactly for this)."""
+    white = True
+    prev = 0
+    for t in cur + [width]:  # transitions are < width, so the sentinel
+        _emit_run(out, t - prev, white)  # always closes the row exactly
+        white = not white
+        prev = t
+
+
 def encode_g4(width: int, height: int, pixels: bytes) -> bytes:
     """``width*height`` pixel bytes (0 = black, else white), row-major →
     Group 4 encoded stream, terminated by EOFB."""
@@ -223,32 +278,43 @@ def encode_g4(width: int, height: int, pixels: bytes) -> bytes:
     ref: List[int] = []  # imaginary all-white row above row 0
     for y in range(height):
         cur = _transitions(pixels[y * width : (y + 1) * width])
-        a0 = -1
-        color_white = True
-        ci = 0  # index into cur of the next change (= a1)
-        while a0 < width:
-            a1 = cur[ci] if ci < len(cur) else width
-            b1, b2 = _b1_b2(ref, a0, color_white, width)
-            if b2 < a1:
-                out.put(_MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                out.put(_MODE_V[a1 - b1])
-                a0 = a1
-                color_white = not color_white
-                ci += 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else width
-                r1 = a1 - (a0 if a0 > 0 else 0)
-                r2 = a2 - a1
-                out.put(_MODE_H)
-                _emit_run(out, r1, color_white)
-                _emit_run(out, r2, not color_white)
-                a0 = a2
-                ci += 2
+        _encode_row_2d(out, cur, ref, width)
         ref = cur
     out.put(_EOL)
     out.put(_EOL)  # EOFB
+    return out.flush()
+
+
+def encode_g3(width: int, height: int, pixels: bytes, k: int = 0) -> bytes:
+    """``width*height`` pixel bytes (0 = black, else white), row-major →
+    Group 3 encoded stream (T.4). ``k == 0``: pure 1-D, every row is
+    EOL + Modified-Huffman runs. ``k > 0``: 2-D extension — every EOL
+    carries a tag bit (1 = next row 1-D, 0 = 2-D); rows ``y % k == 0``
+    are coded 1-D so corruption cannot propagate further than ``k``
+    rows. Ends with RTC (six EOLs)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("CCITT: empty image")
+    if len(pixels) != width * height:
+        raise ValueError("CCITT: pixel buffer size mismatch")
+    if k < 0:
+        raise ValueError("CCITT: G3 k must be >= 0 (use encode_g4 for MMR)")
+    out = _BitWriter()
+    ref: List[int] = []
+    for y in range(height):
+        one_d = k == 0 or y % k == 0
+        out.put(_EOL)
+        if k > 0:
+            out.put("1" if one_d else "0")
+        cur = _transitions(pixels[y * width : (y + 1) * width])
+        if one_d:
+            _encode_row_1d(out, cur, width)
+        else:
+            _encode_row_2d(out, cur, ref, width)
+        ref = cur
+    for _ in range(6):  # RTC
+        out.put(_EOL)
+        if k > 0:
+            out.put("1")
     return out.flush()
 
 
@@ -263,6 +329,88 @@ def _read_run(br: _BitReader, white: bool) -> int:
         # makeup (multiple of 64): a terminating code must follow
 
 
+def _decode_row_2d(br: _BitReader, ref: List[int], columns: int) -> List[int]:
+    """Decode one 2-D-coded row into its transition list (T.6 §2.2 —
+    shared verbatim by Group 4 and Group 3 2-D rows)."""
+    cur: List[int] = []
+    a0 = -1
+    color_white = True
+    while a0 < columns:
+        mode = br.code(_MODE_DEC, "mode")
+        if mode == "EOL":
+            raise ValueError("CCITT: premature EOL/EOFB inside image")
+        if mode == "P":
+            _b1, b2 = _b1_b2(ref, a0, color_white, columns)
+            a0 = b2
+        elif mode == "H":
+            r1 = _read_run(br, color_white)
+            r2 = _read_run(br, not color_white)
+            base = a0 if a0 > 0 else 0
+            a1 = base + r1
+            a2 = a1 + r2
+            if a2 > columns:
+                raise ValueError("CCITT: horizontal run overflows row")
+            if a1 <= a0:  # transitions must be strictly increasing
+                raise ValueError("CCITT: non-monotone horizontal run")
+            if a1 < columns:
+                if a2 <= a1:  # a zero second run is only legal at the
+                    raise ValueError(  # right edge (both runs hit width)
+                        "CCITT: non-monotone horizontal run"
+                    )
+                cur.append(a1)
+                if a2 < columns:
+                    cur.append(a2)
+            a0 = a2
+        else:  # vertical mode, offset in -3..3
+            b1, _b2 = _b1_b2(ref, a0, color_white, columns)
+            a1 = b1 + mode
+            if a1 <= a0 or a1 > columns:
+                raise ValueError("CCITT: vertical mode leaves the row")
+            if a1 < columns:
+                cur.append(a1)
+            a0 = a1
+            color_white = not color_white
+    return cur
+
+
+def _decode_row_1d(br: _BitReader, columns: int) -> List[int]:
+    """Decode one Modified-Huffman row (T.4 §4.1) into its transition
+    list: alternating white/black runs starting white, total exactly
+    ``columns``."""
+    cur: List[int] = []
+    pos = 0
+    white = True
+    first = True
+    while pos < columns:
+        run = _read_run(br, white)
+        if run == 0 and not first:
+            # a zero-length run is only legal as the leading white run
+            # of a row that opens black (T.4 §4.1.1)
+            raise ValueError("CCITT: zero-length run mid-row")
+        first = False
+        pos += run
+        if pos > columns:
+            raise ValueError("CCITT: 1-D run overflows row")
+        if pos < columns:
+            cur.append(pos)
+        white = not white
+    return cur
+
+
+def _render_row(cur: List[int], columns: int) -> bytearray:
+    """Transition list → pixel bytes (0 = black, 255 = white)."""
+    row = bytearray(b"\xff" * columns)
+    white = True
+    prev = 0
+    for t in cur + [columns]:
+        if not white:
+            for x in range(prev, t):
+                row[x] = 0
+        white = not white
+        prev = t
+    return row
+
+
 def decode_g4(data: bytes, columns: int, rows: int) -> bytes:
     """Group 4 stream → ``columns*rows`` pixel bytes (0 = black,
     255 = white), row-major. Fails loud on truncation, coder overruns
@@ -274,54 +422,54 @@ def decode_g4(data: bytes, columns: int, rows: int) -> bytes:
     out = bytearray()
     ref: List[int] = []
     for y in range(rows):
-        cur: List[int] = []
-        a0 = -1
-        color_white = True
-        while a0 < columns:
-            mode = br.code(_MODE_DEC, "mode")
-            if mode == "EOL":
-                raise ValueError("CCITT: premature EOL/EOFB inside image")
-            if mode == "P":
-                _b1, b2 = _b1_b2(ref, a0, color_white, columns)
-                a0 = b2
-            elif mode == "H":
-                r1 = _read_run(br, color_white)
-                r2 = _read_run(br, not color_white)
-                base = a0 if a0 > 0 else 0
-                a1 = base + r1
-                a2 = a1 + r2
-                if a2 > columns:
-                    raise ValueError("CCITT: horizontal run overflows row")
-                if a1 <= a0:  # transitions must be strictly increasing
-                    raise ValueError("CCITT: non-monotone horizontal run")
-                if a1 < columns:
-                    if a2 <= a1:  # a zero second run is only legal at the
-                        raise ValueError(  # right edge (both runs hit width)
-                            "CCITT: non-monotone horizontal run"
-                        )
-                    cur.append(a1)
-                    if a2 < columns:
-                        cur.append(a2)
-                a0 = a2
-            else:  # vertical mode, offset in -3..3
-                b1, _b2 = _b1_b2(ref, a0, color_white, columns)
-                a1 = b1 + mode
-                if a1 <= a0 or a1 > columns:
-                    raise ValueError("CCITT: vertical mode leaves the row")
-                if a1 < columns:
-                    cur.append(a1)
-                a0 = a1
-                color_white = not color_white
-        # render the row from its transition list
-        row = bytearray(b"\xff" * columns)
-        white = True
-        prev = 0
-        for t in cur + [columns]:
-            if not white:
-                for x in range(prev, t):
-                    row[x] = 0
-            white = not white
-            prev = t
-        out += row
+        cur = _decode_row_2d(br, ref, columns)
+        out += _render_row(cur, columns)
+        ref = cur
+    return bytes(out)
+
+
+def _read_eol(br: _BitReader, what: str) -> None:
+    """Consume fill bits + one EOL: zero or more 0-fill bits then the
+    ``000000000001`` code — i.e. at least eleven 0s ending in a 1
+    (T.4 §4.1.2; fill bits are 0s, so they simply extend the zero run)."""
+    zeros = 0
+    while True:
+        if br.bit():
+            break
+        zeros += 1
+        if zeros > 64 * 8:  # no sane fill run is this long
+            raise ValueError(f"CCITT: runaway fill before {what} EOL")
+    if zeros < 11:
+        raise ValueError(f"CCITT: expected EOL before {what}")
+
+
+def decode_g3(data: bytes, columns: int, rows: int, k: int = 0) -> bytes:
+    """Group 3 stream → ``columns*rows`` pixel bytes (0 = black,
+    255 = white), row-major. ``k == 0`` decodes pure 1-D rows; ``k > 0``
+    reads the tag bit after each EOL and decodes the row 1-D or 2-D
+    accordingly. Fill bits before EOLs are absorbed; the trailing RTC is
+    ignored (``rows`` bounds the decode, same contract as
+    :func:`decode_g4`)."""
+    if columns <= 0 or rows <= 0:
+        raise ValueError("CCITT: empty image")
+    if k < 0:
+        raise ValueError("CCITT: G3 k must be >= 0 (use decode_g4 for MMR)")
+    br = _BitReader(data)
+    out = bytearray()
+    ref: List[int] = []
+    for y in range(rows):
+        _read_eol(br, f"row {y}")
+        if k > 0:
+            one_d = br.bit() == 1
+        else:
+            one_d = True
+        if one_d:
+            cur = _decode_row_1d(br, columns)
+        else:
+            if y == 0:
+                # T.4 §4.2.1.1: the first row after RTC/start must be 1-D
+                raise ValueError("CCITT: first G3 row cannot be 2-D")
+            cur = _decode_row_2d(br, ref, columns)
+        out += _render_row(cur, columns)
         ref = cur
     return bytes(out)

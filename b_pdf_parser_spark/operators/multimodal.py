@@ -734,15 +734,19 @@ def _ccitt_pattern_pixels(i: int, j: int, w: int, h: int) -> bytes:
 
 def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
     """``n`` deterministic PDFs, each embedding ``1 + i % 2`` REAL CCITT
-    Group 4 (ITU-T T.6) bi-level images as /CCITTFaxDecode XObjects
-    (/K -1, /DeviceGray, 1 bpc — the scanned-document-PDF shape), plus
-    one pseudo-byte DCTDecode decoy per doc so a filter-routing bug
-    (running the fax coder over the wrong stream) breaks the oracle with
-    an error row instead of passing silently."""
+    bi-level images as /CCITTFaxDecode XObjects (/DeviceGray, 1 bpc —
+    the scanned-document-PDF shape) with the /K regime rotating over
+    Group 4 (/K -1), Group 3 1-D (/K 0) and Group 3 2-D (/K 4) by
+    ``(i + j) % 3``, plus one pseudo-byte DCTDecode decoy per doc so a
+    filter-routing bug (running the fax coder over the wrong stream)
+    breaks the oracle with an error row instead of passing silently.
+    The decoded pixels are identical across regimes (bi-level fax coding
+    is lossless), so the oracle formulas don't depend on K — only the
+    decode PATH does, which is exactly what the rotation pins."""
     base = spark.range(0, n, 1, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from b_pdf_parser_spark.ccittcodec import encode_g4
+        from b_pdf_parser_spark.ccittcodec import encode_g3, encode_g4
         from b_pdf_parser_spark.pdfwriter import build_pdf, make_image
 
         for b in batches:
@@ -753,13 +757,16 @@ def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
                 imgs = []
                 for j in range(1 + i % 2):
                     d = _ccitt_xobject_dims(i, j)
+                    px = _ccitt_pattern_pixels(i, j, d["w"], d["h"])
+                    k = (-1, 0, 4)[(i + j) % 3]
+                    if k < 0:
+                        enc = encode_g4(d["w"], d["h"], px)
+                    else:
+                        enc = encode_g3(d["w"], d["h"], px, k=k)
                     imgs.append({
                         "page": 0, "width": d["w"], "height": d["h"],
-                        "filter": "CCITTFaxDecode",
-                        "data": encode_g4(
-                            d["w"], d["h"],
-                            _ccitt_pattern_pixels(i, j, d["w"], d["h"]),
-                        ),
+                        "filter": "CCITTFaxDecode", "k": k,
+                        "data": enc,
                     })
                 imgs.append(make_image(0, 16, 8, "DCTDecode", seed=i))
                 rows.append({
@@ -772,15 +779,17 @@ def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
 
 
 def pdf_ccitt_pixel_features(docs: DataFrame) -> DataFrame:
-    """PDF walk → /CCITTFaxDecode XObject streams → REAL Group 4 decode →
+    """PDF walk → /CCITTFaxDecode XObject streams → REAL fax decode →
     exact integer pixel features per embedded fax image (bi-level coding
     is lossless, so the features are exact by construction, not by a
-    quantization argument like JPEG's flat-block stratum). Non-CCITT
-    images are routed past the codec. One Arrow-batch Python dispatch
-    per document."""
+    quantization argument like JPEG's flat-block stratum). The decoder
+    is routed by the stream's /DecodeParms /K — Group 4 (K<0) vs Group 3
+    (K>=0) — exactly as a conforming reader must. Non-CCITT images are
+    routed past the codec. One Arrow-batch Python dispatch per
+    document."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from b_pdf_parser_spark.ccittcodec import decode_g4
+        from b_pdf_parser_spark.ccittcodec import decode_g3, decode_g4
         from b_pdf_parser_spark.pdfmodel import image_inventory
 
         cols = ["doc_id", "page", "name", "width", "height", "channels",
@@ -792,9 +801,16 @@ def pdf_ccitt_pixel_features(docs: DataFrame) -> DataFrame:
                     for rec in image_inventory(bytes(pdf), with_data=True):
                         if rec["filter"] != "CCITTFaxDecode":
                             continue
-                        px = decode_g4(
-                            rec["data"], rec["width"], rec["height"]
-                        )
+                        ccitt_k = rec.get("ccitt_k", 0)
+                        if ccitt_k < 0:
+                            px = decode_g4(
+                                rec["data"], rec["width"], rec["height"]
+                            )
+                        else:
+                            px = decode_g3(
+                                rec["data"], rec["width"], rec["height"],
+                                k=ccitt_k,
+                            )
                         rows.append({
                             "doc_id": int(did), "page": rec["page"],
                             "name": rec["name"], "width": rec["width"],

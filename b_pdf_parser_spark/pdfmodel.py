@@ -1779,6 +1779,15 @@ def image_inventory(data: bytes, with_data: bool = False) -> List[Dict[str, Any]
                 "filter": str(filt) if filt is not None else "",
                 "n_bytes": len(xo.raw),
             }
+            if rec["filter"] == "CCITTFaxDecode":
+                # surface /DecodeParms /K so codec-equipped consumers can
+                # route G4 (K<0) vs G3 (K>=0); the PDF default is K=0
+                # (ISO 32000-2 §7.4.6, table 11)
+                dp = doc.resolve(d.get("DecodeParms"))
+                if isinstance(dp, list):
+                    dp = doc.resolve(dp[-1]) if dp else None
+                kv = doc.resolve(dp.get("K")) if isinstance(dp, dict) else None
+                rec["ccitt_k"] = int(kv) if isinstance(kv, (int, float)) else 0
             if with_data:
                 # the encoded stream bytes verbatim (for DCTDecode that IS
                 # the JFIF payload) — consumers with a real codec (e.g.

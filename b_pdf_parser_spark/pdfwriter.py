@@ -411,13 +411,21 @@ def build_pdf(
         data = bytes(im["data"])  # already "encoded" — no recompress
         filt = str(im["filter"])
         if filt == "CCITTFaxDecode":
-            # bi-level fax image: Group 4 (K<0), PDF defaults otherwise
-            # (BlackIs1 false — decoded 0 bits are black), ISO 32000-2
-            # §7.4.6; Columns/Rows pinned to the image dimensions
+            # bi-level fax image: Group 4 (K<0), Group 3 1-D (K=0) or
+            # Group 3 2-D (K>0) per the image's "k" key; PDF defaults
+            # otherwise (BlackIs1 false — decoded 0 bits are black),
+            # ISO 32000-2 §7.4.6; Columns/Rows pinned to the dimensions.
+            # G3 streams carry per-row EOLs, so say /EndOfLine true.
+            ccitt_k = int(im.get("k", -1))
             color = (
                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-                b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
-                % (int(im["width"]), int(im["height"]))
+                b"/DecodeParms << /K %d /Columns %d /Rows %d%s >> "
+                % (
+                    ccitt_k,
+                    int(im["width"]),
+                    int(im["height"]),
+                    b" /EndOfLine true" if ccitt_k >= 0 else b"",
+                )
             )
         else:
             color = b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "

@@ -106,3 +106,115 @@ def test_nonzero_is_white_convention():
     out = decode_g4(encode_g4(16, 1, px_in), 16, 1)
     assert out == bytes(255 if p else 0 for p in px_in)
     assert set(out) <= {0, 255}
+
+
+# ---------------------------------------------------------------------------
+# Group 3 (ITU-T T.4): 1-D Modified Huffman (K=0) and the 2-D extension
+# (K>0) — EOL framing, tag bits, fill tolerance, loud failure.
+# ---------------------------------------------------------------------------
+
+from b_pdf_parser_spark.ccittcodec import decode_g3, encode_g3  # noqa: E402
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 4, 7])
+@pytest.mark.parametrize("style", range(5))
+def test_g3_roundtrip_exact(k, style):
+    rng = random.Random(1000 * k + style)
+    for _ in range(12):
+        w = rng.randint(1, 70)
+        h = rng.randint(1, 20)
+        if style == 0:
+            px = bytes(255 if (x // 4 + y // 3) % 2 else 0
+                       for y in range(h) for x in range(w))
+        elif style == 1:
+            px = bytes([255]) * (w * h)
+        elif style == 2:
+            px = bytes(w * h)
+        elif style == 3:
+            px = bytes(rng.choice((0, 255)) for _ in range(w * h))
+        else:
+            px = bytes(255 if (x * x + y * y) % 7 < 3 else 0
+                       for y in range(h) for x in range(w))
+        dec = decode_g3(encode_g3(w, h, px, k=k), w, h, k=k)
+        assert dec == bytes(255 if p else 0 for p in px), (k, style, w, h)
+
+
+def test_g3_known_vector_1d_row():
+    # hand-built stream: EOL + W4(1011) + B3(10) + W1(000111), one row
+    bits = "000000000001" + "1011" + "10" + "000111"
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    assert decode_g3(data, 8, 1, k=0) == bytes([255] * 4 + [0] * 3 + [255])
+
+
+def test_g3_row_opening_black_uses_zero_white_run():
+    # a row that opens black must be coded W0 + black runs (T.4 §4.1.1)
+    px = bytes([0] * 5 + [255] * 3)
+    enc = encode_g3(8, 1, px, k=0)
+    bits = _bits(enc)
+    # EOL then WHITE_CODES[0] then BLACK_CODES[5]
+    assert bits.startswith("000000000001" + WHITE_CODES[0] + BLACK_CODES[5])
+    assert decode_g3(enc, 8, 1, k=0) == px
+
+
+def test_g3_fill_bits_absorbed():
+    px = bytes(255 if (x + y) % 3 else 0 for y in range(4) for x in range(9))
+    enc = encode_g3(9, 4, px, k=0)
+    # a leading fill byte of zeros extends the first EOL's zero run
+    assert decode_g3(b"\x00" + enc, 9, 4, k=0) == decode_g3(enc, 9, 4, k=0)
+
+
+def test_g3_2d_matches_g4_pixels():
+    # same input through G3-2D and G4 must decode to identical pixels
+    px = bytes(255 if (x * 7 + y * 3) % 11 < 6 else 0
+               for y in range(9) for x in range(17))
+    a = decode_g3(encode_g3(17, 9, px, k=9), 17, 9, k=9)
+    b = decode_g4(encode_g4(17, 9, px), 17, 9)
+    assert a == b == px
+
+
+def test_g3_k_rotation_changes_bitstream_not_pixels():
+    px = bytes(255 if (x // 2 + y) % 3 else 0 for y in range(6) for x in range(13))
+    enc0 = encode_g3(13, 6, px, k=0)
+    enc4 = encode_g3(13, 6, px, k=4)
+    assert enc0 != enc4  # different coding regimes on the wire
+    assert decode_g3(enc0, 13, 6, k=0) == decode_g3(enc4, 13, 6, k=4) == px
+
+
+def test_g3_missing_eol_raises():
+    enc = encode_g3(8, 2, bytes([255]) * 16, k=0)
+    # strip the leading EOL (12 bits): the decoder must refuse
+    bits = _bits(enc)[12:]
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
+    with pytest.raises(ValueError):
+        decode_g3(data, 8, 2, k=0)
+
+
+def test_g3_first_row_2d_rejected():
+    # hand-built: EOL + tag 0 (2-D) as the very first row is illegal
+    bits = "000000000001" + "0" + "1"  # EOL, 2-D tag, V0
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    with pytest.raises(ValueError):
+        decode_g3(data, 4, 1, k=2)
+
+
+def test_g3_truncated_raises():
+    px = bytes(255 if (x + y) % 5 < 2 else 0 for y in range(10) for x in range(40))
+    enc = encode_g3(40, 10, px, k=4)
+    with pytest.raises(ValueError):
+        decode_g3(enc[: len(enc) // 3], 40, 10, k=4)
+
+
+def test_g3_negative_k_rejected():
+    with pytest.raises(ValueError):
+        encode_g3(4, 1, bytes(4), k=-1)
+    with pytest.raises(ValueError):
+        decode_g3(b"\x00\x10", 4, 1, k=-1)
+
+
+@pytest.mark.parametrize("w", [64, 1728, 2560, 3000])
+def test_g3_long_runs_makeup_codes(w):
+    px = bytes([0]) * w + bytes([255]) * w
+    assert decode_g3(encode_g3(w, 2, px, k=0), w, 2, k=0) == px
