@@ -1293,8 +1293,16 @@ def q_real_media_decode(spark, sf):
     formulas hold unchanged while the multi-scan decode is value-checked.
     A row-order, channel-order, padding, filter, palette, interlace,
     Huffman, restart-resync, scan-script or chunk-walk bug changes the
-    hash. Arithmetic-coded JPEG and compressed A/V stay honestly stubbed
-    (no native libs here)."""
+    hash. Docs 60–95 are the round-5-close EXTENSION strata: palette PNG
+    (PLTE, depth 8 and sub-byte 1/2/4), sub-byte greyscale (exact
+    255//(2^d-1) scaling), RGBA and depth-2-greyscale Adam7 interlace,
+    and mono IMA ADPCM audio — the first COMPRESSED audio codec, decoded
+    by the general 89-step table walk but fed a nibble stream whose
+    ``nibble&7 <= 3`` pins the step index at 0 so the decode is a closed
+    form the SQL restates as a windowed prefix sum (the lossy-codec
+    tractable-slice trick, same as flat-block JPEG). Arithmetic-coded
+    JPEG and compressed VIDEO stay honestly stubbed (no native libs
+    here)."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1303,7 +1311,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 60))
+    return real_media_features(synth_real_media_df(spark, 96))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2510,9 +2518,10 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 60)),
+            WITH m AS (SELECT range AS i FROM range(0, 96)),
             dims AS (
-                SELECT i,
+                -- base corpus (i < 60): formulas unchanged since round 5 mid
+                SELECT i, 'b' AS st,
                        CASE i % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                             WHEN 2 THEN 'wav' WHEN 3 THEN 'gif'
                             WHEN 4 THEN 'ulaw' ELSE 'jpeg' END AS fmt,
@@ -2543,10 +2552,44 @@ def _all_oracles() -> dict[str, str]:
                             END AS nv,
                        CASE WHEN i % 6 = 3
                             THEN ([4, 16, 64, 256])[CAST((i // 6) % 4 AS INT) + 1]
-                            ELSE NULL END AS psize
-                FROM m),
+                            ELSE NULL END AS psize,
+                       8 AS depth
+                FROM m WHERE i < 60
+                UNION ALL
+                -- extension strata (i >= 60): palette / sub-byte / Adam7
+                -- PNGs (interlace & filter choice don't change canonical
+                -- values, so they don't appear here) and IMA ADPCM
+                SELECT i, 'e' || CAST((i - 60) % 6 AS VARCHAR) AS st,
+                       CASE WHEN (i - 60) % 6 = 4 THEN 'adpcm'
+                            ELSE 'png' END AS fmt,
+                       CASE WHEN (i - 60) % 6 = 4 THEN NULL
+                            ELSE 9 + i % 8 END AS w,
+                       CASE WHEN (i - 60) % 6 = 4 THEN NULL
+                            ELSE 7 + i % 6 END AS h,
+                       ([3, 3, 1, 4, 1, 1])[CAST((i - 60) % 6 AS INT) + 1] AS ch,
+                       CASE WHEN (i - 60) % 6 = 4
+                            THEN 8000 + (((i - 60) // 6) % 3) * 4000
+                            ELSE NULL END AS rate,
+                       CASE (i - 60) % 6
+                            WHEN 0 THEN (9 + i % 8) * (7 + i % 6) * 3
+                            WHEN 1 THEN (9 + i % 8) * (7 + i % 6) * 3
+                            WHEN 2 THEN (9 + i % 8) * (7 + i % 6)
+                            WHEN 3 THEN (9 + i % 8) * (7 + i % 6) * 4
+                            WHEN 4 THEN 161 + 2 * (i % 20)
+                            ELSE (9 + i % 8) * (7 + i % 6)
+                            END AS nv,
+                       CASE (i - 60) % 6
+                            WHEN 0 THEN ([4, 16, 64, 256])[CAST(((i - 60) // 6) % 4 AS INT) + 1]
+                            WHEN 1 THEN 1 << ([1, 2, 4])[CAST(((i - 60) // 6) % 3 AS INT) + 1]
+                            ELSE NULL END AS psize,
+                       CASE (i - 60) % 6
+                            WHEN 1 THEN ([1, 2, 4])[CAST(((i - 60) // 6) % 3 AS INT) + 1]
+                            WHEN 2 THEN ([1, 2, 4])[CAST(((i - 60) // 6) % 3 AS INT) + 1]
+                            WHEN 5 THEN 2
+                            ELSE 8 END AS depth
+                FROM m WHERE i >= 60),
             vals AS (
-                SELECT d.i, d.fmt, d.psize, d.w, d.ch,
+                SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
                 FROM dims d),
             -- JPEG flat 8x8 blocks: block index from pixel position, flat
@@ -2583,6 +2626,43 @@ def _all_oracles() -> dict[str, str]:
                                  CAST(FLOOR((454 * (cb - 128) + 128) / 256.0) AS BIGINT)))
                        END AS val
                 FROM jy),
+            -- extension PNG strata: palette lookup (e0/e1 — the GIF
+            -- palette formulas through a PLTE), sub-byte greyscale
+            -- scaled by the exact 255//(2^d-1) factor (e2/e5), RGBA
+            -- ramp (e3); Adam7 and filter rotation are decode-path
+            -- hazards that leave canonical values unchanged
+            ve AS (
+                SELECT i, k,
+                       CASE WHEN st IN ('e0', 'e1') THEN
+                            CASE k % 3
+                            WHEN 0 THEN (i * 7 + ((i * 31 + (k // 3) * 7) % psize) * 3) % 256
+                            WHEN 1 THEN (i * 11 + ((i * 31 + (k // 3) * 7) % psize) * 5) % 256
+                            ELSE (i * 13 + ((i * 31 + (k // 3) * 7) % psize) * 9) % 256
+                            END
+                       WHEN st IN ('e2', 'e5') THEN
+                            ((i * 31 + k * 7) % (1 << depth))
+                            * (255 // ((1 << depth) - 1))
+                       ELSE (i * 31 + k * 7) % 251
+                       END AS val
+                FROM vals WHERE st LIKE 'e%' AND st != 'e4'),
+            -- IMA ADPCM (e4): nibble&7 <= 3 pins the step index at 0
+            -- (step 7), so sample m is the closed form
+            -- first + sum of signed (3*bit1 + bit0) over nibbles < m —
+            -- a windowed prefix sum (sample 0 is the block-header seed)
+            ad AS (
+                SELECT i, k,
+                       CASE WHEN k = 0 THEN 0
+                            ELSE (CASE WHEN (i + k - 1) % 7 < 3 THEN -1 ELSE 1 END)
+                                 * (3 * (((i * 5 + (k - 1) * 3) % 4) // 2)
+                                    + ((i * 5 + (k - 1) * 3) % 4) % 2)
+                       END AS sd
+                FROM vals WHERE st = 'e4'),
+            adv AS (
+                SELECT i, k,
+                       (((i * 13) % 2003) - 1001)
+                       + CAST(SUM(sd) OVER (PARTITION BY i ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS val
+                FROM ad),
             v AS (
                 SELECT i, k,
                        CASE fmt
@@ -2604,8 +2684,10 @@ def _all_oracles() -> dict[str, str]:
                             ELSE (i * 13 + ((i * 31 + (k // 3) * 7) % psize) * 9) % 256
                             END
                        ELSE (i * 31 + k * 7) % 251 END AS val
-                FROM vals WHERE fmt != 'jpeg'
-                UNION ALL SELECT i, k, val FROM jv),
+                FROM vals WHERE st = 'b' AND fmt != 'jpeg'
+                UNION ALL SELECT i, k, val FROM jv
+                UNION ALL SELECT i, k, val FROM ve
+                UNION ALL SELECT i, k, val FROM adv),
             sums AS (
                 SELECT i,
                        CAST(SUM(val) AS BIGINT) AS value_sum,

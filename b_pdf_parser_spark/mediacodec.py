@@ -50,7 +50,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 __all__ = [
     "encode_png",
@@ -59,6 +59,9 @@ __all__ = [
     "decode_bmp",
     "encode_wav",
     "decode_wav",
+    "encode_wav_adpcm",
+    "encode_wav_adpcm_nibbles",
+    "ima_adpcm_encode",
     "encode_gif",
     "decode_gif",
     "encode_tiff",
@@ -67,8 +70,50 @@ __all__ = [
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_CT_TO_CH = {0: 1, 2: 3, 6: 4}  # greyscale / truecolor / truecolor+alpha
+_CT_TO_CH = {0: 1, 2: 3, 3: 1, 6: 4}  # gray / truecolor / palette / RGBA
 _CH_TO_CT = {1: 0, 3: 2, 4: 6}
+
+# Adam7 interlace passes: (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _pack_samples(samples, depth: int) -> bytes:
+    """Pack per-pixel sample values (< 2**depth) into scanline bytes,
+    MSB-first within each byte, zero-padded to a byte boundary
+    (PNG spec §7.2)."""
+    if depth == 8:
+        return bytes(samples)
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for v in samples:
+        acc = (acc << depth) | (v & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = 0
+            nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def _unpack_samples(row: bytes, n: int, depth: int):
+    """Inverse of :func:`_pack_samples`: first ``n`` samples of a packed
+    scanline."""
+    if depth == 8:
+        return list(row[:n])
+    out = []
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for k in range(n):
+        byte = row[k // per_byte]
+        shift = 8 - depth * (k % per_byte + 1)
+        out.append((byte >> shift) & mask)
+    return out
 
 
 def _chunk(typ: bytes, body: bytes) -> bytes:
@@ -133,42 +178,114 @@ def _unfilter_row(f: int, row: bytearray, prev: bytes, bpp: int) -> bytearray:
     return row
 
 
+def _png_pass_geometry(width: int, height: int, interlace: bool):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for each non-empty pass —
+    one full-image pass when non-interlaced, the 7 Adam7 reduced images
+    otherwise (empty passes are simply absent from the stream)."""
+    if not interlace:
+        yield 0, 0, 1, 1, width, height
+        return
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def encode_png(
-    width: int, height: int, channels: int, pixels: bytes, filter_seed: int = 0
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filter_seed: int = 0,
+    *,
+    palette: Optional[List[Tuple[int, int, int]]] = None,
+    depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
-    """Serialize canonical top-down pixels (8-bit, ``channels`` ∈ {1,3,4})
-    as a real PNG. The per-row filter type rotates ``(filter_seed + y) % 5``
-    so round-trips cover the full unfilter surface; the IDAT stream is
-    split into two chunks when it is big enough to exercise concatenation."""
-    if channels not in _CH_TO_CT:
-        raise ValueError("channels must be 1, 3 or 4")
-    stride = width * channels
-    if len(pixels) != stride * height:
+    """Serialize canonical top-down pixels as a real PNG. Three shapes:
+
+    * default — 8-bit greyscale/RGB/RGBA (``channels`` ∈ {1,3,4}),
+      ``pixels`` is the flat sample buffer;
+    * ``palette=[...]`` — color type 3: ``pixels`` is one palette index
+      per pixel, ``depth`` ∈ {1,2,4,8} with ``len(palette) <= 2**depth``
+      (a PLTE chunk is written);
+    * ``depth`` < 8 with ``channels == 1`` and no palette — sub-byte
+      greyscale: ``pixels`` is one sample value < ``2**depth`` per pixel.
+
+    The per-row filter type rotates ``(filter_seed + y) % 5`` so
+    round-trips cover the full unfilter surface (sub-byte rows filter
+    over packed bytes with bpp=1, per spec); ``interlace=True`` writes
+    the 7 Adam7 reduced images; the IDAT stream is split into two chunks
+    when big enough to exercise concatenation."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("depth must be 1, 2, 4 or 8")
+    plte = b""
+    if palette is not None:
+        if not 1 <= len(palette) <= min(256, 1 << depth):
+            raise ValueError("palette length must fit the bit depth")
+        ct = 3
+        spp = 1
+        if max(pixels, default=0) >= len(palette):
+            raise ValueError("palette index out of range")
+        plte = _chunk(b"PLTE", b"".join(bytes(e) for e in palette))
+    elif depth < 8:
+        if channels != 1:
+            raise ValueError("sub-byte depth requires greyscale (channels=1)")
+        ct = 0
+        spp = 1
+        if max(pixels, default=0) >= (1 << depth):
+            raise ValueError("sample value out of range for depth")
+    else:
+        if channels not in _CH_TO_CT:
+            raise ValueError("channels must be 1, 3 or 4")
+        ct = _CH_TO_CT[channels]
+        spp = channels
+    if len(pixels) != width * height * spp:
         raise ValueError("pixel buffer does not match dimensions")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, _CH_TO_CT[channels], 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ct, 0, 0, 1 if interlace else 0
+    )
+    bpp = max(1, depth * spp // 8)
     raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        f = (filter_seed + y) % 5
-        raw.append(f)
-        raw += _filter_row(f, row, prev, channels)
-        prev = row
+    for x0, y0, dx, dy, pw, ph in _png_pass_geometry(width, height, interlace):
+        row_bytes = (pw * spp * depth + 7) // 8
+        prev = bytes(row_bytes)
+        for py in range(ph):
+            y = y0 + py * dy
+            samples = []
+            for px_i in range(pw):
+                x = x0 + px_i * dx
+                o = (y * width + x) * spp
+                samples.extend(pixels[o : o + spp])
+            row = _pack_samples(samples, depth)
+            f = (filter_seed + py) % 5
+            raw.append(f)
+            raw += _filter_row(f, row, prev, bpp)
+            prev = row
     comp = zlib.compress(bytes(raw), 6)
     mid = len(comp) // 2 if len(comp) > 64 else len(comp)
     idat = _chunk(b"IDAT", comp[:mid])
     if mid < len(comp):
         idat += _chunk(b"IDAT", comp[mid:])
-    return _PNG_SIG + _chunk(b"IHDR", ihdr) + idat + _chunk(b"IEND", b"")
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + plte + idat + _chunk(b"IEND", b"")
 
 
 def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
-    """→ (width, height, channels, canonical top-down pixel bytes)."""
+    """→ (width, height, channels, canonical top-down pixel bytes).
+
+    Handles color types 0 (greyscale, depths 1/2/4/8 — sub-byte samples
+    scale to 8-bit by the exact integer factor ``255 // (2**d - 1)``),
+    2 (RGB), 3 (palette, depths 1/2/4/8 — mapped through PLTE to
+    canonical RGB) and 6 (RGBA), both sequential and Adam7-interlaced.
+    Canonical output is always 8-bit."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     idat: List[bytes] = []
-    w = h = ch = None
+    plte: List[Tuple[int, int, int]] = []
+    w = h = None
+    depth = ct = interlace = 0
     while pos + 12 <= len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         typ = data[pos + 4 : pos + 8]
@@ -178,13 +295,16 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
             w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
             if ct not in _CT_TO_CH:
                 raise ValueError(f"unsupported color type {ct}")
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
-            ch = _CT_TO_CH[ct]
+            if depth not in ((1, 2, 4, 8) if ct in (0, 3) else (8,)):
+                raise ValueError(f"unsupported bit depth {depth} for type {ct}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = [tuple(body[3 * j : 3 * j + 3]) for j in range(ln // 3)]
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -192,20 +312,47 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT")
+    if ct == 3 and not plte:
+        raise ValueError("palette image missing PLTE")
+    spp = 1 if ct in (0, 3) else _CT_TO_CH[ct]
+    bpp = max(1, depth * spp // 8)
+    # reconstruct the per-pixel sample grid across all passes
+    grid = [0] * (w * h * spp)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("decompressed size does not match dimensions")
-    out = bytearray()
-    prev = bytes(stride)
     p = 0
-    for _y in range(h):
-        f = raw[p]
-        row = _unfilter_row(f, bytearray(raw[p + 1 : p + 1 + stride]), prev, ch)
-        p += 1 + stride
-        out += row
-        prev = bytes(row)
-    return w, h, ch, bytes(out)
+    for x0, y0, dx, dy, pw, ph in _png_pass_geometry(w, h, interlace == 1):
+        row_bytes = (pw * spp * depth + 7) // 8
+        prev = bytes(row_bytes)
+        for py in range(ph):
+            if p >= len(raw):
+                raise ValueError("decompressed stream shorter than image")
+            f = raw[p]
+            row = _unfilter_row(
+                f, bytearray(raw[p + 1 : p + 1 + row_bytes]), prev, bpp
+            )
+            if len(row) != row_bytes:
+                raise ValueError("decompressed stream shorter than image")
+            p += 1 + row_bytes
+            samples = _unpack_samples(bytes(row), pw * spp, depth)
+            y = y0 + py * dy
+            for px_i in range(pw):
+                x = x0 + px_i * dx
+                o = (y * w + x) * spp
+                grid[o : o + spp] = samples[px_i * spp : (px_i + 1) * spp]
+            prev = bytes(row)
+    if p != len(raw):
+        raise ValueError("decompressed size does not match dimensions")
+    if ct == 3:  # palette → canonical RGB
+        out = bytearray(w * h * 3)
+        for k, v in enumerate(grid):
+            if v >= len(plte):
+                raise ValueError("palette index out of range")
+            out[3 * k], out[3 * k + 1], out[3 * k + 2] = plte[v]
+        return w, h, 3, bytes(out)
+    if depth < 8:  # sub-byte greyscale → exact 8-bit scaling
+        scale = 255 // ((1 << depth) - 1)
+        return w, h, 1, bytes(v * scale for v in grid)
+    return w, h, spp, bytes(grid)
 
 
 def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
@@ -284,6 +431,113 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAVE format tag 0x11) — the first *compressed* audio codec
+# here, from the public IMA "Recommended Practices for Enhancing Digital
+# Audio Compatibility" algorithm (the same tables live in RFC 3551 §4.5.1).
+# Each block carries an exact int16 predictor seed + step index, then 4-bit
+# nibbles advance the predictor through the 89-entry step table.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(nibble: int, pred: int, idx: int) -> Tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, step index) → next state.
+    Pure integer arithmetic; magnitude is ``step>>3 (+step>>2 if bit0)
+    (+step>>1 if bit1) (+step if bit2)``, bit3 is the sign."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble & 7]))
+    return pred, idx
+
+
+def ima_adpcm_encode(samples: List[int], pred: int, idx: int = 0) -> List[int]:
+    """Greedy standard IMA encoder: nibble per sample tracking the shared
+    predictor state (lossy — the decoder reproduces the encoder's internal
+    predictor exactly, not the input)."""
+    out = []
+    for s in samples:
+        step = _IMA_STEPS[idx]
+        delta = s - pred
+        n = 0
+        if delta < 0:
+            n = 8
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        out.append(n)
+        pred, idx = _ima_step(n, pred, idx)
+    return out
+
+
+def encode_wav_adpcm_nibbles(
+    sample_rate: int, first_sample: int, nibbles: List[int], index0: int = 0
+) -> bytes:
+    """Mono single-block IMA ADPCM RIFF/WAVE from an explicit nibble
+    stream: 4-byte block header (int16 predictor seed = the first output
+    sample, step index, reserved 0) then nibbles packed LOW-first two per
+    byte. A ``fact`` chunk records the exact sample count so an odd
+    nibble count's pad nibble is not decoded as audio."""
+    n = len(nibbles)
+    body = struct.pack("<hBB", first_sample, index0, 0)
+    packed = bytearray()
+    for j in range(0, n, 2):
+        lo = nibbles[j] & 0x0F
+        hi = (nibbles[j + 1] & 0x0F) if j + 1 < n else 0
+        packed.append(lo | (hi << 4))
+    body += bytes(packed)
+    block_align = len(body)
+    samples_per_block = 1 + 2 * len(packed)  # what a full block would hold
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        (sample_rate * block_align) // max(1, samples_per_block),
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<I", 1 + n)
+    junk = b"INFOsynthetic corpus\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_adpcm(sample_rate: int, samples: List[int]) -> bytes:
+    """Mono IMA ADPCM WAV from int16 samples via the greedy encoder: the
+    first sample seeds the block header exactly; the rest are quantized."""
+    if not samples:
+        raise ValueError("need at least one sample")
+    nibbles = ima_adpcm_encode(list(samples[1:]), int(samples[0]), 0)
+    return encode_wav_adpcm_nibbles(sample_rate, int(samples[0]), nibbles)
+
+
 def ulaw_expand(b: int) -> int:
     """ITU-T G.711 μ-law code byte → linear int16 sample (the public
     complement / exponent / mantissa integer expansion — pure integer
@@ -298,37 +552,66 @@ def decode_wav(
     data: bytes, return_codec: bool = False
 ) -> Tuple[int, ...]:
     """→ (sample_rate, channels, interleaved linear int16 samples)
-    [+ codec name ``"pcm16"``/``"ulaw"`` when ``return_codec``].
+    [+ codec name ``"pcm16"``/``"ulaw"``/``"adpcm"`` when
+    ``return_codec``].
 
-    Accepts PCM16 (audio format 1) and G.711 μ-law (format 7, 8-bit);
-    μ-law code bytes are expanded to linear int16 so both forms return
-    canonical values."""
+    Accepts PCM16 (audio format 1), G.711 μ-law (format 7, 8-bit) and
+    mono IMA/DVI ADPCM (format 0x11, 4-bit — decoded block by block:
+    int16 predictor seed + step index header, then low-nibble-first
+    codes through the 89-entry step table, truncated to the ``fact``
+    chunk's sample count); all forms return canonical linear int16."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     rate = ch = None
     audio_fmt = None
+    block_align = 0
+    fact_samples: Optional[int] = None
     samples: List[int] = []
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         ln = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
-            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
+            audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, bits) not in ((1, 16), (7, 8), (0x11, 4)):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            if audio_fmt == 0x11 and ch != 1:
+                raise ValueError("only mono IMA ADPCM supported")
+        elif cid == b"fact":
+            fact_samples = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt")
             if audio_fmt == 7:
                 samples = [ulaw_expand(v) for v in body]
+            elif audio_fmt == 0x11:
+                if block_align < 4:
+                    raise ValueError("ADPCM block align too small")
+                for b0 in range(0, len(body), block_align):
+                    block = body[b0 : b0 + block_align]
+                    if len(block) < 4:
+                        raise ValueError("truncated ADPCM block header")
+                    pred, idx, _rsv = struct.unpack("<hBB", block[:4])
+                    if idx > 88:
+                        raise ValueError(f"ADPCM step index {idx} out of range")
+                    samples.append(pred)
+                    for byte in block[4:]:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            pred, idx = _ima_step(nib, pred, idx)
+                            samples.append(pred)
+                if fact_samples is not None:
+                    samples = samples[:fact_samples]
             else:
                 samples = list(struct.unpack(f"<{ln // 2}h", body[: (ln // 2) * 2]))
         pos += 8 + ln + (ln % 2)  # chunks are word-aligned
     if rate is None:
         raise ValueError("missing fmt chunk")
     if return_codec:
-        return rate, ch, samples, ("ulaw" if audio_fmt == 7 else "pcm16")
+        codec = {7: "ulaw", 0x11: "adpcm"}.get(audio_fmt, "pcm16")
+        return rate, ch, samples, codec
     return rate, ch, samples
 
 

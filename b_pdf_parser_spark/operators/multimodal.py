@@ -229,7 +229,51 @@ def real_media_dims(i: int) -> dict:
     JPEG flat 8×8 blocks: channel value ``(i*31 + b*17 + c*101) % 256``
     for block ``b`` — with DC quant 8 the decode is bit-exact (grayscale)
     or exact through the fixed-point integer YCbCr round trip (color), so
-    the oracle restates lossy-codec output as integer SQL."""
+    the oracle restates lossy-codec output as integer SQL.
+
+    Docs ``i >= 60`` are the round-5-close EXTENSION strata — the PNG
+    features the base corpus didn't reach plus IMA ADPCM audio, all still
+    pure functions of ``i``:
+
+    * ``e0`` — palette PNG (color type 3, depth 8), PLTE entries from the
+      GIF palette formulas, Adam7 on alternating docs;
+    * ``e1`` — sub-byte palette PNG (depth 1/2/4 rotating, palette size
+      ``2**depth``), Adam7 on alternating docs;
+    * ``e2`` — sub-byte greyscale PNG: sample ``(i*31+k*7) % 2**d``
+      scales to canonical 8-bit by the exact factor ``255 // (2**d-1)``;
+    * ``e3`` — RGBA Adam7: same ``%251`` ramp as base PNG, the interlace
+      reassembly is the hazard;
+    * ``e4`` — mono IMA ADPCM WAV: nibble ``((i*5+k*3)%4) | 8·[(i+k)%7<3]``
+      keeps ``nibble&7 <= 3`` so the step index stays clamped at 0 (step
+      7) and the decode is the CLOSED FORM ``first + Σ ±(3·bit1 + bit0)``
+      — the tractable-slice trick that lets a lossy, state-machine codec
+      carry a SQL value oracle (the general table walk still runs);
+    * ``e5`` — depth-2 greyscale Adam7 (sub-byte × interlace
+      intersection)."""
+    if i >= 60:
+        j = i - 60
+        st = j % 6
+        base = {"w": 9 + i % 8, "h": 7 + i % 6}
+        if st == 0:
+            return {**base, "fmt": "png", "ext": "pal8", "ch": 3, "depth": 8,
+                    "psize": (4, 16, 64, 256)[(j // 6) % 4],
+                    "interlace": (j // 6) % 2 == 1}
+        if st == 1:
+            d = (1, 2, 4)[(j // 6) % 3]
+            return {**base, "fmt": "png", "ext": "palsub", "ch": 3, "depth": d,
+                    "psize": 1 << d, "interlace": (j // 6) % 2 == 1}
+        if st == 2:
+            return {**base, "fmt": "png", "ext": "graysub", "ch": 1,
+                    "depth": (1, 2, 4)[(j // 6) % 3], "interlace": False}
+        if st == 3:
+            return {**base, "fmt": "png", "ext": "rgba7", "ch": 4, "depth": 8,
+                    "interlace": True}
+        if st == 4:
+            return {"fmt": "adpcm", "ext": "adpcm", "ch": 1,
+                    "rate": 8000 + ((j // 6) % 3) * 4000,
+                    "n": 160 + 2 * (i % 20)}
+        return {**base, "fmt": "png", "ext": "gray2i", "ch": 1, "depth": 2,
+                "interlace": True}
     fmt = ("png", "bmp", "wav", "gif", "ulaw", "jpeg")[i % 6]
     if fmt == "png":
         return {
@@ -296,11 +340,41 @@ def _jpeg_flat_pixels(i: int, w: int, h: int, ch: int) -> bytes:
 
 
 def encode_real_media(i: int) -> bytes:
-    """Real PNG/BMP/WAV/GIF/μ-law/JPEG payload for doc ``i`` (pure
+    """Real PNG/BMP/WAV/GIF/μ-law/JPEG/ADPCM payload for doc ``i`` (pure
     function, no RNG)."""
-    from ..mediacodec import encode_bmp, encode_gif, encode_png, encode_wav
+    from ..mediacodec import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_wav,
+        encode_wav_adpcm_nibbles,
+    )
 
     d = real_media_dims(i)
+    ext = d.get("ext")
+    if ext == "adpcm":
+        first = ((i * 13) % 2003) - 1001
+        nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
+                for k in range(d["n"])]
+        return encode_wav_adpcm_nibbles(d["rate"], first, nibs)
+    if ext in ("pal8", "palsub"):
+        psize = d["psize"]
+        pal = [
+            ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
+            for j in range(psize)
+        ]
+        idx = bytes((i * 31 + k * 7) % psize for k in range(d["w"] * d["h"]))
+        return encode_png(d["w"], d["h"], 1, idx, filter_seed=i,
+                          palette=pal, depth=d["depth"],
+                          interlace=d["interlace"])
+    if ext in ("graysub", "gray2i"):
+        dep = d["depth"]
+        px = bytes((i * 31 + k * 7) % (1 << dep) for k in range(d["w"] * d["h"]))
+        return encode_png(d["w"], d["h"], 1, px, filter_seed=i,
+                          depth=dep, interlace=d["interlace"])
+    if ext == "rgba7":
+        px = bytes((i * 31 + k * 7) % 251 for k in range(d["w"] * d["h"] * 4))
+        return encode_png(d["w"], d["h"], 4, px, filter_seed=i, interlace=True)
     if d["fmt"] == "jpeg":
         from ..jpegcodec import (
             QUANT_CHROMA,
@@ -455,7 +529,7 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
         elif payload[:4] == b"RIFF":
             rate, ch, samples, codec = decode_wav(bytes(payload), return_codec=True)
             row.update(
-                fmt="ulaw" if codec == "ulaw" else "wav",
+                fmt={"ulaw": "ulaw", "adpcm": "adpcm"}.get(codec, "wav"),
                 sample_rate=rate, channels=ch,
             )
             vals = samples

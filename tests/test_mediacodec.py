@@ -249,3 +249,158 @@ def test_tiff_gray_whiteiszero_inverts_and_fillorder2_rejected():
             break
     with _pytest.raises(ValueError):
         decode_tiff(bytes(enc2))
+
+
+# ---------------------------------------------------------------------------
+# Round-5-close PNG extensions: palette (PLTE), sub-byte depths, Adam7
+# ---------------------------------------------------------------------------
+
+from b_pdf_parser_spark.mediacodec import (  # noqa: E402
+    _IMA_STEPS,
+    _ima_step,
+    decode_wav as _decode_wav,
+    encode_wav_adpcm,
+    encode_wav_adpcm_nibbles,
+    ima_adpcm_encode,
+)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_adam7_roundtrip_8bit(ch, interlace):
+    for w, h in ((9, 7), (1, 1), (8, 8), (16, 5), (3, 11), (2, 2)):
+        px = bytes((31 * ch + k * 7) % 251 for k in range(w * h * ch))
+        got = decode_png(encode_png(w, h, ch, px, filter_seed=3, interlace=interlace))
+        assert got == (w, h, ch, px), (ch, w, h, interlace)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette_roundtrip(depth, interlace):
+    psize = min(256, 1 << depth)
+    pal = [((7 + j * 3) % 256, (11 + j * 5) % 256, (13 + j * 9) % 256)
+           for j in range(psize)]
+    for w, h in ((9, 7), (5, 3), (8, 2), (1, 4)):
+        idx = bytes((k * 7 + 3) % psize for k in range(w * h))
+        exp = b"".join(bytes(pal[v]) for v in idx)
+        got = decode_png(
+            encode_png(w, h, 1, idx, palette=pal, depth=depth, interlace=interlace)
+        )
+        assert got == (w, h, 3, exp), (depth, w, h, interlace)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_exact_scaling(depth, interlace):
+    scale = 255 // ((1 << depth) - 1)
+    for w, h in ((9, 7), (13, 4), (1, 5), (8, 1)):
+        px = bytes((k * 3 + 1) % (1 << depth) for k in range(w * h))
+        got = decode_png(encode_png(w, h, 1, px, depth=depth, interlace=interlace))
+        assert got == (w, h, 1, bytes(v * scale for v in px)), (depth, w, h)
+
+
+def test_png_palette_missing_plte_rejected():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    data = encode_png(4, 2, 1, bytes([0, 1] * 4), palette=pal, depth=1)
+    # excise the PLTE chunk: the decoder must refuse a type-3 image
+    i = data.index(b"PLTE") - 4
+    ln = int.from_bytes(data[i : i + 4], "big")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(data[:i] + data[i + 12 + ln :])
+
+
+def test_png_palette_index_out_of_range_rejected():
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(2, 1, 1, bytes([0, 5]), palette=[(0, 0, 0), (1, 1, 1)], depth=1)
+
+
+def test_png_encoder_legacy_path_byte_stable():
+    # the pass-geometry refactor must not change non-interlaced 8-bit
+    # output: pin a known stream's digest-free invariants instead of a
+    # golden (filter rotation + single pass == the original serializer)
+    px = bytes((k * 7) % 251 for k in range(9 * 7 * 3))
+    a = encode_png(9, 7, 3, px, filter_seed=2)
+    w, h, ch, out = decode_png(a)
+    assert (w, h, ch, out) == (9, 7, 3, px)
+    assert a.count(b"IDAT") >= 1 and a[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAVE format 0x11)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_closed_form_stratum_exact():
+    # nibble&7 <= 3 pins the step index at 0 (step 7): the decode is the
+    # closed form first + sum of signed (3*bit1 + bit0) — the corpus slice
+    i = 64
+    n = 160 + 2 * (i % 20)
+    first = ((i * 13) % 2003) - 1001
+    nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
+            for k in range(n)]
+    rate, ch, samples, codec = _decode_wav(
+        encode_wav_adpcm_nibbles(8000, first, nibs), return_codec=True
+    )
+    assert (rate, ch, codec) == (8000, 1, "adpcm")
+    exp, acc = [first], first
+    for k in range(n):
+        nb = (i * 5 + k * 3) % 4
+        d = 3 * ((nb >> 1) & 1) + (nb & 1)
+        acc += -d if (i + k) % 7 < 3 else d
+        exp.append(acc)
+    assert samples == exp
+
+
+def test_adpcm_index_and_predictor_clamps():
+    pred, idx = 0, 0
+    for _ in range(200):
+        pred, idx = _ima_step(7, pred, idx)
+    assert idx == 88  # index clamps at the top of the step table
+    pred, idx = 32000, 88
+    for _ in range(10):
+        pred, idx = _ima_step(7, pred, idx)
+    assert pred == 32767  # int16 clamp, positive
+    pred, idx = -32000, 88
+    for _ in range(10):
+        pred, idx = _ima_step(15, pred, idx)
+    assert pred == -32768  # int16 clamp, negative
+
+
+def test_adpcm_greedy_encoder_tracks_slew_bounded_signal():
+    sig = [0]
+    for k in range(800):
+        sig.append(sig[-1] + (3 if (k // 40) % 2 == 0 else -3))
+    rate, ch, dec = _decode_wav(encode_wav_adpcm(22050, sig))
+    assert len(dec) == len(sig) and dec[0] == sig[0]
+    # decode must equal the encoder's internal predictor trajectory, and
+    # that trajectory must stay within one step of the input everywhere
+    pred, idx = sig[0], 0
+    nibs = ima_adpcm_encode(sig[1:], sig[0], 0)
+    traj = [pred]
+    for s, nb in zip(sig[1:], nibs):
+        step = _IMA_STEPS[idx]
+        pred, idx = _ima_step(nb, pred, idx)
+        traj.append(pred)
+        assert abs(pred - s) <= step
+    assert dec == traj
+
+
+def test_adpcm_fact_truncates_pad_nibble():
+    rate, ch, smp = _decode_wav(encode_wav_adpcm_nibbles(8000, 100, [1, 2, 3]))
+    assert len(smp) == 4  # 1 seed + 3 nibbles; the pad nibble is dropped
+
+
+def test_adpcm_stereo_rejected():
+    data = bytearray(encode_wav_adpcm_nibbles(8000, 0, [0, 0]))
+    off = data.index(b"fmt ") + 8 + 2
+    data[off:off + 2] = struct.pack("<H", 2)  # claim 2 channels
+    with pytest.raises(ValueError, match="mono"):
+        _decode_wav(bytes(data))
+
+
+def test_adpcm_bad_step_index_rejected():
+    data = bytearray(encode_wav_adpcm_nibbles(8000, 0, [0, 0]))
+    off = data.index(b"data") + 8 + 2  # block header index byte
+    data[off] = 89
+    with pytest.raises(ValueError, match="index"):
+        _decode_wav(bytes(data))
