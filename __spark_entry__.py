@@ -1527,15 +1527,20 @@ def q_pdf_ccitt_decode(spark, sf):
 
 
 def q_tiff_media_decode(spark, sf):
-    """REAL TIFF decode, value-oracled: 60 genuine TIFF 6.0 payloads
-    rotating four strata — CCITT G4 fax strips in BOTH byte orders
-    (class F, the container scanned documents travel the web in; strips
-    are independent G4 blocks restarting from the imaginary white row)
-    and uncompressed 8-bit gray / 24-bit RGB — across three strip
-    layouts (whole-image, 3-row, 5-row). The from-scratch IFD walk +
-    strip assembly + G4 decode reduce to exact integer features the
-    DuckDB oracle recomputes from the generating formulas; an endian,
-    IFD value-slot, strip-boundary or fax-coding bug breaks the hash."""
+    """REAL TIFF decode, value-oracled: 90 genuine TIFF 6.0 payloads.
+    Docs 0–59 rotate four strata — CCITT G4 fax strips in BOTH byte
+    orders (class F, the container scanned documents travel the web in;
+    strips are independent G4 blocks restarting from the imaginary white
+    row) and uncompressed 8-bit gray / 24-bit RGB — across three strip
+    layouts (whole-image, 3-row, 5-row). Docs 60–89 are the
+    Compression=5 extension: TIFF 6.0 §13 LZW strips (MSB-first
+    early-change codes — the wire twin of the PDF LZWDecode filter,
+    decoded by the SAME shared implementation) with and without
+    Predictor 2 horizontal differencing, gray and RGB, both endians.
+    The from-scratch IFD walk + strip assembly + codecs reduce to exact
+    integer features the DuckDB oracle recomputes from the generating
+    formulas; an endian, IFD value-slot, strip-boundary, fax-coding,
+    LZW-width or predictor bug breaks the hash."""
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
@@ -1543,7 +1548,7 @@ def q_tiff_media_decode(spark, sf):
     )
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_tiff_media_df(spark, 60))
+    return real_media_features(synth_tiff_media_df(spark, 90))
 
 
 def q_media_frame_sample(spark, sf):
@@ -3875,11 +3880,19 @@ def _all_oracles() -> dict[str, str]:
             FROM dims dm JOIN sums s2 USING (i, j)
         """,
         "tiff_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 60)),
+            WITH m AS (SELECT range AS i FROM range(0, 90)),
             dims AS (
+                -- i < 60: G4 fax / uncompressed strata; i >= 60: LZW
+                -- (+Predictor 2) strata — compression and predictor are
+                -- decode-path hazards, the pixel formulas are shared
                 SELECT i, 9 + i % 8 AS w, 7 + i % 6 AS h,
-                       CASE WHEN i % 4 = 3 THEN 3 ELSE 1 END AS ch,
-                       CASE WHEN i % 4 IN (0, 1) THEN 4 ELSE 1 END AS comp
+                       CASE WHEN i < 60
+                            THEN CASE WHEN i % 4 = 3 THEN 3 ELSE 1 END
+                            ELSE CASE WHEN i % 3 = 1 THEN 3 ELSE 1 END
+                            END AS ch,
+                       CASE WHEN i < 60
+                            THEN CASE WHEN i % 4 IN (0, 1) THEN 4 ELSE 1 END
+                            ELSE 5 END AS comp
                 FROM m),
             vals AS (
                 SELECT i, w, h, ch, comp,

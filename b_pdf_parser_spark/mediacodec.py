@@ -845,6 +845,86 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
 
 _TIFF_COMP_NONE = 1
 _TIFF_COMP_G4 = 4
+_TIFF_COMP_LZW = 5
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first 9→12-bit codes, ClearCode 256, EOI 257,
+    with the spec's "early change" — the code width bumps one code before
+    the table fills (this is byte-identical to the PDF ``LZWDecode``
+    wire format with EarlyChange 1, so :func:`_tiff_lzw_decompress`
+    simply reuses ``pdfmodel._lzw``). The encoder emits ClearCode when
+    the next free slot reaches 4094, per the spec's table-full rule."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # leading clear, per spec
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # early change: the decoder's next-free slot (one behind ours)
+        # hits (1<<width)-1 exactly when ours hits 1<<width
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256, width)  # clear: reset both sides' tables
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes, expect: int) -> bytes:
+    """Inverse of :func:`_tiff_lzw_compress` via the shared PDF-filter
+    decoder (same wire format); length-checked against the strip's
+    expected byte count."""
+    from .pdfmodel import PdfError, _lzw
+
+    try:
+        raw = _lzw(data, early_change=1)
+    except PdfError as e:
+        raise ValueError(f"TIFF LZW: {e}") from e
+    if len(raw) != expect:
+        raise ValueError(
+            f"TIFF LZW: strip decoded to {len(raw)} bytes, expected {expect}"
+        )
+    return raw
+
+
+def _predict2(row: bytearray, spp: int) -> None:
+    """Apply TIFF Predictor 2 (horizontal differencing) in place."""
+    for x in range(len(row) - 1, spp - 1, -1):
+        row[x] = (row[x] - row[x - spp]) & 0xFF
+
+
+def _unpredict2(row: bytearray, spp: int) -> None:
+    """Invert TIFF Predictor 2 in place."""
+    for x in range(spp, len(row)):
+        row[x] = (row[x] + row[x - spp]) & 0xFF
 
 
 def encode_tiff(
@@ -856,19 +936,26 @@ def encode_tiff(
     compression: int = _TIFF_COMP_NONE,
     big_endian: bool = False,
     rows_per_strip: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal-but-valid TIFF: 8-bit gray (ch 1) or RGB (ch 3) with
-    Compression=1, or bi-level class-F fax (ch 1, bytes 0=black else
-    white) with Compression=4 (CCITT G4). Strip-organized; ``pixels``
-    is row-major top-down."""
+    Compression=1 or Compression=5 (LZW, optionally with Predictor=2
+    horizontal differencing — tag 317 is written when it applies), or
+    bi-level class-F fax (ch 1, bytes 0=black else white) with
+    Compression=4 (CCITT G4). Strip-organized; ``pixels`` is row-major
+    top-down."""
     if channels not in (1, 3):
         raise ValueError("TIFF: only 1 or 3 samples/pixel supported")
     if len(pixels) != width * height * channels:
         raise ValueError("TIFF: pixel buffer size mismatch")
     if compression == _TIFF_COMP_G4 and channels != 1:
         raise ValueError("TIFF: G4 compression is bi-level (1 sample)")
-    if compression not in (_TIFF_COMP_NONE, _TIFF_COMP_G4):
+    if compression not in (_TIFF_COMP_NONE, _TIFF_COMP_G4, _TIFF_COMP_LZW):
         raise ValueError(f"TIFF: unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: unsupported predictor {predictor}")
+    if predictor == 2 and compression != _TIFF_COMP_LZW:
+        raise ValueError("TIFF: Predictor 2 only applies to LZW strips")
     end = ">" if big_endian else "<"
     rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
 
@@ -881,6 +968,14 @@ def encode_tiff(
             from .ccittcodec import encode_g4
 
             strips.append(encode_g4(width, rows, raw))
+        elif compression == _TIFF_COMP_LZW:
+            buf = bytearray(raw)
+            if predictor == 2:
+                for r in range(rows):
+                    row = buf[r * row_bytes : (r + 1) * row_bytes]
+                    _predict2(row, channels)
+                    buf[r * row_bytes : (r + 1) * row_bytes] = row
+            strips.append(_tiff_lzw_compress(bytes(buf)))
         else:
             strips.append(raw)
 
@@ -899,6 +994,8 @@ def encode_tiff(
     n_strips = len(strips)
     # layout: header(8) | IFD | [bits array][strip offsets][strip counts] | strips
     tags = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    if predictor == 2:
+        tags.append(317)  # ascending tag order per spec
     ifd_size = 2 + len(tags) * 12 + 4
     extra = bytearray()
     extra_base = 8 + ifd_size
@@ -948,6 +1045,8 @@ def encode_tiff(
         entry(278, 4, 1, rps),
         counts_entry,
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(end + "HI", 42, 8)
     out += struct.pack(end + "H", len(entries))
@@ -963,8 +1062,10 @@ def encode_tiff(
 def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, row-major top-down pixel bytes).
     Handles both byte orders, multi-strip organization, Compression 1
-    (8-bit gray / 24-bit RGB) and Compression 4 (CCITT G4 bi-level via
-    ``ccittcodec``, honoring PhotometricInterpretation). Fails loud on
+    (8-bit gray / 24-bit RGB), Compression 4 (CCITT G4 bi-level via
+    ``ccittcodec``, honoring PhotometricInterpretation) and
+    Compression 5 (LZW via the shared PDF-filter decoder, with
+    Predictor 2 horizontal differencing undone per row). Fails loud on
     anything else."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("TIFF: bad byte-order mark")
@@ -1018,14 +1119,19 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
     bits = tags.get(258, [8])
     if one(266, 1) != 1:  # FillOrder: LSB-first fax bytes would feed the
         raise ValueError("TIFF: FillOrder 2 (LSB-first) unsupported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: unsupported predictor {predictor}")
+    if predictor == 2 and comp != _TIFF_COMP_LZW:
+        raise ValueError("TIFF: Predictor 2 only applies to LZW strips")
     if comp == _TIFF_COMP_G4:
         if channels != 1 or bits != [1]:
             raise ValueError("TIFF: G4 must be 1 sample at 1 bit")
         if photometric not in (0, 1):
             raise ValueError(f"TIFF: fax photometric {photometric} invalid")
-    elif comp == _TIFF_COMP_NONE:
+    elif comp in (_TIFF_COMP_NONE, _TIFF_COMP_LZW):
         if bits != [8] * channels or channels not in (1, 3):
-            raise ValueError("TIFF: only 8-bit gray/RGB uncompressed")
+            raise ValueError("TIFF: only 8-bit gray/RGB for this compression")
         if channels == 3 and photometric != 2:
             raise ValueError(f"TIFF: RGB needs photometric 2, got {photometric}")
         if channels == 1 and photometric not in (0, 1):
@@ -1050,7 +1156,16 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
                 px = bytes(255 - v for v in px)
             out += px
         else:
-            if cnt != rows * width * channels:
+            row_bytes = width * channels
+            if comp == _TIFF_COMP_LZW:
+                raw = bytearray(_tiff_lzw_decompress(strip, rows * row_bytes))
+                if predictor == 2:
+                    for r in range(rows):
+                        row = raw[r * row_bytes : (r + 1) * row_bytes]
+                        _unpredict2(row, channels)
+                        raw[r * row_bytes : (r + 1) * row_bytes] = row
+                strip = bytes(raw)
+            elif cnt != rows * row_bytes:
                 raise ValueError("TIFF: strip byte count mismatch")
             if channels == 1 and photometric == 0:
                 # WhiteIsZero grayscale (some scanners): canonicalize

@@ -438,10 +438,27 @@ def synth_real_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
 
 def tiff_media_dims(i: int) -> dict:
     """Generating formulas for TIFF doc ``i`` — shared by the corpus
-    builder and the DuckDB oracle. Four strata rotate: G4 fax in both
-    byte orders (single- and multi-strip; bi-level pattern
-    ``white iff (x//3 + y//2 + i) % 5 < 3``) and uncompressed 8-bit
-    gray / 24-bit RGB (``v[k] = (i*31 + k*7) % 251``)."""
+    builder and the DuckDB oracle. Docs ``i < 60`` rotate four strata:
+    G4 fax in both byte orders (single- and multi-strip; bi-level
+    pattern ``white iff (x//3 + y//2 + i) % 5 < 3``) and uncompressed
+    8-bit gray / 24-bit RGB (``v[k] = (i*31 + k*7) % 251``). Docs
+    ``i >= 60`` are the Compression=5 (TIFF 6.0 §13 LZW) extension —
+    gray without predictor, RGB with Predictor 2 horizontal
+    differencing, gray with Predictor 2 — alternating byte orders; the
+    pixel values keep the same byte-ramp formula, so LZW + predictor
+    are pure decode-path hazards under an unchanged value oracle."""
+    if i >= 60:
+        st = i % 3
+        return {
+            "w": 9 + i % 8,
+            "h": 7 + i % 6,
+            "kind": ("lzwgray", "lzwrgb2", "lzwgray2")[st],
+            "ch": 3 if st == 1 else 1,
+            "big_endian": (i // 3) % 2 == 1,
+            "compression": 5,
+            "predictor": 1 if st == 0 else 2,
+            "rows_per_strip": (None, 3, 5)[(i // 4) % 3],
+        }
     kind = i % 4
     d = {
         "w": 9 + i % 8,
@@ -450,6 +467,7 @@ def tiff_media_dims(i: int) -> dict:
         "ch": 3 if kind == 3 else 1,
         "big_endian": kind in (1, 3),
         "compression": 4 if kind in (0, 1) else 1,
+        "predictor": 1,
         # rotate strip layout: whole-image and small multi-row strips
         "rows_per_strip": (None, 3, 5)[(i // 4) % 3],
     }
@@ -475,6 +493,7 @@ def encode_tiff_media(i: int) -> bytes:
         compression=d["compression"],
         big_endian=d["big_endian"],
         rows_per_strip=d["rows_per_strip"],
+        predictor=d["predictor"],
     )
 
 

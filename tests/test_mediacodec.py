@@ -404,3 +404,71 @@ def test_adpcm_bad_step_index_rejected():
     data[off] = 89
     with pytest.raises(ValueError, match="index"):
         _decode_wav(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# TIFF Compression=5 (LZW) + Predictor 2
+# ---------------------------------------------------------------------------
+
+from b_pdf_parser_spark.mediacodec import (  # noqa: E402
+    _tiff_lzw_compress,
+    _tiff_lzw_decompress,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def test_tiff_lzw_known_answer_and_pdf_filter_parity():
+    # the wire format is the PDF LZWDecode variant (EarlyChange 1): the
+    # spec's classic '-----A---B' example must survive, decoded by the
+    # SHARED pdfmodel._lzw implementation
+    enc = _tiff_lzw_compress(b"-----A---B")
+    assert _tiff_lzw_decompress(enc, 10) == b"-----A---B"
+    from b_pdf_parser_spark.pdfmodel import _lzw
+    assert _lzw(enc, early_change=1) == b"-----A---B"
+
+
+def test_tiff_lzw_width_growth_and_table_reset():
+    import random
+    rng = random.Random(7)
+    for data in (
+        bytes(rng.randrange(256) for _ in range(30000)),  # forces 12-bit + clear
+        b"ab" * 15000,
+        bytes((k * 7) % 251 for k in range(25000)),
+        b"", b"A",
+    ):
+        assert _tiff_lzw_decompress(_tiff_lzw_compress(data), len(data)) == data
+
+
+def test_tiff_lzw_wrong_length_rejected():
+    enc = _tiff_lzw_compress(b"abcabc")
+    with pytest.raises(ValueError, match="expected"):
+        _tiff_lzw_decompress(enc, 7)
+
+
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("ch", [1, 3])
+def test_tiff_lzw_roundtrip_predictor_strips_endians(ch, predictor):
+    for be in (False, True):
+        for rps in (None, 3):
+            for w, h in ((9, 7), (16, 5), (1, 4)):
+                px = bytes((31 + k * 7) % 251 for k in range(w * h * ch))
+                t = encode_tiff(w, h, ch, px, compression=5, big_endian=be,
+                                rows_per_strip=rps, predictor=predictor)
+                assert decode_tiff(t) == (w, h, ch, px), (ch, predictor, be, rps, w, h)
+
+
+def test_tiff_predictor_changes_wire_not_pixels():
+    # a smooth ramp compresses differently under differencing, but the
+    # decoded pixels are identical — predictor is wire-only
+    px = bytes(k % 251 for k in range(16 * 8))
+    a = encode_tiff(16, 8, 1, px, compression=5, predictor=1)
+    b = encode_tiff(16, 8, 1, px, compression=5, predictor=2)
+    assert a != b
+    assert decode_tiff(a) == decode_tiff(b) == (16, 8, 1, px)
+
+
+def test_tiff_predictor_without_lzw_rejected():
+    px = bytes(12)
+    with pytest.raises(ValueError, match="Predictor"):
+        encode_tiff(4, 3, 1, px, predictor=2)  # uncompressed + predictor
