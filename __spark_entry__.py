@@ -1527,7 +1527,7 @@ def q_pdf_ccitt_decode(spark, sf):
 
 
 def q_tiff_media_decode(spark, sf):
-    """REAL TIFF decode, value-oracled: 90 genuine TIFF 6.0 payloads.
+    """REAL TIFF decode, value-oracled: 120 genuine TIFF 6.0 payloads.
     Docs 0–59 rotate four strata — CCITT G4 fax strips in BOTH byte
     orders (class F, the container scanned documents travel the web in;
     strips are independent G4 blocks restarting from the imaginary white
@@ -1537,10 +1537,14 @@ def q_tiff_media_decode(spark, sf):
     early-change codes — the wire twin of the PDF LZWDecode filter,
     decoded by the SAME shared implementation) with and without
     Predictor 2 horizontal differencing, gray and RGB, both endians.
-    The from-scratch IFD walk + strip assembly + codecs reduce to exact
-    integer features the DuckDB oracle recomputes from the generating
-    formulas; an endian, IFD value-slot, strip-boundary, fax-coding,
-    LZW-width or predictor bug breaks the hash."""
+    Docs 90–119 are Compression=3 (CCITT Group 3) fax strips — 1-D and
+    2-D (T4Options bit 0) alternating with the byte order — under the
+    same bi-level pattern as the G4 strata, so the G3 EOL/tag framing
+    and per-strip restart are the hazards. The from-scratch IFD walk +
+    strip assembly + codecs reduce to exact integer features the DuckDB
+    oracle recomputes from the generating formulas; an endian, IFD
+    value-slot, strip-boundary, fax-coding, LZW-width or predictor bug
+    breaks the hash."""
     import b_pdf_parser_spark
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
@@ -1548,7 +1552,7 @@ def q_tiff_media_decode(spark, sf):
     )
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_tiff_media_df(spark, 90))
+    return real_media_features(synth_tiff_media_df(spark, 120))
 
 
 def q_media_frame_sample(spark, sf):
@@ -3880,19 +3884,22 @@ def _all_oracles() -> dict[str, str]:
             FROM dims dm JOIN sums s2 USING (i, j)
         """,
         "tiff_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 90)),
+            WITH m AS (SELECT range AS i FROM range(0, 120)),
             dims AS (
-                -- i < 60: G4 fax / uncompressed strata; i >= 60: LZW
-                -- (+Predictor 2) strata — compression and predictor are
-                -- decode-path hazards, the pixel formulas are shared
+                -- i < 60: G4 fax / uncompressed strata; 60..89: LZW
+                -- (+Predictor 2); 90..119: G3 fax — compression and
+                -- predictor are decode-path hazards, the pixel formulas
+                -- are shared (comp selects which formula below)
                 SELECT i, 9 + i % 8 AS w, 7 + i % 6 AS h,
                        CASE WHEN i < 60
                             THEN CASE WHEN i % 4 = 3 THEN 3 ELSE 1 END
-                            ELSE CASE WHEN i % 3 = 1 THEN 3 ELSE 1 END
-                            END AS ch,
+                            WHEN i < 90
+                            THEN CASE WHEN i % 3 = 1 THEN 3 ELSE 1 END
+                            ELSE 1 END AS ch,
                        CASE WHEN i < 60
                             THEN CASE WHEN i % 4 IN (0, 1) THEN 4 ELSE 1 END
-                            ELSE 5 END AS comp
+                            WHEN i < 90 THEN 5
+                            ELSE 3 END AS comp
                 FROM m),
             vals AS (
                 SELECT i, w, h, ch, comp,
@@ -3902,7 +3909,7 @@ def _all_oracles() -> dict[str, str]:
             -- lossless); gray/RGB strata: the linear byte formula
             pv AS (
                 SELECT i, k,
-                       CASE WHEN comp = 4
+                       CASE WHEN comp IN (3, 4)
                             THEN CASE WHEN (((k % w) // 3 + (k // w) // 2
                                              + i) % 5) < 3
                                       THEN 255 ELSE 0 END

@@ -844,6 +844,7 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 _TIFF_COMP_NONE = 1
+_TIFF_COMP_G3 = 3
 _TIFF_COMP_G4 = 4
 _TIFF_COMP_LZW = 5
 
@@ -937,25 +938,33 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     predictor: int = 1,
+    g3_2d: bool = False,
 ) -> bytes:
     """Minimal-but-valid TIFF: 8-bit gray (ch 1) or RGB (ch 3) with
     Compression=1 or Compression=5 (LZW, optionally with Predictor=2
     horizontal differencing — tag 317 is written when it applies), or
-    bi-level class-F fax (ch 1, bytes 0=black else white) with
-    Compression=4 (CCITT G4). Strip-organized; ``pixels`` is row-major
-    top-down."""
+    bi-level fax (ch 1, bytes 0=black else white) with Compression=4
+    (CCITT G4, class F) or Compression=3 (CCITT G3 — 1-D Modified
+    Huffman, or the 2-D extension when ``g3_2d``, recorded in
+    T4Options tag 292 bit 0). Strip-organized; ``pixels`` is row-major
+    top-down; fax strips are independent streams (each restarts from
+    the imaginary white row / a fresh 1-D row)."""
     if channels not in (1, 3):
         raise ValueError("TIFF: only 1 or 3 samples/pixel supported")
     if len(pixels) != width * height * channels:
         raise ValueError("TIFF: pixel buffer size mismatch")
-    if compression == _TIFF_COMP_G4 and channels != 1:
-        raise ValueError("TIFF: G4 compression is bi-level (1 sample)")
-    if compression not in (_TIFF_COMP_NONE, _TIFF_COMP_G4, _TIFF_COMP_LZW):
+    if compression in (_TIFF_COMP_G3, _TIFF_COMP_G4) and channels != 1:
+        raise ValueError("TIFF: fax compression is bi-level (1 sample)")
+    if compression not in (
+        _TIFF_COMP_NONE, _TIFF_COMP_G3, _TIFF_COMP_G4, _TIFF_COMP_LZW
+    ):
         raise ValueError(f"TIFF: unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: unsupported predictor {predictor}")
     if predictor == 2 and compression != _TIFF_COMP_LZW:
         raise ValueError("TIFF: Predictor 2 only applies to LZW strips")
+    if g3_2d and compression != _TIFF_COMP_G3:
+        raise ValueError("TIFF: g3_2d only applies to Compression=3")
     end = ">" if big_endian else "<"
     rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
 
@@ -968,6 +977,10 @@ def encode_tiff(
             from .ccittcodec import encode_g4
 
             strips.append(encode_g4(width, rows, raw))
+        elif compression == _TIFF_COMP_G3:
+            from .ccittcodec import encode_g3
+
+            strips.append(encode_g3(width, rows, raw, k=4 if g3_2d else 0))
         elif compression == _TIFF_COMP_LZW:
             buf = bytearray(raw)
             if predictor == 2:
@@ -980,8 +993,9 @@ def encode_tiff(
             strips.append(raw)
 
     # photometric: fax default 0 (WhiteIsZero); gray 1 (BlackIsZero); RGB 2
-    photometric = 0 if compression == _TIFF_COMP_G4 else (1 if channels == 1 else 2)
-    bits = 1 if compression == _TIFF_COMP_G4 else 8
+    is_fax = compression in (_TIFF_COMP_G3, _TIFF_COMP_G4)
+    photometric = 0 if is_fax else (1 if channels == 1 else 2)
+    bits = 1 if is_fax else 8
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # value left-justified in its 4-byte slot per the spec
@@ -994,8 +1008,10 @@ def encode_tiff(
     n_strips = len(strips)
     # layout: header(8) | IFD | [bits array][strip offsets][strip counts] | strips
     tags = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    if compression == _TIFF_COMP_G3:
+        tags.append(292)  # T4Options — ascending tag order per spec
     if predictor == 2:
-        tags.append(317)  # ascending tag order per spec
+        tags.append(317)
     ifd_size = 2 + len(tags) * 12 + 4
     extra = bytearray()
     extra_base = 8 + ifd_size
@@ -1045,6 +1061,8 @@ def encode_tiff(
         entry(278, 4, 1, rps),
         counts_entry,
     ]
+    if compression == _TIFF_COMP_G3:
+        entries.append(entry(292, 4, 1, 1 if g3_2d else 0))
     if predictor == 2:
         entries.append(entry(317, 3, 1, 2))
     out = bytearray()
@@ -1062,8 +1080,9 @@ def encode_tiff(
 def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, row-major top-down pixel bytes).
     Handles both byte orders, multi-strip organization, Compression 1
-    (8-bit gray / 24-bit RGB), Compression 4 (CCITT G4 bi-level via
-    ``ccittcodec``, honoring PhotometricInterpretation) and
+    (8-bit gray / 24-bit RGB), Compression 3 (CCITT G3 — 1-D or, per
+    T4Options bit 0, 2-D), Compression 4 (CCITT G4), both fax forms
+    bi-level via ``ccittcodec`` honoring PhotometricInterpretation, and
     Compression 5 (LZW via the shared PDF-filter decoder, with
     Predictor 2 horizontal differencing undone per row). Fails loud on
     anything else."""
@@ -1124,9 +1143,9 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError(f"TIFF: unsupported predictor {predictor}")
     if predictor == 2 and comp != _TIFF_COMP_LZW:
         raise ValueError("TIFF: Predictor 2 only applies to LZW strips")
-    if comp == _TIFF_COMP_G4:
+    if comp in (_TIFF_COMP_G3, _TIFF_COMP_G4):
         if channels != 1 or bits != [1]:
-            raise ValueError("TIFF: G4 must be 1 sample at 1 bit")
+            raise ValueError("TIFF: fax must be 1 sample at 1 bit")
         if photometric not in (0, 1):
             raise ValueError(f"TIFF: fax photometric {photometric} invalid")
     elif comp in (_TIFF_COMP_NONE, _TIFF_COMP_LZW):
@@ -1148,10 +1167,20 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
         rows = min(rps, height - rows_done)
         if rows <= 0:
             raise ValueError("TIFF: more strips than image rows")
-        if comp == _TIFF_COMP_G4:
-            from .ccittcodec import decode_g4
+        if comp in (_TIFF_COMP_G3, _TIFF_COMP_G4):
+            if comp == _TIFF_COMP_G4:
+                from .ccittcodec import decode_g4
 
-            px = decode_g4(strip, width, rows)
+                px = decode_g4(strip, width, rows)
+            else:
+                from .ccittcodec import decode_g3
+
+                # T4Options bit 0: 2-D coding in use; bit 1 would allow
+                # T.4 uncompressed mode inside the stream — unsupported
+                opt = one(292, 0)
+                if opt & 2:
+                    raise ValueError("TIFF: T.4 uncompressed mode unsupported")
+                px = decode_g3(strip, width, rows, k=1 if opt & 1 else 0)
             if photometric == 1:  # BlackIsZero fax: invert our convention
                 px = bytes(255 - v for v in px)
             out += px

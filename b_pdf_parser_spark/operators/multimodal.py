@@ -442,11 +442,28 @@ def tiff_media_dims(i: int) -> dict:
     G4 fax in both byte orders (single- and multi-strip; bi-level
     pattern ``white iff (x//3 + y//2 + i) % 5 < 3``) and uncompressed
     8-bit gray / 24-bit RGB (``v[k] = (i*31 + k*7) % 251``). Docs
-    ``i >= 60`` are the Compression=5 (TIFF 6.0 §13 LZW) extension —
+    ``60 <= i < 90`` are the Compression=5 (TIFF 6.0 §13 LZW) extension —
     gray without predictor, RGB with Predictor 2 horizontal
     differencing, gray with Predictor 2 — alternating byte orders; the
     pixel values keep the same byte-ramp formula, so LZW + predictor
-    are pure decode-path hazards under an unchanged value oracle."""
+    are pure decode-path hazards under an unchanged value oracle. Docs
+    ``i >= 90`` are Compression=3 (CCITT G3) fax strips — 1-D
+    little-endian and 2-D (T4Options bit 0) big-endian alternating —
+    with the SAME bi-level pattern as the G4 strata, so the G3 per-strip
+    restart and EOL/tag framing are the hazards under the shared fax
+    formula."""
+    if i >= 90:
+        return {
+            "w": 9 + i % 8,
+            "h": 7 + i % 6,
+            "kind": ("g3_1d", "g3_2d")[i % 2],
+            "ch": 1,
+            "big_endian": i % 2 == 1,
+            "compression": 3,
+            "predictor": 1,
+            "g3_2d": i % 2 == 1,
+            "rows_per_strip": (None, 3, 5)[(i // 4) % 3],
+        }
     if i >= 60:
         st = i % 3
         return {
@@ -480,7 +497,7 @@ def encode_tiff_media(i: int) -> bytes:
 
     d = tiff_media_dims(i)
     w, h, ch = d["w"], d["h"], d["ch"]
-    if d["compression"] == 4:
+    if d["compression"] in (3, 4):
         px = bytes(
             255 if ((x // 3 + y // 2 + i) % 5) < 3 else 0
             for y in range(h)
@@ -494,6 +511,7 @@ def encode_tiff_media(i: int) -> bytes:
         big_endian=d["big_endian"],
         rows_per_strip=d["rows_per_strip"],
         predictor=d["predictor"],
+        g3_2d=d.get("g3_2d", False),
     )
 
 

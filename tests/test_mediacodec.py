@@ -472,3 +472,32 @@ def test_tiff_predictor_without_lzw_rejected():
     px = bytes(12)
     with pytest.raises(ValueError, match="Predictor"):
         encode_tiff(4, 3, 1, px, predictor=2)  # uncompressed + predictor
+
+
+@pytest.mark.parametrize("g3_2d", [False, True])
+def test_tiff_g3_fax_roundtrip_strips_endians(g3_2d):
+    for be in (False, True):
+        for rps in (None, 3, 5):
+            for w, h in ((9, 7), (16, 5), (23, 11)):
+                px = bytes(255 if ((x // 3 + y // 2 + w) % 5) < 3 else 0
+                           for y in range(h) for x in range(w))
+                t = encode_tiff(w, h, 1, px, compression=3, big_endian=be,
+                                rows_per_strip=rps, g3_2d=g3_2d)
+                assert decode_tiff(t) == (w, h, 1, px), (g3_2d, be, rps, w, h)
+
+
+def test_tiff_g3_t4options_uncompressed_mode_rejected():
+    t = bytearray(encode_tiff(9, 7, 1, bytes(63), compression=3, g3_2d=True))
+    # flip T4Options to claim bit 1 (T.4 uncompressed mode): must refuse
+    i = t.find(struct.pack("<HHI", 292, 4, 1))
+    assert i > 0
+    t[i + 8] |= 2
+    with pytest.raises(ValueError, match="uncompressed mode"):
+        decode_tiff(bytes(t))
+
+
+def test_tiff_g3_flags_rejected_on_wrong_compression():
+    with pytest.raises(ValueError, match="g3_2d"):
+        encode_tiff(4, 3, 1, bytes(12), compression=1, g3_2d=True)
+    with pytest.raises(ValueError, match="bi-level"):
+        encode_tiff(4, 3, 3, bytes(36), compression=3)
