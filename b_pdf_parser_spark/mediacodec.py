@@ -5,18 +5,22 @@ codec decode" because PIL/ffmpeg/opencv are absent from this runtime. But
 three real container formats need nothing beyond the standard library, so
 their decode paths are implemented for real here, from the public specs:
 
-* **PNG** (RFC 2083 / W3C PNG spec): 8-bit greyscale / truecolor / RGBA,
-  non-interlaced; chunk walk with CRC-32 verification, multi-IDAT
-  concatenation, zlib inflate, and per-row unfiltering for ALL five filter
-  types (None/Sub/Up/Average/Paeth — the same predictor family the PDF
-  xref-stream decoder already implements, reimplemented here over the
-  pixel byte stream).
+* **PNG** (RFC 2083 / W3C PNG spec): greyscale (depths 1/2/4/8, sub-byte
+  samples scaled to canonical 8-bit by the exact ``255//(2**d-1)``
+  factor), truecolor, RGBA and palette (color type 3, PLTE) images, both
+  sequential and **Adam7-interlaced**; chunk walk with CRC-32
+  verification, multi-IDAT concatenation, zlib inflate, and per-row
+  unfiltering for ALL five filter types (None/Sub/Up/Average/Paeth — the
+  same predictor family the PDF xref-stream decoder already implements,
+  reimplemented here over the packed scanline bytes).
 * **BMP** (BITMAPINFOHEADER, BI_RGB): 24-bit uncompressed, bottom-up rows,
   BGR order, 4-byte row padding — decoded back to canonical top-down RGB.
-* **WAV** (RIFF/WAVE): 16-bit little-endian PCM and 8-bit G.711 μ-law
+* **WAV** (RIFF/WAVE): 16-bit little-endian PCM, 8-bit G.711 μ-law
   (ITU-T G.711 — decoded by the public complement/exponent/mantissa
-  integer expansion, so a SQL oracle can restate it); fmt/data chunk walk
-  (unknown chunks skipped per spec), any channel count.
+  integer expansion, so a SQL oracle can restate it) and mono **IMA/DVI
+  ADPCM** (format 0x11 — the first compressed audio codec here: block
+  header seed + 89-entry step-table walk); fmt/fact/data chunk walk
+  (unknown chunks skipped per spec), any channel count for PCM/μ-law.
 * **GIF** (GIF89a): the LSB-first variable-code-width LZW that is the
   bit-order twin of the PDF ``LZWDecode`` filter (pdfmodel._lzw is
   MSB-first with EarlyChange; GIF packs codes little-endian with a
@@ -25,10 +29,13 @@ their decode paths are implemented for real here, from the public specs:
   skipping, and both sequential and 4-pass interlaced row order.
 * **TIFF** (TIFF 6.0 / class F): both byte orders, IFD walk with
   inline-vs-offset value slots, strip organization (RowsPerStrip), 8-bit
-  gray/RGB uncompressed, and Compression=4 fax strips routed through the
-  from-scratch CCITT Group 4 codec (``ccittcodec.py``) with
-  PhotometricInterpretation honored — the container scanned documents
-  actually travel the web in.
+  gray/RGB uncompressed, Compression=5 **LZW** (§13 — wire-identical to
+  the PDF ``LZWDecode`` filter with EarlyChange 1, so decode reuses
+  ``pdfmodel._lzw``; Predictor 2 horizontal differencing honored via tag
+  317), and Compression=4 (Group 4) / Compression=3 (Group 3, 1-D or
+  2-D per T4Options) fax strips routed through the from-scratch CCITT
+  codecs (``ccittcodec.py``) with PhotometricInterpretation honored —
+  the containers scanned documents actually travel the web in.
 
 Every decoder returns canonical values (top-down RGB pixel bytes / int16
 samples) so value-level oracles can recompute exact integer features
@@ -38,12 +45,12 @@ corpus deterministically; the PNG encoder rotates the row filter type so
 the decoder's whole unfilter surface is exercised by round-trips.
 
 JPEG (entropy-coded DCT, baseline SOF0/SOF1 and progressive SOF2) lives
-in the sibling module ``jpegcodec.py``, and CCITT Group 4 fax (ITU-T
-T.6) in ``ccittcodec.py`` — both implemented from scratch as of round
-5. What remains stubbed — and why: arithmetic-coded JPEG, JPEG2000, and
-every audio/video compression codec still need decoders we haven't
-built (or the absent native libs); those payloads take the honest
-NotImplementedError path in operators/multimodal.py.
+in the sibling module ``jpegcodec.py``, and CCITT Group 3/Group 4 fax
+(ITU-T T.4/T.6) in ``ccittcodec.py`` — all implemented from scratch as
+of round 5. What remains stubbed — and why: arithmetic-coded JPEG,
+JPEG2000, and every VIDEO compression codec still need decoders we
+haven't built (or the absent native libs); those payloads take the
+honest NotImplementedError path in operators/multimodal.py.
 """
 
 from __future__ import annotations

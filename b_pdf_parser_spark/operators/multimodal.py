@@ -16,10 +16,12 @@ Decode status, honestly labeled per format:
   ``pdf_jpeg_pixel_features`` / ``pdf_ccitt_pixel_features`` close the
   loop with the PDF walk: DCTDecode / CCITTFaxDecode image XObjects
   decode to pixels.
-* **STUBBED**: arithmetic-coded JPEG, JPEG2000 and compressed
-  audio/video need decoders we haven't built or the absent native libs
+* **STUBBED**: arithmetic-coded JPEG, JPEG2000 and compressed VIDEO
+  need decoders we haven't built or the absent native libs
   (PIL/ffmpeg/opencv are not in this runtime) — those payloads land in
-  the ``error`` column, never crash the batch.
+  the ``error`` column, never crash the batch. Compressed AUDIO is no
+  longer stubbed: mono IMA/DVI ADPCM decodes for real
+  (``mediacodec.decode_wav``, format 0x11).
 
 Everything Spark-side is real and tested for both classes: schema, Arrow
 batch shape, partitioning, the ``mapInPandas`` feature-extraction
@@ -123,8 +125,8 @@ def _decode_one(media_id: int, kind: str, payload: Optional[bytes]) -> dict:
     if payload[:4] != _MAGIC:
         # REAL-format dispatch: PNG/BMP/WAV/GIF/baseline-JPEG decode from
         # scratch (b_pdf_parser_spark.mediacodec / .jpegcodec); what's
-        # left (progressive/arithmetic JPEG, JPEG2000, compressed A/V)
-        # stays honestly stubbed in the error column.
+        # left (arithmetic JPEG, JPEG2000, compressed video) stays
+        # honestly stubbed in the error column.
         try:
             from ..jpegcodec import decode_jpeg
             from ..mediacodec import (
@@ -581,7 +583,7 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
         else:
             raise NotImplementedError(
                 "no from-scratch decoder for this container (arithmetic-"
-                "coded JPEG, JPEG2000 and compressed A/V stay stubbed)"
+                "coded JPEG, JPEG2000 and compressed VIDEO stay stubbed)"
             )
         row.update(
             n_values=len(vals),
