@@ -1302,7 +1302,10 @@ def q_real_media_decode(spark, sf):
     form the SQL restates as a windowed prefix sum (the lossy-codec
     tractable-slice trick, same as flat-block JPEG). Arithmetic-coded
     JPEG and compressed VIDEO stay honestly stubbed (no native libs
-    here)."""
+    here). Docs 96-107 complete the G.711 pair and the PCM family:
+    A-law code bytes through the XOR-0x55 segment/mantissa expansion
+    (restated as SQL integer arithmetic, like the mu-law branch) and
+    UNSIGNED 8-bit PCM canonicalized as (v-128)*256."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1311,7 +1314,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 96))
+    return real_media_features(synth_real_media_df(spark, 108))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2527,7 +2530,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 96)),
+            WITH m AS (SELECT range AS i FROM range(0, 108)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2596,7 +2599,17 @@ def _all_oracles() -> dict[str, str]:
                             WHEN 2 THEN ([1, 2, 4])[CAST(((i - 60) // 6) % 3 AS INT) + 1]
                             WHEN 5 THEN 2
                             ELSE 8 END AS depth
-                FROM m WHERE i >= 60),
+                FROM m WHERE i >= 60 AND i < 96
+                UNION ALL
+                -- G.711 A-law / unsigned PCM8 strata (i >= 96)
+                SELECT i, CASE WHEN i % 2 = 0 THEN 'a0' ELSE 'a1' END AS st,
+                       CASE WHEN i % 2 = 0 THEN 'alaw' ELSE 'pcm8' END AS fmt,
+                       NULL AS w, NULL AS h,
+                       1 + ((i - 96) // 2) % 2 AS ch,
+                       8000 + (((i - 96) // 2) % 3) * 4000 AS rate,
+                       (150 + i % 60) * (1 + ((i - 96) // 2) % 2) AS nv,
+                       NULL AS psize, 8 AS depth
+                FROM m WHERE i >= 96),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -2654,6 +2667,25 @@ def _all_oracles() -> dict[str, str]:
                        ELSE (i * 31 + k * 7) % 251
                        END AS val
                 FROM vals WHERE st LIKE 'e%' AND st != 'e4'),
+            -- G.711 A-law expansion as pure integer SQL (u = code XOR
+            -- 0x55; segment 0 linear +8, else mantissa under an implicit
+            -- leading 1 shifted by segment-1; MSB set = positive), and
+            -- unsigned PCM8 canonicalized as (v-128)*256
+            va AS (
+                SELECT i, k,
+                       CASE WHEN st = 'a1'
+                            THEN (((i * 23 + k * 5) % 256) - 128) * 256
+                       ELSE
+                            (CASE WHEN xor((i * 17 + k * 11) % 256, 85) >= 128
+                                  THEN 1 ELSE -1 END)
+                            * (CASE ((xor((i * 17 + k * 11) % 256, 85)) // 16) % 8
+                               WHEN 0 THEN (xor((i * 17 + k * 11) % 256, 85) % 16) * 16 + 8
+                               WHEN 1 THEN (xor((i * 17 + k * 11) % 256, 85) % 16) * 16 + 264
+                               ELSE ((xor((i * 17 + k * 11) % 256, 85) % 16) * 16 + 264)
+                                    * (1 << CAST((((xor((i * 17 + k * 11) % 256, 85)) // 16) % 8) - 1 AS INT))
+                               END)
+                       END AS val
+                FROM vals WHERE st IN ('a0', 'a1')),
             -- IMA ADPCM (e4): nibble&7 <= 3 pins the step index at 0
             -- (step 7), so sample m is the closed form
             -- first + sum of signed (3*bit1 + bit0) over nibbles < m —
@@ -2696,7 +2728,8 @@ def _all_oracles() -> dict[str, str]:
                 FROM vals WHERE st = 'b' AND fmt != 'jpeg'
                 UNION ALL SELECT i, k, val FROM jv
                 UNION ALL SELECT i, k, val FROM ve
-                UNION ALL SELECT i, k, val FROM adv),
+                UNION ALL SELECT i, k, val FROM adv
+                UNION ALL SELECT i, k, val FROM va),
             sums AS (
                 SELECT i,
                        CAST(SUM(val) AS BIGINT) AS value_sum,

@@ -69,6 +69,7 @@ __all__ = [
     "encode_wav_adpcm",
     "encode_wav_adpcm_nibbles",
     "ima_adpcm_encode",
+    "alaw_expand",
     "encode_gif",
     "decode_gif",
     "encode_tiff",
@@ -409,18 +410,26 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
 
 
 def encode_wav(
-    sample_rate: int, channels: int, samples: List[int], ulaw: bool = False
+    sample_rate: int,
+    channels: int,
+    samples: List[int],
+    ulaw: bool = False,
+    alaw: bool = False,
+    pcm8: bool = False,
 ) -> bytes:
     """Interleaved samples → RIFF/WAVE. PCM16 by default (``samples`` are
-    int16); with ``ulaw=True`` the samples are raw G.711 μ-law code bytes
-    (0–255) and the fmt chunk says audio format 7 / 8 bits. A junk
-    ``LIST`` chunk is inserted before ``data`` so decoders must actually
-    walk chunks."""
-    if ulaw:
+    int16); with ``ulaw=True``/``alaw=True`` the samples are raw G.711
+    code bytes (0–255) and the fmt chunk says audio format 7/6 at 8
+    bits; with ``pcm8=True`` they are UNSIGNED 8-bit PCM bytes (format
+    1 at 8 bits — the WAV convention for 8-bit). A junk ``LIST`` chunk
+    is inserted before ``data`` so decoders must actually walk chunks."""
+    if sum((ulaw, alaw, pcm8)) > 1:
+        raise ValueError("pick at most one of ulaw/alaw/pcm8")
+    if ulaw or alaw or pcm8:
         body = bytes(samples)
         fmt = struct.pack(
-            "<HHIIHH", 7, channels, sample_rate,
-            sample_rate * channels, channels, 8,
+            "<HHIIHH", 7 if ulaw else (6 if alaw else 1), channels,
+            sample_rate, sample_rate * channels, channels, 8,
         )
     else:
         body = struct.pack(f"<{len(samples)}h", *samples)
@@ -555,6 +564,24 @@ def ulaw_expand(b: int) -> int:
     return -mag if u & 0x80 else mag
 
 
+def alaw_expand(b: int) -> int:
+    """ITU-T G.711 A-law code byte → linear sample (the other G.711
+    half: even bits invert (XOR 0x55), segment 0 is linear with a +8
+    rounding offset, segments 1–7 shift the mantissa under an implicit
+    leading 1 — again pure integer arithmetic a SQL oracle can restate).
+    Sign convention per the spec: MSB set means positive."""
+    u = b ^ 0x55
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    if seg == 0:
+        t = (mant << 4) + 8
+    elif seg == 1:
+        t = (mant << 4) + 0x108
+    else:
+        t = ((mant << 4) + 0x108) << (seg - 1)
+    return t if u & 0x80 else -t
+
+
 def decode_wav(
     data: bytes, return_codec: bool = False
 ) -> Tuple[int, ...]:
@@ -562,16 +589,19 @@ def decode_wav(
     [+ codec name ``"pcm16"``/``"ulaw"``/``"adpcm"`` when
     ``return_codec``].
 
-    Accepts PCM16 (audio format 1), G.711 μ-law (format 7, 8-bit) and
-    mono IMA/DVI ADPCM (format 0x11, 4-bit — decoded block by block:
-    int16 predictor seed + step index header, then low-nibble-first
-    codes through the 89-entry step table, truncated to the ``fact``
-    chunk's sample count); all forms return canonical linear int16."""
+    Accepts PCM16 and unsigned PCM8 (audio format 1 — 8-bit scales to
+    int16 as ``(v-128)*256``), G.711 μ-law (format 7, 8-bit), G.711
+    A-law (format 6, 8-bit) and mono IMA/DVI ADPCM (format 0x11, 4-bit —
+    decoded block by block: int16 predictor seed + step index header,
+    then low-nibble-first codes through the 89-entry step table,
+    truncated to the ``fact`` chunk's sample count); all forms return
+    canonical linear int16."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     rate = ch = None
     audio_fmt = None
+    bits = 0
     block_align = 0
     fact_samples: Optional[int] = None
     samples: List[int] = []
@@ -583,7 +613,9 @@ def decode_wav(
             audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if (audio_fmt, bits) not in ((1, 16), (7, 8), (0x11, 4)):
+            if (audio_fmt, bits) not in (
+                (1, 16), (1, 8), (6, 8), (7, 8), (0x11, 4)
+            ):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
             if audio_fmt == 0x11 and ch != 1:
                 raise ValueError("only mono IMA ADPCM supported")
@@ -594,6 +626,11 @@ def decode_wav(
                 raise ValueError("data chunk before fmt")
             if audio_fmt == 7:
                 samples = [ulaw_expand(v) for v in body]
+            elif audio_fmt == 6:
+                samples = [alaw_expand(v) for v in body]
+            elif audio_fmt == 1 and bits == 8:
+                # WAV 8-bit PCM is unsigned; canonicalize to int16
+                samples = [(v - 128) * 256 for v in body]
             elif audio_fmt == 0x11:
                 if block_align < 4:
                     raise ValueError("ADPCM block align too small")
@@ -617,7 +654,9 @@ def decode_wav(
     if rate is None:
         raise ValueError("missing fmt chunk")
     if return_codec:
-        codec = {7: "ulaw", 0x11: "adpcm"}.get(audio_fmt, "pcm16")
+        codec = {6: "alaw", 7: "ulaw", 0x11: "adpcm"}.get(
+            audio_fmt, "pcm8" if bits == 8 else "pcm16"
+        )
         return rate, ch, samples, codec
     return rate, ch, samples
 

@@ -251,7 +251,21 @@ def real_media_dims(i: int) -> dict:
       — the tractable-slice trick that lets a lossy, state-machine codec
       carry a SQL value oracle (the general table walk still runs);
     * ``e5`` — depth-2 greyscale Adam7 (sub-byte × interlace
-      intersection)."""
+      intersection).
+
+    Docs ``i >= 96`` complete the G.711 pair and the PCM family:
+    ``a0`` (even i) — A-law code bytes ``(i*17+k*11) % 256`` through the
+    XOR-0x55 segment/mantissa expansion; ``a1`` (odd i) — UNSIGNED 8-bit
+    PCM ``(i*23+k*5) % 256`` canonicalized as ``(v-128)*256``."""
+    if i >= 96:
+        j2 = i - 96
+        return {
+            "fmt": "alaw" if i % 2 == 0 else "pcm8",
+            "ext": "alaw" if i % 2 == 0 else "pcm8",
+            "ch": 1 + (j2 // 2) % 2,
+            "rate": 8000 + ((j2 // 2) % 3) * 4000,
+            "n": (150 + i % 60) * (1 + (j2 // 2) % 2),
+        }
     if i >= 60:
         j = i - 60
         st = j % 6
@@ -354,6 +368,12 @@ def encode_real_media(i: int) -> bytes:
 
     d = real_media_dims(i)
     ext = d.get("ext")
+    if ext == "alaw":
+        codes = [(i * 17 + k * 11) % 256 for k in range(d["n"])]
+        return encode_wav(d["rate"], d["ch"], codes, alaw=True)
+    if ext == "pcm8":
+        codes = [(i * 23 + k * 5) % 256 for k in range(d["n"])]
+        return encode_wav(d["rate"], d["ch"], codes, pcm8=True)
     if ext == "adpcm":
         first = ((i * 13) % 2003) - 1001
         nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
@@ -568,7 +588,7 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
         elif payload[:4] == b"RIFF":
             rate, ch, samples, codec = decode_wav(bytes(payload), return_codec=True)
             row.update(
-                fmt={"ulaw": "ulaw", "adpcm": "adpcm"}.get(codec, "wav"),
+                fmt="wav" if codec == "pcm16" else codec,
                 sample_rate=rate, channels=ch,
             )
             vals = samples

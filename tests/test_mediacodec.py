@@ -501,3 +501,39 @@ def test_tiff_g3_flags_rejected_on_wrong_compression():
         encode_tiff(4, 3, 1, bytes(12), compression=1, g3_2d=True)
     with pytest.raises(ValueError, match="bi-level"):
         encode_tiff(4, 3, 3, bytes(36), compression=3)
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law + unsigned PCM8
+# ---------------------------------------------------------------------------
+
+from b_pdf_parser_spark.mediacodec import alaw_expand  # noqa: E402
+
+
+def test_alaw_spec_anchor_points_and_monotonicity():
+    assert alaw_expand(0x55) == -8    # u=0x00: segment 0, mantissa 0, negative
+    assert alaw_expand(0xD5) == 8     # u=0x80: same, positive
+    assert alaw_expand(0xAA) == 32256  # u=0xFF: full-scale positive
+    prev = None
+    for m in range(16):  # positive codes of one segment grow monotonically
+        x = alaw_expand((0x80 | (3 << 4) | m) ^ 0x55)
+        if prev is not None:
+            assert x > prev
+        prev = x
+
+
+def test_alaw_pcm8_wav_roundtrip_and_codec_names():
+    b = [(17 * k + 11) % 256 for k in range(300)]
+    for kw, codec, exp in (
+        ({"alaw": True}, "alaw", [alaw_expand(v) for v in b]),
+        ({"pcm8": True}, "pcm8", [(v - 128) * 256 for v in b]),
+    ):
+        rate, ch, smp, got = _decode_wav(
+            encode_wav(8000, 1, b, **kw), return_codec=True
+        )
+        assert (got, smp, rate, ch) == (codec, exp, 8000, 1), codec
+
+
+def test_encode_wav_rejects_conflicting_codecs():
+    with pytest.raises(ValueError, match="at most one"):
+        encode_wav(8000, 1, [0], ulaw=True, alaw=True)
