@@ -285,36 +285,45 @@ def encode_g4(width: int, height: int, pixels: bytes) -> bytes:
     return out.flush()
 
 
-def encode_g3(width: int, height: int, pixels: bytes, k: int = 0) -> bytes:
+def encode_g3(
+    width: int, height: int, pixels: bytes, k: int = 0, eol: bool = True
+) -> bytes:
     """``width*height`` pixel bytes (0 = black, else white), row-major →
     Group 3 encoded stream (T.4). ``k == 0``: pure 1-D, every row is
-    EOL + Modified-Huffman runs. ``k > 0``: 2-D extension — every EOL
-    carries a tag bit (1 = next row 1-D, 0 = 2-D); rows ``y % k == 0``
-    are coded 1-D so corruption cannot propagate further than ``k``
-    rows. Ends with RTC (six EOLs)."""
+    EOL + Modified-Huffman runs — or, with ``eol=False``, rows packed
+    back-to-back with NO framing at all (the PDF /EndOfLine-false
+    default shape). ``k > 0``: 2-D extension — every EOL carries a tag
+    bit (1 = next row 1-D, 0 = 2-D); rows ``y % k == 0`` are coded 1-D
+    so corruption cannot propagate further than ``k`` rows (EOLs are
+    mandatory: the tag bit rides on them). Ends with RTC (six EOLs)
+    when framed."""
     if width <= 0 or height <= 0:
         raise ValueError("CCITT: empty image")
     if len(pixels) != width * height:
         raise ValueError("CCITT: pixel buffer size mismatch")
     if k < 0:
         raise ValueError("CCITT: G3 k must be >= 0 (use encode_g4 for MMR)")
+    if k > 0 and not eol:
+        raise ValueError("CCITT: G3 2-D needs EOL framing for its tag bits")
     out = _BitWriter()
     ref: List[int] = []
     for y in range(height):
         one_d = k == 0 or y % k == 0
-        out.put(_EOL)
-        if k > 0:
-            out.put("1" if one_d else "0")
+        if eol:
+            out.put(_EOL)
+            if k > 0:
+                out.put("1" if one_d else "0")
         cur = _transitions(pixels[y * width : (y + 1) * width])
         if one_d:
             _encode_row_1d(out, cur, width)
         else:
             _encode_row_2d(out, cur, ref, width)
         ref = cur
-    for _ in range(6):  # RTC
-        out.put(_EOL)
-        if k > 0:
-            out.put("1")
+    if eol:
+        for _ in range(6):  # RTC
+            out.put(_EOL)
+            if k > 0:
+                out.put("1")
     return out.flush()
 
 
@@ -443,13 +452,30 @@ def _read_eol(br: _BitReader, what: str) -> None:
         raise ValueError(f"CCITT: expected EOL before {what}")
 
 
+def _peek_eol(br: _BitReader) -> bool:
+    """True iff an EOL (with optional fill) starts at the current bit
+    position — detectable without ambiguity because no T.4 run or mode
+    code begins with more than 7 zeros, while EOL is eleven. Rewinds on
+    a negative answer; consumes the EOL on a positive one."""
+    mark = br.pos
+    try:
+        _read_eol(br, "peek")
+        return True
+    except ValueError:
+        br.pos = mark
+        return False
+
+
 def decode_g3(data: bytes, columns: int, rows: int, k: int = 0) -> bytes:
     """Group 3 stream → ``columns*rows`` pixel bytes (0 = black,
-    255 = white), row-major. ``k == 0`` decodes pure 1-D rows; ``k > 0``
-    reads the tag bit after each EOL and decodes the row 1-D or 2-D
-    accordingly. Fill bits before EOLs are absorbed; the trailing RTC is
-    ignored (``rows`` bounds the decode, same contract as
-    :func:`decode_g4`)."""
+    255 = white), row-major. ``k == 0`` decodes 1-D rows — WITH or
+    WITHOUT EOL framing: PDF's /EndOfLine default is FALSE (ISO 32000-2
+    table 11), so conforming K=0 streams may pack rows back-to-back with
+    no EOLs at all; EOLs are auto-detected per row (unambiguous — no
+    T.4 code starts with more than 7 zeros, EOL is eleven). ``k > 0``
+    requires EOLs, because the 1-D/2-D tag bit rides on them. Fill bits
+    before EOLs are absorbed; the trailing RTC is ignored (``rows``
+    bounds the decode, same contract as :func:`decode_g4`)."""
     if columns <= 0 or rows <= 0:
         raise ValueError("CCITT: empty image")
     if k < 0:
@@ -458,10 +484,11 @@ def decode_g3(data: bytes, columns: int, rows: int, k: int = 0) -> bytes:
     out = bytearray()
     ref: List[int] = []
     for y in range(rows):
-        _read_eol(br, f"row {y}")
         if k > 0:
+            _read_eol(br, f"row {y}")
             one_d = br.bit() == 1
         else:
+            _peek_eol(br)  # consume optional EOL (+fill); tolerate absence
             one_d = True
         if one_d:
             cur = _decode_row_1d(br, columns)

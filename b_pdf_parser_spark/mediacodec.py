@@ -307,6 +307,12 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported color type {ct}")
             if depth not in ((1, 2, 4, 8) if ct in (0, 3) else (8,)):
                 raise ValueError(f"unsupported bit depth {depth} for type {ct}")
+            if comp != 0 or filt != 0:
+                # only method 0 exists in the spec; decoding anything else
+                # with method-0 semantics would be silent corruption
+                raise ValueError(
+                    f"bad PNG compression/filter method ({comp}, {filt})"
+                )
             if interlace not in (0, 1):
                 raise ValueError(f"bad interlace method {interlace}")
         elif typ == b"PLTE":
@@ -604,14 +610,14 @@ def decode_wav(
     bits = 0
     block_align = 0
     fact_samples: Optional[int] = None
-    samples: List[int] = []
+    body: Optional[bytes] = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         ln = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        body = data[pos + 8 : pos + 8 + ln]
+        chunk = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
-                "<HHIIHH", body[:16]
+                "<HHIIHH", chunk[:16]
             )
             if (audio_fmt, bits) not in (
                 (1, 16), (1, 8), (6, 8), (7, 8), (0x11, 4)
@@ -620,39 +626,47 @@ def decode_wav(
             if audio_fmt == 0x11 and ch != 1:
                 raise ValueError("only mono IMA ADPCM supported")
         elif cid == b"fact":
-            fact_samples = struct.unpack("<I", body[:4])[0]
+            fact_samples = struct.unpack("<I", chunk[:4])[0]
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt")
-            if audio_fmt == 7:
-                samples = [ulaw_expand(v) for v in body]
-            elif audio_fmt == 6:
-                samples = [alaw_expand(v) for v in body]
-            elif audio_fmt == 1 and bits == 8:
-                # WAV 8-bit PCM is unsigned; canonicalize to int16
-                samples = [(v - 128) * 256 for v in body]
-            elif audio_fmt == 0x11:
-                if block_align < 4:
-                    raise ValueError("ADPCM block align too small")
-                for b0 in range(0, len(body), block_align):
-                    block = body[b0 : b0 + block_align]
-                    if len(block) < 4:
-                        raise ValueError("truncated ADPCM block header")
-                    pred, idx, _rsv = struct.unpack("<hBB", block[:4])
-                    if idx > 88:
-                        raise ValueError(f"ADPCM step index {idx} out of range")
-                    samples.append(pred)
-                    for byte in block[4:]:
-                        for nib in (byte & 0x0F, byte >> 4):
-                            pred, idx = _ima_step(nib, pred, idx)
-                            samples.append(pred)
-                if fact_samples is not None:
-                    samples = samples[:fact_samples]
-            else:
-                samples = list(struct.unpack(f"<{ln // 2}h", body[: (ln // 2) * 2]))
+            if body is not None:
+                raise ValueError("multiple data chunks")
+            body = chunk
         pos += 8 + ln + (ln % 2)  # chunks are word-aligned
     if rate is None:
         raise ValueError("missing fmt chunk")
+    # decode AFTER the walk so fact/data chunk order doesn't matter
+    # (RIFF does not mandate fact before data)
+    samples: List[int] = []
+    if body is not None:
+        if audio_fmt == 7:
+            samples = [ulaw_expand(v) for v in body]
+        elif audio_fmt == 6:
+            samples = [alaw_expand(v) for v in body]
+        elif audio_fmt == 1 and bits == 8:
+            # WAV 8-bit PCM is unsigned; canonicalize to int16
+            samples = [(v - 128) * 256 for v in body]
+        elif audio_fmt == 0x11:
+            if block_align < 4:
+                raise ValueError("ADPCM block align too small")
+            for b0 in range(0, len(body), block_align):
+                block = body[b0 : b0 + block_align]
+                if len(block) < 4:
+                    raise ValueError("truncated ADPCM block header")
+                pred, idx, _rsv = struct.unpack("<hBB", block[:4])
+                if idx > 88:
+                    raise ValueError(f"ADPCM step index {idx} out of range")
+                samples.append(pred)
+                for byte in block[4:]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred, idx = _ima_step(nib, pred, idx)
+                        samples.append(pred)
+            if fact_samples is not None:
+                samples = samples[:fact_samples]
+        else:
+            n2 = len(body) // 2
+            samples = list(struct.unpack(f"<{n2}h", body[: n2 * 2]))
     if return_codec:
         codec = {6: "alaw", 7: "ulaw", 0x11: "adpcm"}.get(
             audio_fmt, "pcm8" if bits == 8 else "pcm16"
@@ -963,15 +977,15 @@ def _tiff_lzw_decompress(data: bytes, expect: int) -> bytes:
 
 
 def _predict2(row: bytearray, spp: int) -> None:
-    """Apply TIFF Predictor 2 (horizontal differencing) in place."""
-    for x in range(len(row) - 1, spp - 1, -1):
-        row[x] = (row[x] - row[x - spp]) & 0xFF
+    """Apply TIFF Predictor 2 (horizontal differencing) in place — this
+    is exactly the PNG Sub filter with bpp = samples/pixel (Sub ignores
+    the previous row), so delegate to the shared predictor code."""
+    row[:] = _filter_row(1, bytes(row), bytes(len(row)), spp)
 
 
 def _unpredict2(row: bytearray, spp: int) -> None:
-    """Invert TIFF Predictor 2 in place."""
-    for x in range(spp, len(row)):
-        row[x] = (row[x] + row[x - spp]) & 0xFF
+    """Invert TIFF Predictor 2 in place (PNG Sub unfilter, shared)."""
+    _unfilter_row(1, row, bytes(len(row)), spp)
 
 
 def encode_tiff(

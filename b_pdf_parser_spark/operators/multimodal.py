@@ -870,9 +870,12 @@ def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
     bi-level images as /CCITTFaxDecode XObjects (/DeviceGray, 1 bpc —
     the scanned-document-PDF shape) with the /K regime rotating over
     Group 4 (/K -1), Group 3 1-D (/K 0) and Group 3 2-D (/K 4) by
-    ``(i + j) % 3``, plus one pseudo-byte DCTDecode decoy per doc so a
-    filter-routing bug (running the fax coder over the wrong stream)
-    breaks the oracle with an error row instead of passing silently.
+    ``(i + j) % 3`` — half the K=0 images in the PDF-DEFAULT
+    /EndOfLine-false shape (rows packed with NO EOL framing, which the
+    decoder must auto-detect) — plus one pseudo-byte DCTDecode decoy per
+    doc so a filter-routing bug (running the fax coder over the wrong
+    stream) breaks the oracle with an error row instead of passing
+    silently.
     The decoded pixels are identical across regimes (bi-level fax coding
     is lossless), so the oracle formulas don't depend on K — only the
     decode PATH does, which is exactly what the rotation pins."""
@@ -892,13 +895,16 @@ def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
                     d = _ccitt_xobject_dims(i, j)
                     px = _ccitt_pattern_pixels(i, j, d["w"], d["h"])
                     k = (-1, 0, 4)[(i + j) % 3]
+                    # half the K=0 images ship the PDF-DEFAULT shape:
+                    # /EndOfLine false, rows packed with no framing
+                    eol = not (k == 0 and (i // 3) % 2 == 0)
                     if k < 0:
                         enc = encode_g4(d["w"], d["h"], px)
                     else:
-                        enc = encode_g3(d["w"], d["h"], px, k=k)
+                        enc = encode_g3(d["w"], d["h"], px, k=k, eol=eol)
                     imgs.append({
                         "page": 0, "width": d["w"], "height": d["h"],
-                        "filter": "CCITTFaxDecode", "k": k,
+                        "filter": "CCITTFaxDecode", "k": k, "eol": eol,
                         "data": enc,
                     })
                 imgs.append(make_image(0, 16, 8, "DCTDecode", seed=i))

@@ -415,8 +415,11 @@ def build_pdf(
             # Group 3 2-D (K>0) per the image's "k" key; PDF defaults
             # otherwise (BlackIs1 false — decoded 0 bits are black),
             # ISO 32000-2 §7.4.6; Columns/Rows pinned to the dimensions.
-            # G3 streams carry per-row EOLs, so say /EndOfLine true.
+            # /EndOfLine true only when the stream actually carries EOLs
+            # (the image's "eol" key; the PDF default is false, and K=0
+            # streams without EOLs are the spec-default shape)
             ccitt_k = int(im.get("k", -1))
+            ccitt_eol = bool(im.get("eol", ccitt_k >= 0))
             color = (
                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
                 b"/DecodeParms << /K %d /Columns %d /Rows %d%s >> "
@@ -424,7 +427,7 @@ def build_pdf(
                     ccitt_k,
                     int(im["width"]),
                     int(im["height"]),
-                    b" /EndOfLine true" if ccitt_k >= 0 else b"",
+                    b" /EndOfLine true" if ccitt_k >= 0 and ccitt_eol else b"",
                 )
             )
         else:

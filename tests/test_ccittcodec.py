@@ -181,14 +181,49 @@ def test_g3_k_rotation_changes_bitstream_not_pixels():
     assert decode_g3(enc0, 13, 6, k=0) == decode_g3(enc4, 13, 6, k=4) == px
 
 
-def test_g3_missing_eol_raises():
+@pytest.mark.parametrize("style", range(4))
+def test_g3_1d_no_eol_streams_decode(style):
+    # PDF /EndOfLine defaults to FALSE: conforming K=0 streams pack rows
+    # back-to-back with no framing — the decoder auto-detects per row
+    rng = random.Random(style)
+    for _ in range(10):
+        w = rng.randint(1, 50)
+        h = rng.randint(1, 12)
+        if style == 0:
+            px = bytes(255 if (x // 3 + y) % 2 else 0
+                       for y in range(h) for x in range(w))
+        elif style == 1:
+            px = bytes([255]) * (w * h)
+        elif style == 2:
+            px = bytes(w * h)
+        else:
+            px = bytes(rng.choice((0, 255)) for _ in range(w * h))
+        enc = encode_g3(w, h, px, k=0, eol=False)
+        framed = encode_g3(w, h, px, k=0, eol=True)
+        assert len(enc) < len(framed)  # really no EOLs on the wire
+        assert decode_g3(enc, w, h, k=0) == bytes(255 if p else 0 for p in px)
+
+
+def test_g3_stripped_eol_stream_still_decodes_k0():
+    # with per-row auto-detect, a framed stream missing its first EOL is
+    # just a mixed-framing stream — k=0 decode must survive it
     enc = encode_g3(8, 2, bytes([255]) * 16, k=0)
-    # strip the leading EOL (12 bits): the decoder must refuse
     bits = _bits(enc)[12:]
     bits += "0" * ((8 - len(bits) % 8) % 8)
-    data = int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    assert decode_g3(data, 8, 2, k=0) == bytes([255]) * 16
+
+
+def test_g3_2d_missing_eol_raises():
+    # k>0 carries the 1-D/2-D tag on the EOL: framing is mandatory
+    enc = encode_g3(8, 2, bytes([255]) * 16, k=2)
+    bits = _bits(enc)[12:]
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
     with pytest.raises(ValueError):
-        decode_g3(data, 8, 2, k=0)
+        decode_g3(data, 8, 2, k=2)
+    with pytest.raises(ValueError, match="EOL framing"):
+        encode_g3(8, 2, bytes(16), k=2, eol=False)
 
 
 def test_g3_first_row_2d_rejected():

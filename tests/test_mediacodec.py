@@ -537,3 +537,46 @@ def test_alaw_pcm8_wav_roundtrip_and_codec_names():
 def test_encode_wav_rejects_conflicting_codecs():
     with pytest.raises(ValueError, match="at most one"):
         encode_wav(8000, 1, [0], ulaw=True, alaw=True)
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions: chunk-order independence, fail-loud shapes
+# ---------------------------------------------------------------------------
+
+
+def test_wav_fact_chunk_after_data_still_truncates():
+    # RIFF does not mandate fact-before-data: decode must defer until the
+    # walk completes, or the pad nibble becomes a phantom sample
+    from b_pdf_parser_spark.mediacodec import encode_wav_adpcm_nibbles
+    wav = bytearray(encode_wav_adpcm_nibbles(8000, 100, [1, 2, 3]))
+    fi = wav.index(b"fact")
+    fact = bytes(wav[fi : fi + 12])
+    del wav[fi : fi + 12]
+    wav += fact  # move the fact chunk after data
+    rate, ch, smp = _decode_wav(bytes(wav))
+    assert len(smp) == 4  # still 1 seed + 3 nibbles, pad dropped
+
+
+def test_wav_multiple_data_chunks_rejected():
+    data = bytearray(encode_wav(8000, 1, [1, 2, 3]))
+    di = data.index(b"data")
+    extra = bytes(data[di : di + 8 + 6])
+    data += extra
+    # fix the RIFF size so the walk reaches the second data chunk
+    struct.pack_into("<I", data, 4, len(data) - 8)
+    with pytest.raises(ValueError, match="multiple data"):
+        _decode_wav(bytes(data))
+
+
+def test_png_nonzero_method_bytes_rejected():
+    px = bytes((k * 7) % 251 for k in range(4 * 3 * 3))
+    good = encode_png(4, 3, 3, px)
+    i = good.index(b"IHDR")
+    for off in (10, 11):  # compression method, filter method bytes
+        bad = bytearray(good)
+        bad[i + 4 + off] = 1
+        body = bytes(bad[i + 4 : i + 4 + 13])
+        crc = (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        bad[i + 4 + 13 : i + 4 + 17] = crc  # keep the CRC honest
+        with pytest.raises(ValueError, match="method"):
+            decode_png(bytes(bad))
