@@ -3894,12 +3894,16 @@ def _all_oracles() -> dict[str, str]:
                 FROM imgs),
             vals AS (
                 SELECT i, j, w, h, unnest(range(0, w * h)) AS k FROM dims),
-            -- the generating bi-level pattern, restated per pixel
-            -- (G4 coding is lossless, so decode == pattern exactly)
+            -- the generating bi-level pattern, restated per pixel (fax
+            -- coding is lossless, so decode == pattern exactly); images
+            -- with /BlackIs1 ((i+j)%5=2) invert: black decodes to
+            -- 1-bits, so the conforming sample values flip
             pv AS (
                 SELECT i, j, k,
-                       CASE WHEN (((k % w) // 3 + (k // w) // 2
-                                   + i * 7 + j * 3) % 5) < 3
+                       CASE WHEN (CASE WHEN (((k % w) // 3 + (k // w) // 2
+                                              + i * 7 + j * 3) % 5) < 3
+                                       THEN 1 ELSE 0 END)
+                            = (CASE WHEN (i + j) % 5 = 2 THEN 0 ELSE 1 END)
                             THEN 255 ELSE 0 END AS val
                 FROM vals),
             sums AS (

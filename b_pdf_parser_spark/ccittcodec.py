@@ -161,6 +161,13 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
+    def align(self) -> None:
+        """Zero-pad to the next byte boundary (EncodedByteAlign)."""
+        if self.n:
+            self.buf.append(self.acc << (8 - self.n))
+            self.acc = 0
+            self.n = 0
+
     def flush(self) -> bytes:
         if self.n:
             self.buf.append(self.acc << (8 - self.n))
@@ -173,6 +180,10 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
+
+    def align(self) -> None:
+        """Skip to the next byte boundary (EncodedByteAlign)."""
+        self.pos = (self.pos + 7) & ~7
 
     def bit(self) -> int:
         byte, off = divmod(self.pos, 8)
@@ -267,9 +278,12 @@ def _encode_row_1d(out: _BitWriter, cur: List[int], width: int) -> None:
         prev = t
 
 
-def encode_g4(width: int, height: int, pixels: bytes) -> bytes:
+def encode_g4(
+    width: int, height: int, pixels: bytes, byte_align: bool = False
+) -> bytes:
     """``width*height`` pixel bytes (0 = black, else white), row-major →
-    Group 4 encoded stream, terminated by EOFB."""
+    Group 4 encoded stream, terminated by EOFB. ``byte_align`` pads each
+    coded row to a byte boundary (PDF /EncodedByteAlign)."""
     if width <= 0 or height <= 0:
         raise ValueError("CCITT: empty image")
     if len(pixels) != width * height:
@@ -277,6 +291,8 @@ def encode_g4(width: int, height: int, pixels: bytes) -> bytes:
     out = _BitWriter()
     ref: List[int] = []  # imaginary all-white row above row 0
     for y in range(height):
+        if byte_align:
+            out.align()
         cur = _transitions(pixels[y * width : (y + 1) * width])
         _encode_row_2d(out, cur, ref, width)
         ref = cur
@@ -286,7 +302,12 @@ def encode_g4(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def encode_g3(
-    width: int, height: int, pixels: bytes, k: int = 0, eol: bool = True
+    width: int,
+    height: int,
+    pixels: bytes,
+    k: int = 0,
+    eol: bool = True,
+    byte_align: bool = False,
 ) -> bytes:
     """``width*height`` pixel bytes (0 = black, else white), row-major →
     Group 3 encoded stream (T.4). ``k == 0``: pure 1-D, every row is
@@ -296,7 +317,8 @@ def encode_g3(
     bit (1 = next row 1-D, 0 = 2-D); rows ``y % k == 0`` are coded 1-D
     so corruption cannot propagate further than ``k`` rows (EOLs are
     mandatory: the tag bit rides on them). Ends with RTC (six EOLs)
-    when framed."""
+    when framed. ``byte_align`` pads so each EOL (or, unframed, each
+    row) starts on a byte boundary (PDF /EncodedByteAlign)."""
     if width <= 0 or height <= 0:
         raise ValueError("CCITT: empty image")
     if len(pixels) != width * height:
@@ -309,6 +331,8 @@ def encode_g3(
     ref: List[int] = []
     for y in range(height):
         one_d = k == 0 or y % k == 0
+        if byte_align:
+            out.align()
         if eol:
             out.put(_EOL)
             if k > 0:
@@ -420,17 +444,22 @@ def _render_row(cur: List[int], columns: int) -> bytearray:
     return row
 
 
-def decode_g4(data: bytes, columns: int, rows: int) -> bytes:
+def decode_g4(
+    data: bytes, columns: int, rows: int, byte_align: bool = False
+) -> bytes:
     """Group 4 stream → ``columns*rows`` pixel bytes (0 = black,
-    255 = white), row-major. Fails loud on truncation, coder overruns
-    and invalid codes (the corrupt-row-skip contract lives in the
-    callers, same as ``jpegcodec``)."""
+    255 = white), row-major. ``byte_align`` expects each coded row on a
+    byte boundary (PDF /EncodedByteAlign). Fails loud on truncation,
+    coder overruns and invalid codes (the corrupt-row-skip contract
+    lives in the callers, same as ``jpegcodec``)."""
     if columns <= 0 or rows <= 0:
         raise ValueError("CCITT: empty image")
     br = _BitReader(data)
     out = bytearray()
     ref: List[int] = []
     for y in range(rows):
+        if byte_align:
+            br.align()
         cur = _decode_row_2d(br, ref, columns)
         out += _render_row(cur, columns)
         ref = cur
@@ -466,7 +495,9 @@ def _peek_eol(br: _BitReader) -> bool:
         return False
 
 
-def decode_g3(data: bytes, columns: int, rows: int, k: int = 0) -> bytes:
+def decode_g3(
+    data: bytes, columns: int, rows: int, k: int = 0, byte_align: bool = False
+) -> bytes:
     """Group 3 stream → ``columns*rows`` pixel bytes (0 = black,
     255 = white), row-major. ``k == 0`` decodes 1-D rows — WITH or
     WITHOUT EOL framing: PDF's /EndOfLine default is FALSE (ISO 32000-2
@@ -475,7 +506,9 @@ def decode_g3(data: bytes, columns: int, rows: int, k: int = 0) -> bytes:
     T.4 code starts with more than 7 zeros, EOL is eleven). ``k > 0``
     requires EOLs, because the 1-D/2-D tag bit rides on them. Fill bits
     before EOLs are absorbed; the trailing RTC is ignored (``rows``
-    bounds the decode, same contract as :func:`decode_g4`)."""
+    bounds the decode, same contract as :func:`decode_g4`).
+    ``byte_align`` expects each EOL (or, unframed, each row) on a byte
+    boundary (PDF /EncodedByteAlign)."""
     if columns <= 0 or rows <= 0:
         raise ValueError("CCITT: empty image")
     if k < 0:
@@ -484,6 +517,8 @@ def decode_g3(data: bytes, columns: int, rows: int, k: int = 0) -> bytes:
     out = bytearray()
     ref: List[int] = []
     for y in range(rows):
+        if byte_align:
+            br.align()
         if k > 0:
             _read_eol(br, f"row {y}")
             one_d = br.bit() == 1

@@ -872,10 +872,15 @@ def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
     Group 4 (/K -1), Group 3 1-D (/K 0) and Group 3 2-D (/K 4) by
     ``(i + j) % 3`` — half the K=0 images in the PDF-DEFAULT
     /EndOfLine-false shape (rows packed with NO EOL framing, which the
-    decoder must auto-detect) — plus one pseudo-byte DCTDecode decoy per
-    doc so a filter-routing bug (running the fax coder over the wrong
+    decoder must auto-detect), a quarter of all images byte-aligned per
+    row (/EncodedByteAlign), a fifth carrying /BlackIs1 (the coded runs
+    are unchanged; the conforming sample values invert, and the oracle
+    inverts in lockstep) — plus one pseudo-byte DCTDecode decoy per doc
+    so a filter-routing bug (running the fax coder over the wrong
     stream) breaks the oracle with an error row instead of passing
-    silently.
+    silently. Together the corpus now rotates the ENTIRE practical
+    /CCITTFaxDecode parameter surface: K, EndOfLine, EncodedByteAlign,
+    BlackIs1, Columns, Rows.
     The decoded pixels are identical across regimes (bi-level fax coding
     is lossless), so the oracle formulas don't depend on K — only the
     decode PATH does, which is exactly what the rotation pins."""
@@ -898,13 +903,24 @@ def synth_ccittdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
                     # half the K=0 images ship the PDF-DEFAULT shape:
                     # /EndOfLine false, rows packed with no framing
                     eol = not (k == 0 and (i // 3) % 2 == 0)
+                    # rotate the remaining DecodeParms surface too:
+                    # /EncodedByteAlign pads every row/EOL to a byte
+                    # boundary; /BlackIs1 flips what the decoded samples
+                    # MEAN (consumer inverts) without touching the coded
+                    # runs — the oracle inverts in lockstep
+                    byte_align = (i * 3 + j) % 4 == 1
+                    black1 = (i + j) % 5 == 2
                     if k < 0:
-                        enc = encode_g4(d["w"], d["h"], px)
+                        enc = encode_g4(d["w"], d["h"], px, byte_align=byte_align)
                     else:
-                        enc = encode_g3(d["w"], d["h"], px, k=k, eol=eol)
+                        enc = encode_g3(
+                            d["w"], d["h"], px, k=k, eol=eol,
+                            byte_align=byte_align,
+                        )
                     imgs.append({
                         "page": 0, "width": d["w"], "height": d["h"],
                         "filter": "CCITTFaxDecode", "k": k, "eol": eol,
+                        "byte_align": byte_align, "black_is_1": black1,
                         "data": enc,
                     })
                 imgs.append(make_image(0, 16, 8, "DCTDecode", seed=i))
@@ -941,15 +957,21 @@ def pdf_ccitt_pixel_features(docs: DataFrame) -> DataFrame:
                         if rec["filter"] != "CCITTFaxDecode":
                             continue
                         ccitt_k = rec.get("ccitt_k", 0)
+                        eba = rec.get("ccitt_byte_align", False)
                         if ccitt_k < 0:
                             px = decode_g4(
-                                rec["data"], rec["width"], rec["height"]
+                                rec["data"], rec["width"], rec["height"],
+                                byte_align=eba,
                             )
                         else:
                             px = decode_g3(
                                 rec["data"], rec["width"], rec["height"],
-                                k=ccitt_k,
+                                k=ccitt_k, byte_align=eba,
                             )
+                        if rec.get("ccitt_black1", False):
+                            # BlackIs1: black decodes to 1-bits, so the
+                            # conforming sample values are inverted
+                            px = bytes(255 - v for v in px)
                         rows.append({
                             "doc_id": int(did), "page": rec["page"],
                             "name": rec["name"], "width": rec["width"],

@@ -1780,14 +1780,23 @@ def image_inventory(data: bytes, with_data: bool = False) -> List[Dict[str, Any]
                 "n_bytes": len(xo.raw),
             }
             if rec["filter"] == "CCITTFaxDecode":
-                # surface /DecodeParms /K so codec-equipped consumers can
-                # route G4 (K<0) vs G3 (K>=0); the PDF default is K=0
-                # (ISO 32000-2 §7.4.6, table 11)
+                # surface the /DecodeParms a codec-equipped consumer needs
+                # to route and interpret the stream: /K (G4 vs G3; PDF
+                # default 0), /EncodedByteAlign and /BlackIs1 (both
+                # default false) — ISO 32000-2 §7.4.6, table 11
                 dp = doc.resolve(d.get("DecodeParms"))
                 if isinstance(dp, list):
                     dp = doc.resolve(dp[-1]) if dp else None
-                kv = doc.resolve(dp.get("K")) if isinstance(dp, dict) else None
+                if not isinstance(dp, dict):
+                    dp = {}
+                kv = doc.resolve(dp.get("K"))
                 rec["ccitt_k"] = int(kv) if isinstance(kv, (int, float)) else 0
+                rec["ccitt_byte_align"] = bool(
+                    doc.resolve(dp.get("EncodedByteAlign")) is True
+                )
+                rec["ccitt_black1"] = bool(
+                    doc.resolve(dp.get("BlackIs1")) is True
+                )
             if with_data:
                 # the encoded stream bytes verbatim (for DCTDecode that IS
                 # the JFIF payload) — consumers with a real codec (e.g.

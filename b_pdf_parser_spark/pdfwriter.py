@@ -420,6 +420,16 @@ def build_pdf(
             # streams without EOLs are the spec-default shape)
             ccitt_k = int(im.get("k", -1))
             ccitt_eol = bool(im.get("eol", ccitt_k >= 0))
+            extras = b""
+            if ccitt_k >= 0 and ccitt_eol:
+                extras += b" /EndOfLine true"
+            if im.get("byte_align"):
+                extras += b" /EncodedByteAlign true"
+            if im.get("black_is_1"):
+                # the coded runs are what they are; BlackIs1 says black
+                # decodes to 1-bits, so a conforming consumer's samples
+                # come out inverted (ISO 32000-2 §7.4.6, table 11)
+                extras += b" /BlackIs1 true"
             color = (
                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
                 b"/DecodeParms << /K %d /Columns %d /Rows %d%s >> "
@@ -427,7 +437,7 @@ def build_pdf(
                     ccitt_k,
                     int(im["width"]),
                     int(im["height"]),
-                    b" /EndOfLine true" if ccitt_k >= 0 and ccitt_eol else b"",
+                    extras,
                 )
             )
         else:

@@ -253,3 +253,26 @@ def test_g3_negative_k_rejected():
 def test_g3_long_runs_makeup_codes(w):
     px = bytes([0]) * w + bytes([255]) * w
     assert decode_g3(encode_g3(w, 2, px, k=0), w, 2, k=0) == px
+
+
+@pytest.mark.parametrize("k", [-1, 0, 2])
+def test_byte_align_roundtrip_and_wire_difference(k):
+    px = bytes(255 if ((x // 3 + y // 2) % 5) < 3 else 0
+               for y in range(11) for x in range(23))
+    if k < 0:
+        from b_pdf_parser_spark.ccittcodec import decode_g4 as dec
+        a = encode_g4(23, 11, px, byte_align=True)
+        u = encode_g4(23, 11, px)
+        assert dec(a, 23, 11, byte_align=True) == px
+    else:
+        a = encode_g3(23, 11, px, k=k, byte_align=True)
+        u = encode_g3(23, 11, px, k=k)
+        assert decode_g3(a, 23, 11, k=k, byte_align=True) == px
+    assert a != u  # padding really lands on the wire
+
+
+def test_byte_align_no_eol_g3_roundtrip():
+    # the intersection: /EncodedByteAlign with the /EndOfLine-false shape
+    px = bytes(255 if (x + y) % 3 else 0 for y in range(7) for x in range(13))
+    enc = encode_g3(13, 7, px, k=0, eol=False, byte_align=True)
+    assert decode_g3(enc, 13, 7, k=0, byte_align=True) == px
