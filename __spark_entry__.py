@@ -1305,7 +1305,10 @@ def q_real_media_decode(spark, sf):
     here). Docs 96-107 complete the G.711 pair and the PCM family:
     A-law code bytes through the XOR-0x55 segment/mantissa expansion
     (restated as SQL integer arithmetic, like the mu-law branch) and
-    UNSIGNED 8-bit PCM canonicalized as (v-128)*256."""
+    UNSIGNED 8-bit PCM canonicalized as (v-128)*256. Docs 108-119 are
+    8-bit INDEXED BMP: the same palette formulas as GIF/palette-PNG
+    through a BGRX color table and bottom-up padded rows — one palette
+    oracle, three containers."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1314,7 +1317,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 108))
+    return real_media_features(synth_real_media_df(spark, 120))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2530,7 +2533,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 108)),
+            WITH m AS (SELECT range AS i FROM range(0, 120)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2609,7 +2612,17 @@ def _all_oracles() -> dict[str, str]:
                        8000 + (((i - 96) // 2) % 3) * 4000 AS rate,
                        (150 + i % 60) * (1 + ((i - 96) // 2) % 2) AS nv,
                        NULL AS psize, 8 AS depth
-                FROM m WHERE i >= 96),
+                FROM m WHERE i >= 96 AND i < 108
+                UNION ALL
+                -- 8-bit indexed BMP strata (i >= 108): GIF/PNG palette
+                -- formulas through a third container
+                SELECT i, 'p0' AS st, 'bmp' AS fmt,
+                       9 + i % 8 AS w, 7 + i % 6 AS h, 3 AS ch,
+                       NULL AS rate,
+                       (9 + i % 8) * (7 + i % 6) * 3 AS nv,
+                       ([4, 16, 64, 256])[CAST((i - 108) % 4 AS INT) + 1] AS psize,
+                       8 AS depth
+                FROM m WHERE i >= 108),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -2655,7 +2668,7 @@ def _all_oracles() -> dict[str, str]:
             -- hazards that leave canonical values unchanged
             ve AS (
                 SELECT i, k,
-                       CASE WHEN st IN ('e0', 'e1') THEN
+                       CASE WHEN st IN ('e0', 'e1', 'p0') THEN
                             CASE k % 3
                             WHEN 0 THEN (i * 7 + ((i * 31 + (k // 3) * 7) % psize) * 3) % 256
                             WHEN 1 THEN (i * 11 + ((i * 31 + (k // 3) * 7) % psize) * 5) % 256
@@ -2666,7 +2679,8 @@ def _all_oracles() -> dict[str, str]:
                             * (255 // ((1 << depth) - 1))
                        ELSE (i * 31 + k * 7) % 251
                        END AS val
-                FROM vals WHERE st LIKE 'e%' AND st != 'e4'),
+                FROM vals WHERE (st LIKE 'e%' AND st != 'e4')
+                   OR st = 'p0'),
             -- G.711 A-law expansion as pure integer SQL (u = code XOR
             -- 0x55; segment 0 linear +8, else mantissa under an implicit
             -- leading 1 shifted by segment-1; MSB set = positive), and

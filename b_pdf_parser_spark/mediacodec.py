@@ -369,47 +369,95 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     return w, h, spp, bytes(grid)
 
 
-def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
-    """Canonical top-down RGB → 24-bit BI_RGB BMP (bottom-up, BGR, rows
-    padded to 4 bytes — the format's actual on-disk shape)."""
-    if len(pixels_rgb) != width * height * 3:
-        raise ValueError("pixel buffer does not match dimensions")
-    pad = (-(width * 3)) % 4
+def encode_bmp(
+    width: int,
+    height: int,
+    pixels_rgb: bytes,
+    palette: Optional[List[Tuple[int, int, int]]] = None,
+) -> bytes:
+    """Canonical top-down pixels → BI_RGB BMP (bottom-up rows padded to
+    4 bytes — the format's actual on-disk shape). Default: 24-bit,
+    ``pixels_rgb`` is RGB triples, stored BGR. With ``palette`` (≤256
+    entries): 8-bit indexed — ``pixels_rgb`` is one palette index per
+    pixel, the color table is stored as BGRX quads and ``biClrUsed``
+    records its length."""
+    if palette is not None:
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("palette length must be 1..256")
+        if len(pixels_rgb) != width * height:
+            raise ValueError("index buffer does not match dimensions")
+        if max(pixels_rgb, default=0) >= len(palette):
+            raise ValueError("palette index out of range")
+        bpp = 8
+        stride = width
+        table = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    else:
+        if len(pixels_rgb) != width * height * 3:
+            raise ValueError("pixel buffer does not match dimensions")
+        bpp = 24
+        stride = width * 3
+        table = b""
+    pad = (-stride) % 4
     rows = []
     for y in range(height - 1, -1, -1):  # bottom-up
         row = bytearray()
-        for x in range(width):
-            o = (y * width + x) * 3
-            r, g, b = pixels_rgb[o], pixels_rgb[o + 1], pixels_rgb[o + 2]
-            row += bytes((b, g, r))  # BGR on disk
+        if palette is not None:
+            row += pixels_rgb[y * width : (y + 1) * width]
+        else:
+            for x in range(width):
+                o = (y * width + x) * 3
+                r, g, b = pixels_rgb[o], pixels_rgb[o + 1], pixels_rgb[o + 2]
+                row += bytes((b, g, r))  # BGR on disk
         row += bytes(pad)
         rows.append(bytes(row))
     body = b"".join(rows)
     dib = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(body), 2835, 2835,
+        len(palette) if palette is not None else 0, 0,
     )
-    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
-    return hdr + dib + body
+    off = 14 + 40 + len(table)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return hdr + dib + table + body
 
 
 def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
-    """→ (width, height, 3, canonical top-down RGB pixel bytes)."""
+    """→ (width, height, 3, canonical top-down RGB pixel bytes).
+    Handles 24-bit BI_RGB and 8-bit indexed (BGRX color table after the
+    BITMAPINFOHEADER, ``biClrUsed`` entries — 0 meaning the full 256),
+    both bottom-up and top-down (negative height)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     _sig, _size, _r1, _r2, off = struct.unpack("<2sIHHI", data[:14])
     hsz, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
-    if bpp != 24 or comp != 0:
+    clr_used = struct.unpack("<I", data[46:50])[0]
+    if bpp not in (8, 24) or comp != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     bottom_up = h > 0
     h = abs(h)
-    pad = (-(w * 3)) % 4
-    stride = w * 3 + pad
+    pal: List[Tuple[int, int, int]] = []
+    if bpp == 8:
+        n = clr_used or 256
+        base = 14 + hsz
+        if base + 4 * n > len(data):
+            raise ValueError("BMP color table out of range")
+        for j in range(n):
+            b, g, r, _x = data[base + 4 * j : base + 4 * j + 4]
+            pal.append((r, g, b))
+    px_bytes = w * (1 if bpp == 8 else 3)
+    pad = (-px_bytes) % 4
+    stride = px_bytes + pad
     out = bytearray(w * h * 3)
     for row_i in range(h):
         y = (h - 1 - row_i) if bottom_up else row_i  # canonical row index
         base = off + row_i * stride
         for x in range(w):
-            b, g, r = data[base + 3 * x : base + 3 * x + 3]
+            if bpp == 8:
+                v = data[base + x]
+                if v >= len(pal):
+                    raise ValueError("BMP palette index out of range")
+                r, g, b = pal[v]
+            else:
+                b, g, r = data[base + 3 * x : base + 3 * x + 3]
             o = (y * w + x) * 3
             out[o], out[o + 1], out[o + 2] = r, g, b
     return w, h, 3, bytes(out)

@@ -253,10 +253,20 @@ def real_media_dims(i: int) -> dict:
     * ``e5`` — depth-2 greyscale Adam7 (sub-byte × interlace
       intersection).
 
-    Docs ``i >= 96`` complete the G.711 pair and the PCM family:
+    Docs ``96 <= i < 108`` complete the G.711 pair and the PCM family:
     ``a0`` (even i) — A-law code bytes ``(i*17+k*11) % 256`` through the
     XOR-0x55 segment/mantissa expansion; ``a1`` (odd i) — UNSIGNED 8-bit
-    PCM ``(i*23+k*5) % 256`` canonicalized as ``(v-128)*256``."""
+    PCM ``(i*23+k*5) % 256`` canonicalized as ``(v-128)*256``.
+
+    Docs ``i >= 108`` are 8-bit INDEXED BMP (``p0``): the same palette
+    formulas as GIF/palette-PNG through a BGRX color table, bottom-up
+    padded rows — the third container sharing one palette oracle."""
+    if i >= 108:
+        return {
+            "fmt": "bmp", "ext": "bmp8",
+            "w": 9 + i % 8, "h": 7 + i % 6, "ch": 3,
+            "psize": (4, 16, 64, 256)[(i - 108) % 4],
+        }
     if i >= 96:
         j2 = i - 96
         return {
@@ -368,6 +378,14 @@ def encode_real_media(i: int) -> bytes:
 
     d = real_media_dims(i)
     ext = d.get("ext")
+    if ext == "bmp8":
+        psize = d["psize"]
+        pal = [
+            ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
+            for j in range(psize)
+        ]
+        idx = bytes((i * 31 + k * 7) % psize for k in range(d["w"] * d["h"]))
+        return encode_bmp(d["w"], d["h"], idx, palette=pal)
     if ext == "alaw":
         codes = [(i * 17 + k * 11) % 256 for k in range(d["n"])]
         return encode_wav(d["rate"], d["ch"], codes, alaw=True)

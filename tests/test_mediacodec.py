@@ -580,3 +580,31 @@ def test_png_nonzero_method_bytes_rejected():
         bad[i + 4 + 13 : i + 4 + 17] = crc  # keep the CRC honest
         with pytest.raises(ValueError, match="method"):
             decode_png(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# 8-bit indexed BMP
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("psize", [2, 16, 256])
+def test_bmp_palette_roundtrip_all_paddings(psize):
+    pal = [((7 + j * 3) % 256, (11 + j * 5) % 256, (13 + j * 9) % 256)
+           for j in range(psize)]
+    for w, h in ((9, 7), (10, 3), (11, 2), (12, 5), (1, 1)):
+        idx = bytes((k * 7 + 1) % psize for k in range(w * h))
+        exp = b"".join(bytes(pal[v]) for v in idx)
+        got = decode_bmp(encode_bmp(w, h, idx, palette=pal))
+        assert got == (w, h, 3, exp), (psize, w, h)
+
+
+def test_bmp_palette_guards():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_bmp(2, 1, bytes([0, 5]), palette=pal)
+    data = bytearray(encode_bmp(2, 2, bytes([0, 1, 1, 0]), palette=pal))
+    # point a pixel past the 2-entry color table: decoder must refuse
+    off = struct.unpack("<I", data[10:14])[0]
+    data[off] = 7
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bytes(data))
