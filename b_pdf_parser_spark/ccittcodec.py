@@ -169,10 +169,7 @@ class _BitWriter:
             self.n = 0
 
     def flush(self) -> bytes:
-        if self.n:
-            self.buf.append(self.acc << (8 - self.n))
-            self.acc = 0
-            self.n = 0
+        self.align()
         return bytes(self.buf)
 
 

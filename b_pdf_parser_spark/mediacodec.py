@@ -427,15 +427,19 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     both bottom-up and top-down (negative height)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 34:
+        raise ValueError("BMP header truncated")
     _sig, _size, _r1, _r2, off = struct.unpack("<2sIHHI", data[:14])
     hsz, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
-    clr_used = struct.unpack("<I", data[46:50])[0]
     if bpp not in (8, 24) or comp != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     bottom_up = h > 0
     h = abs(h)
     pal: List[Tuple[int, int, int]] = []
     if bpp == 8:
+        if len(data) < 50:
+            raise ValueError("BMP header truncated")
+        clr_used = struct.unpack("<I", data[46:50])[0]
         n = clr_used or 256
         base = 14 + hsz
         if base + 4 * n > len(data):
@@ -446,6 +450,8 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     px_bytes = w * (1 if bpp == 8 else 3)
     pad = (-px_bytes) % 4
     stride = px_bytes + pad
+    if h and off + (h - 1) * stride + px_bytes > len(data):
+        raise ValueError("BMP pixel data truncated")
     out = bytearray(w * h * 3)
     for row_i in range(h):
         y = (h - 1 - row_i) if bottom_up else row_i  # canonical row index

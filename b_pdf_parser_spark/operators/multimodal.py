@@ -365,6 +365,21 @@ def _jpeg_flat_pixels(i: int, w: int, h: int, ch: int) -> bytes:
     return bytes(out)
 
 
+def _shared_palette(i: int, psize: int):
+    """The one palette formula all three indexed containers (GIF,
+    palette-PNG, 8-bit BMP) and the DuckDB oracle share — change it in
+    exactly two places (here and the SQL) or the hashes break."""
+    return [
+        ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
+        for j in range(psize)
+    ]
+
+
+def _palette_indices(i: int, psize: int, npix: int) -> bytes:
+    """Companion index formula for :func:`_shared_palette`."""
+    return bytes((i * 31 + k * 7) % psize for k in range(npix))
+
+
 def encode_real_media(i: int) -> bytes:
     """Real PNG/BMP/WAV/GIF/μ-law/JPEG/ADPCM payload for doc ``i`` (pure
     function, no RNG)."""
@@ -380,12 +395,10 @@ def encode_real_media(i: int) -> bytes:
     ext = d.get("ext")
     if ext == "bmp8":
         psize = d["psize"]
-        pal = [
-            ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
-            for j in range(psize)
-        ]
-        idx = bytes((i * 31 + k * 7) % psize for k in range(d["w"] * d["h"]))
-        return encode_bmp(d["w"], d["h"], idx, palette=pal)
+        return encode_bmp(
+            d["w"], d["h"], _palette_indices(i, psize, d["w"] * d["h"]),
+            palette=_shared_palette(i, psize),
+        )
     if ext == "alaw":
         codes = [(i * 17 + k * 11) % 256 for k in range(d["n"])]
         return encode_wav(d["rate"], d["ch"], codes, alaw=True)
@@ -399,14 +412,10 @@ def encode_real_media(i: int) -> bytes:
         return encode_wav_adpcm_nibbles(d["rate"], first, nibs)
     if ext in ("pal8", "palsub"):
         psize = d["psize"]
-        pal = [
-            ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
-            for j in range(psize)
-        ]
-        idx = bytes((i * 31 + k * 7) % psize for k in range(d["w"] * d["h"]))
-        return encode_png(d["w"], d["h"], 1, idx, filter_seed=i,
-                          palette=pal, depth=d["depth"],
-                          interlace=d["interlace"])
+        return encode_png(d["w"], d["h"], 1,
+                          _palette_indices(i, psize, d["w"] * d["h"]),
+                          filter_seed=i, palette=_shared_palette(i, psize),
+                          depth=d["depth"], interlace=d["interlace"])
     if ext in ("graysub", "gray2i"):
         dep = d["depth"]
         px = bytes((i * 31 + k * 7) % (1 << dep) for k in range(d["w"] * d["h"]))
@@ -442,12 +451,11 @@ def encode_real_media(i: int) -> bytes:
         return encode_wav(d["rate"], d["ch"], code_bytes, ulaw=True)
     if d["fmt"] == "gif":
         psize = d["psize"]
-        palette = [
-            ((i * 7 + j * 3) % 256, (i * 11 + j * 5) % 256, (i * 13 + j * 9) % 256)
-            for j in range(psize)
-        ]
-        idx = bytes((i * 31 + k * 7) % psize for k in range(d["w"] * d["h"]))
-        return encode_gif(d["w"], d["h"], palette, idx, interlace=d["interlace"])
+        return encode_gif(
+            d["w"], d["h"], _shared_palette(i, psize),
+            _palette_indices(i, psize, d["w"] * d["h"]),
+            interlace=d["interlace"],
+        )
     pixels = bytes(
         (i * 31 + k * 7) % 251 for k in range(d["w"] * d["h"] * d["ch"])
     )

@@ -608,3 +608,14 @@ def test_bmp_palette_guards():
     data[off] = 7
     with pytest.raises(ValueError, match="palette index"):
         decode_bmp(bytes(data))
+
+
+def test_bmp_truncation_raises_valueerror_not_indexerror():
+    # the module contract: malformed input -> ValueError, never
+    # IndexError/struct.error escaping to callers
+    pal = [(0, 0, 0), (255, 255, 255)]
+    full8 = encode_bmp(6, 4, bytes(k % 2 for k in range(24)), palette=pal)
+    full24 = encode_bmp(6, 4, bytes((k * 7) % 251 for k in range(72)))
+    for blob in (full8[:-5], full24[:-5], full8[:40], b"BM" + b"\x00" * 20):
+        with pytest.raises(ValueError):
+            decode_bmp(blob)
