@@ -857,6 +857,10 @@ def encode_jpeg_progressive(
 # Decoder
 # ---------------------------------------------------------------------------
 
+from .mediacodec import _fail_loud
+
+
+@_fail_loud
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, interleaved top-down pixel bytes);
     RGB for 3-component YCbCr input, grayscale passthrough for 1.

@@ -55,9 +55,32 @@ honest NotImplementedError path in operators/multimodal.py.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from typing import Dict, List, Optional, Tuple
+
+
+def _fail_loud(fn):
+    """Every decoder here promises ValueError (or NotImplementedError)
+    on malformed input. The bodies index, struct-unpack and inflate
+    freely, so truncated or bit-flipped bytes can surface as
+    IndexError/KeyError/struct.error/zlib.error — normalize those at the
+    public boundary instead of sprinkling guards through every parser
+    (fuzz-pinned in tests/test_codec_fuzz.py)."""
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except (struct.error, zlib.error, IndexError, KeyError, OverflowError) as e:
+            raise ValueError(
+                f"{fn.__name__}: malformed input ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrap
 
 __all__ = [
     "encode_png",
@@ -279,6 +302,7 @@ def encode_png(
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + plte + idat + _chunk(b"IEND", b"")
 
 
+@_fail_loud
 def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, canonical top-down pixel bytes).
 
@@ -420,6 +444,7 @@ def encode_bmp(
     return hdr + dib + table + body
 
 
+@_fail_loud
 def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, 3, canonical top-down RGB pixel bytes).
     Handles 24-bit BI_RGB and 8-bit indexed (BGRX color table after the
@@ -642,6 +667,7 @@ def alaw_expand(b: int) -> int:
     return t if u & 0x80 else -t
 
 
+@_fail_loud
 def decode_wav(
     data: bytes, return_codec: bool = False
 ) -> Tuple[int, ...]:
@@ -883,6 +909,7 @@ def encode_gif(
     return bytes(out)
 
 
+@_fail_loud
 def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, 3, canonical top-down RGB pixel bytes): walks the
     header/extensions, reassembles sub-blocks, LZW-decodes the index
@@ -1191,6 +1218,7 @@ def encode_tiff(
     return bytes(out)
 
 
+@_fail_loud
 def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, row-major top-down pixel bytes).
     Handles both byte orders, multi-strip organization, Compression 1
