@@ -1308,7 +1308,10 @@ def q_real_media_decode(spark, sf):
     UNSIGNED 8-bit PCM canonicalized as (v-128)*256. Docs 108-119 are
     8-bit INDEXED BMP: the same palette formulas as GIF/palette-PNG
     through a BGRX color table and bottom-up padded rows — one palette
-    oracle, three containers."""
+    oracle, three containers. Docs 120-131 are palette PNG WITH tRNS
+    transparency: canonical output becomes RGBA, alpha from the tRNS
+    formula for low palette entries and 255 (the spec's opaque default
+    past the tRNS end) for the rest."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1317,7 +1320,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 120))
+    return real_media_features(synth_real_media_df(spark, 132))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2533,7 +2536,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 120)),
+            WITH m AS (SELECT range AS i FROM range(0, 132)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2622,7 +2625,16 @@ def _all_oracles() -> dict[str, str]:
                        (9 + i % 8) * (7 + i % 6) * 3 AS nv,
                        ([4, 16, 64, 256])[CAST((i - 108) % 4 AS INT) + 1] AS psize,
                        8 AS depth
-                FROM m WHERE i >= 108),
+                FROM m WHERE i >= 108 AND i < 120
+                UNION ALL
+                -- palette PNG with tRNS (i >= 120): RGBA canonical form
+                SELECT i, 't0' AS st, 'png' AS fmt,
+                       9 + i % 8 AS w, 7 + i % 6 AS h, 4 AS ch,
+                       NULL AS rate,
+                       (9 + i % 8) * (7 + i % 6) * 4 AS nv,
+                       1 << ([2, 4, 8])[CAST((i - 120) % 3 AS INT) + 1] AS psize,
+                       ([2, 4, 8])[CAST((i - 120) % 3 AS INT) + 1] AS depth
+                FROM m WHERE i >= 120),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -2668,7 +2680,17 @@ def _all_oracles() -> dict[str, str]:
             -- hazards that leave canonical values unchanged
             ve AS (
                 SELECT i, k,
-                       CASE WHEN st IN ('e0', 'e1', 'p0') THEN
+                       CASE WHEN st = 't0' THEN
+                            CASE k % 4
+                            WHEN 0 THEN (i * 7 + ((i * 31 + (k // 4) * 7) % psize) * 3) % 256
+                            WHEN 1 THEN (i * 11 + ((i * 31 + (k // 4) * 7) % psize) * 5) % 256
+                            WHEN 2 THEN (i * 13 + ((i * 31 + (k // 4) * 7) % psize) * 9) % 256
+                            ELSE CASE WHEN ((i * 31 + (k // 4) * 7) % psize)
+                                      < GREATEST(1, psize // 2)
+                                 THEN (i * 19 + ((i * 31 + (k // 4) * 7) % psize) * 7) % 256
+                                 ELSE 255 END
+                            END
+                       WHEN st IN ('e0', 'e1', 'p0') THEN
                             CASE k % 3
                             WHEN 0 THEN (i * 7 + ((i * 31 + (k // 3) * 7) % psize) * 3) % 256
                             WHEN 1 THEN (i * 11 + ((i * 31 + (k // 3) * 7) % psize) * 5) % 256
@@ -2680,7 +2702,7 @@ def _all_oracles() -> dict[str, str]:
                        ELSE (i * 31 + k * 7) % 251
                        END AS val
                 FROM vals WHERE (st LIKE 'e%' AND st != 'e4')
-                   OR st = 'p0'),
+                   OR st IN ('p0', 't0')),
             -- G.711 A-law expansion as pure integer SQL (u = code XOR
             -- 0x55; segment 0 linear +8, else mantissa under an implicit
             -- leading 1 shifted by segment-1; MSB set = positive), and
@@ -3935,7 +3957,7 @@ def _all_oracles() -> dict[str, str]:
             FROM dims dm JOIN sums s2 USING (i, j)
         """,
         "tiff_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 120)),
+            WITH m AS (SELECT range AS i FROM range(0, 132)),
             dims AS (
                 -- i < 60: G4 fax / uncompressed strata; 60..89: LZW
                 -- (+Predictor 2); 90..119: G3 fax — compression and

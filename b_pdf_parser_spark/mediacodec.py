@@ -233,6 +233,7 @@ def encode_png(
     palette: Optional[List[Tuple[int, int, int]]] = None,
     depth: int = 8,
     interlace: bool = False,
+    trns: Optional[List[int]] = None,
 ) -> bytes:
     """Serialize canonical top-down pixels as a real PNG. Three shapes:
 
@@ -240,7 +241,9 @@ def encode_png(
       ``pixels`` is the flat sample buffer;
     * ``palette=[...]`` — color type 3: ``pixels`` is one palette index
       per pixel, ``depth`` ∈ {1,2,4,8} with ``len(palette) <= 2**depth``
-      (a PLTE chunk is written);
+      (a PLTE chunk is written). ``trns`` adds a tRNS chunk of per-entry
+      alpha values (may be shorter than the palette — omitted entries
+      are opaque, per the spec);
     * ``depth`` < 8 with ``channels == 1`` and no palette — sub-byte
       greyscale: ``pixels`` is one sample value < ``2**depth`` per pixel.
 
@@ -260,6 +263,12 @@ def encode_png(
         if max(pixels, default=0) >= len(palette):
             raise ValueError("palette index out of range")
         plte = _chunk(b"PLTE", b"".join(bytes(e) for e in palette))
+        if trns is not None:
+            if not 1 <= len(trns) <= len(palette):
+                raise ValueError("tRNS length must be 1..len(palette)")
+            plte += _chunk(b"tRNS", bytes(trns))
+    elif trns is not None:
+        raise ValueError("trns is only supported with a palette")
     elif depth < 8:
         if channels != 1:
             raise ValueError("sub-byte depth requires greyscale (channels=1)")
@@ -309,13 +318,16 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     Handles color types 0 (greyscale, depths 1/2/4/8 — sub-byte samples
     scale to 8-bit by the exact integer factor ``255 // (2**d - 1)``),
     2 (RGB), 3 (palette, depths 1/2/4/8 — mapped through PLTE to
-    canonical RGB) and 6 (RGBA), both sequential and Adam7-interlaced.
-    Canonical output is always 8-bit."""
+    canonical RGB, or to RGBA when a tRNS chunk provides per-entry
+    alpha, entries past its end opaque per spec) and 6 (RGBA), both
+    sequential and Adam7-interlaced. Canonical output is always
+    8-bit."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     idat: List[bytes] = []
     plte: List[Tuple[int, int, int]] = []
+    trns: List[int] = []
     w = h = None
     depth = ct = interlace = 0
     while pos + 12 <= len(data):
@@ -343,6 +355,10 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
             if ln % 3:
                 raise ValueError("PLTE length not a multiple of 3")
             plte = [tuple(body[3 * j : 3 * j + 3]) for j in range(ln // 3)]
+        elif typ == b"tRNS":
+            if ct != 3:
+                raise ValueError("tRNS only supported for palette images")
+            trns = list(body)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -380,13 +396,18 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
             prev = bytes(row)
     if p != len(raw):
         raise ValueError("decompressed size does not match dimensions")
-    if ct == 3:  # palette → canonical RGB
-        out = bytearray(w * h * 3)
+    if ct == 3:  # palette → canonical RGB (RGBA when tRNS is present)
+        och = 4 if trns else 3
+        out = bytearray(w * h * och)
         for k, v in enumerate(grid):
             if v >= len(plte):
                 raise ValueError("palette index out of range")
-            out[3 * k], out[3 * k + 1], out[3 * k + 2] = plte[v]
-        return w, h, 3, bytes(out)
+            o = och * k
+            out[o], out[o + 1], out[o + 2] = plte[v]
+            if trns:
+                # entries past the tRNS end are fully opaque (spec §11.3.2)
+                out[o + 3] = trns[v] if v < len(trns) else 255
+        return w, h, och, bytes(out)
     if depth < 8:  # sub-byte greyscale → exact 8-bit scaling
         scale = 255 // ((1 << depth) - 1)
         return w, h, 1, bytes(v * scale for v in grid)

@@ -258,9 +258,25 @@ def real_media_dims(i: int) -> dict:
     XOR-0x55 segment/mantissa expansion; ``a1`` (odd i) — UNSIGNED 8-bit
     PCM ``(i*23+k*5) % 256`` canonicalized as ``(v-128)*256``.
 
-    Docs ``i >= 108`` are 8-bit INDEXED BMP (``p0``): the same palette
-    formulas as GIF/palette-PNG through a BGRX color table, bottom-up
-    padded rows — the third container sharing one palette oracle."""
+    Docs ``108 <= i < 120`` are 8-bit INDEXED BMP (``p0``): the same
+    palette formulas as GIF/palette-PNG through a BGRX color table,
+    bottom-up padded rows — the third container sharing one palette
+    oracle.
+
+    Docs ``i >= 120`` are palette PNG **with tRNS transparency**
+    (``t0``): canonical output becomes RGBA, alpha ``(i*19+j*7) % 256``
+    for palette entries ``j < psize//2`` and 255 (opaque, the spec
+    default for entries past the tRNS end) otherwise; Adam7 on
+    alternating docs."""
+    if i >= 120:
+        j4 = i - 120
+        d = (2, 4, 8)[j4 % 3]
+        return {
+            "fmt": "png", "ext": "pngtrns",
+            "w": 9 + i % 8, "h": 7 + i % 6, "ch": 4,
+            "depth": d, "psize": min(256, 1 << d),
+            "interlace": (j4 // 3) % 2 == 1,
+        }
     if i >= 108:
         return {
             "fmt": "bmp", "ext": "bmp8",
@@ -410,12 +426,16 @@ def encode_real_media(i: int) -> bytes:
         nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
                 for k in range(d["n"])]
         return encode_wav_adpcm_nibbles(d["rate"], first, nibs)
-    if ext in ("pal8", "palsub"):
+    if ext in ("pal8", "palsub", "pngtrns"):
         psize = d["psize"]
+        trns = None
+        if ext == "pngtrns":
+            trns = [(i * 19 + j * 7) % 256 for j in range(max(1, psize // 2))]
         return encode_png(d["w"], d["h"], 1,
                           _palette_indices(i, psize, d["w"] * d["h"]),
                           filter_seed=i, palette=_shared_palette(i, psize),
-                          depth=d["depth"], interlace=d["interlace"])
+                          depth=d["depth"], interlace=d["interlace"],
+                          trns=trns)
     if ext in ("graysub", "gray2i"):
         dep = d["depth"]
         px = bytes((i * 31 + k * 7) % (1 << dep) for k in range(d["w"] * d["h"]))

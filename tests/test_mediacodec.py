@@ -619,3 +619,34 @@ def test_bmp_truncation_raises_valueerror_not_indexerror():
     for blob in (full8[:-5], full24[:-5], full8[:40], b"BM" + b"\x00" * 20):
         with pytest.raises(ValueError):
             decode_bmp(blob)
+
+
+# ---------------------------------------------------------------------------
+# PNG tRNS (palette transparency -> RGBA)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("depth", [2, 4, 8])
+def test_png_trns_palette_to_rgba(depth, interlace):
+    psize = min(256, 1 << depth)
+    pal = [((7 + j * 3) % 256, (11 + j * 5) % 256, (13 + j * 9) % 256)
+           for j in range(psize)]
+    tr = [(19 + j * 7) % 256 for j in range(max(1, psize // 2))]
+    for w, h in ((9, 7), (5, 3)):
+        idx = bytes((k * 7 + 1) % psize for k in range(w * h))
+        exp = bytearray()
+        for v in idx:
+            exp += bytes(pal[v])
+            exp.append(tr[v] if v < len(tr) else 255)  # spec: opaque past end
+        got = decode_png(encode_png(w, h, 1, idx, palette=pal, depth=depth,
+                                    interlace=interlace, trns=tr))
+        assert got == (w, h, 4, bytes(exp)), (depth, w, h, interlace)
+
+
+def test_png_trns_guards():
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(2, 1, 3, bytes(6), trns=[1])  # trns without palette
+    with pytest.raises(ValueError, match="tRNS"):
+        encode_png(2, 1, 1, bytes([0, 1]), palette=[(0, 0, 0), (1, 1, 1)],
+                   depth=1, trns=[1, 2, 3])  # longer than the palette
