@@ -1311,7 +1311,9 @@ def q_real_media_decode(spark, sf):
     oracle, three containers. Docs 120-131 are palette PNG WITH tRNS
     transparency: canonical output becomes RGBA, alpha from the tRNS
     formula for low palette entries and 255 (the spec's opaque default
-    past the tRNS end) for the rest."""
+    past the tRNS end) for the rest. Docs 132-143 are 16-BIT PNG
+    (gray/RGB/RGBA, big-endian samples, Adam7 rotation) canonicalized to
+    the high byte, so the oracle value is the sample formula // 256."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1320,7 +1322,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 132))
+    return real_media_features(synth_real_media_df(spark, 144))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2536,7 +2538,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 132)),
+            WITH m AS (SELECT range AS i FROM range(0, 144)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2634,7 +2636,17 @@ def _all_oracles() -> dict[str, str]:
                        (9 + i % 8) * (7 + i % 6) * 4 AS nv,
                        1 << ([2, 4, 8])[CAST((i - 120) % 3 AS INT) + 1] AS psize,
                        ([2, 4, 8])[CAST((i - 120) % 3 AS INT) + 1] AS depth
-                FROM m WHERE i >= 120),
+                FROM m WHERE i >= 120 AND i < 132
+                UNION ALL
+                -- 16-bit PNG strata (i >= 132): high-byte canonical form
+                SELECT i, 's0' AS st, 'png' AS fmt,
+                       9 + i % 8 AS w, 7 + i % 6 AS h,
+                       ([1, 3, 4])[CAST((i - 132) % 3 AS INT) + 1] AS ch,
+                       NULL AS rate,
+                       (9 + i % 8) * (7 + i % 6)
+                           * ([1, 3, 4])[CAST((i - 132) % 3 AS INT) + 1] AS nv,
+                       NULL AS psize, 16 AS depth
+                FROM m WHERE i >= 132),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -2680,7 +2692,9 @@ def _all_oracles() -> dict[str, str]:
             -- hazards that leave canonical values unchanged
             ve AS (
                 SELECT i, k,
-                       CASE WHEN st = 't0' THEN
+                       CASE WHEN st = 's0' THEN
+                            ((i * 4099 + k * 2053) % 65536) // 256
+                       WHEN st = 't0' THEN
                             CASE k % 4
                             WHEN 0 THEN (i * 7 + ((i * 31 + (k // 4) * 7) % psize) * 3) % 256
                             WHEN 1 THEN (i * 11 + ((i * 31 + (k // 4) * 7) % psize) * 5) % 256
@@ -2702,7 +2716,7 @@ def _all_oracles() -> dict[str, str]:
                        ELSE (i * 31 + k * 7) % 251
                        END AS val
                 FROM vals WHERE (st LIKE 'e%' AND st != 'e4')
-                   OR st IN ('p0', 't0')),
+                   OR st IN ('p0', 't0', 's0')),
             -- G.711 A-law expansion as pure integer SQL (u = code XOR
             -- 0x55; segment 0 linear +8, else mantissa under an implicit
             -- leading 1 shifted by segment-1; MSB set = positive), and
@@ -3957,7 +3971,7 @@ def _all_oracles() -> dict[str, str]:
             FROM dims dm JOIN sums s2 USING (i, j)
         """,
         "tiff_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 132)),
+            WITH m AS (SELECT range AS i FROM range(0, 120)),
             dims AS (
                 -- i < 60: G4 fax / uncompressed strata; 60..89: LZW
                 -- (+Predictor 2); 90..119: G3 fax — compression and

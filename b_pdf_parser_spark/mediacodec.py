@@ -100,6 +100,22 @@ __all__ = [
     "ulaw_expand",
 ]
 
+# Decompression-bomb guard: a bit-flipped or hostile dimension field must
+# not make a decoder allocate gigabytes before any other validation can
+# catch it (LZW/deflate can legally expand >1000x, so input size alone
+# cannot bound the output). 2^26 samples (64M — a 4K RGBA frame is 33M)
+# is far above anything this pipeline decodes and far below memory harm.
+_MAX_SAMPLES = 1 << 26
+
+
+def _check_pixel_budget(n_samples: int) -> None:
+    if n_samples > _MAX_SAMPLES:
+        raise ValueError(
+            f"image exceeds the decoder's {_MAX_SAMPLES}-sample budget "
+            f"({n_samples} samples) — decompression-bomb guard"
+        )
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CT_TO_CH = {0: 1, 2: 3, 3: 1, 6: 4}  # gray / truecolor / palette / RGBA
 _CH_TO_CT = {1: 0, 3: 2, 4: 6}
@@ -112,9 +128,15 @@ _ADAM7 = (
 
 
 def _pack_samples(samples, depth: int) -> bytes:
-    """Pack per-pixel sample values (< 2**depth) into scanline bytes,
-    MSB-first within each byte, zero-padded to a byte boundary
-    (PNG spec §7.2)."""
+    """Pack per-pixel sample values (< 2**depth) into scanline bytes:
+    MSB-first within each byte for sub-byte depths, zero-padded to a
+    byte boundary (PNG spec §7.2); two big-endian bytes per sample at
+    depth 16."""
+    if depth == 16:
+        out = bytearray()
+        for v in samples:
+            out += int(v).to_bytes(2, "big")
+        return bytes(out)
     if depth == 8:
         return bytes(samples)
     out = bytearray()
@@ -135,6 +157,8 @@ def _pack_samples(samples, depth: int) -> bytes:
 def _unpack_samples(row: bytes, n: int, depth: int):
     """Inverse of :func:`_pack_samples`: first ``n`` samples of a packed
     scanline."""
+    if depth == 16:
+        return [int.from_bytes(row[2 * k : 2 * k + 2], "big") for k in range(n)]
     if depth == 8:
         return list(row[:n])
     out = []
@@ -245,17 +269,22 @@ def encode_png(
       alpha values (may be shorter than the palette — omitted entries
       are opaque, per the spec);
     * ``depth`` < 8 with ``channels == 1`` and no palette — sub-byte
-      greyscale: ``pixels`` is one sample value < ``2**depth`` per pixel.
+      greyscale: ``pixels`` is one sample value < ``2**depth`` per pixel;
+    * ``depth == 16`` — greyscale/RGB/RGBA at 16 bits/sample: ``pixels``
+      is a sequence of per-sample values < 65536 (so a list, not bytes),
+      length ``w*h*channels``, stored big-endian per spec.
 
     The per-row filter type rotates ``(filter_seed + y) % 5`` so
     round-trips cover the full unfilter surface (sub-byte rows filter
     over packed bytes with bpp=1, per spec); ``interlace=True`` writes
     the 7 Adam7 reduced images; the IDAT stream is split into two chunks
     when big enough to exercise concatenation."""
-    if depth not in (1, 2, 4, 8):
-        raise ValueError("depth must be 1, 2, 4 or 8")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError("depth must be 1, 2, 4, 8 or 16")
     plte = b""
     if palette is not None:
+        if depth == 16:
+            raise ValueError("unsupported bit depth 16 for palette images")
         if not 1 <= len(palette) <= min(256, 1 << depth):
             raise ValueError("palette length must fit the bit depth")
         ct = 3
@@ -281,6 +310,8 @@ def encode_png(
             raise ValueError("channels must be 1, 3 or 4")
         ct = _CH_TO_CT[channels]
         spp = channels
+        if depth == 16 and max(pixels, default=0) > 0xFFFF:
+            raise ValueError("sample value out of range for depth 16")
     if len(pixels) != width * height * spp:
         raise ValueError("pixel buffer does not match dimensions")
     ihdr = struct.pack(
@@ -341,7 +372,9 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
             w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
             if ct not in _CT_TO_CH:
                 raise ValueError(f"unsupported color type {ct}")
-            if depth not in ((1, 2, 4, 8) if ct in (0, 3) else (8,)):
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       6: (8, 16)}[ct]
+            if depth not in allowed:
                 raise ValueError(f"unsupported bit depth {depth} for type {ct}")
             if comp != 0 or filt != 0:
                 # only method 0 exists in the spec; decoding anything else
@@ -370,6 +403,7 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError("palette image missing PLTE")
     spp = 1 if ct in (0, 3) else _CT_TO_CH[ct]
     bpp = max(1, depth * spp // 8)
+    _check_pixel_budget(w * h * spp)
     # reconstruct the per-pixel sample grid across all passes
     grid = [0] * (w * h * spp)
     raw = zlib.decompress(b"".join(idat))
@@ -411,6 +445,8 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     if depth < 8:  # sub-byte greyscale → exact 8-bit scaling
         scale = 255 // ((1 << depth) - 1)
         return w, h, 1, bytes(v * scale for v in grid)
+    if depth == 16:  # canonicalize to the high byte (spec's depth scaling)
+        return w, h, spp, bytes(v >> 8 for v in grid)
     return w, h, spp, bytes(grid)
 
 
@@ -498,6 +534,7 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     stride = px_bytes + pad
     if h and off + (h - 1) * stride + px_bytes > len(data):
         raise ValueError("BMP pixel data truncated")
+    _check_pixel_budget(w * h * 3)
     out = bytearray(w * h * 3)
     for row_i in range(h):
         y = (h - 1 - row_i) if bottom_up else row_i  # canonical row index
@@ -973,6 +1010,7 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
             pos += 3 * n
         if not pal:
             raise ValueError("GIF image has no color table")
+        _check_pixel_budget(w * h * 3)
         mcs = data[pos]
         pos += 1
         comp = bytearray()
@@ -1321,6 +1359,7 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
     else:
         raise ValueError(f"TIFF: unsupported compression {comp}")
 
+    _check_pixel_budget(width * height * channels)
     out = bytearray()
     rows_done = 0
     for off, cnt in zip(offsets, counts):

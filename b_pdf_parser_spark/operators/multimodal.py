@@ -263,11 +263,25 @@ def real_media_dims(i: int) -> dict:
     bottom-up padded rows — the third container sharing one palette
     oracle.
 
-    Docs ``i >= 120`` are palette PNG **with tRNS transparency**
+    Docs ``120 <= i < 132`` are palette PNG **with tRNS transparency**
     (``t0``): canonical output becomes RGBA, alpha ``(i*19+j*7) % 256``
     for palette entries ``j < psize//2`` and 255 (opaque, the spec
     default for entries past the tRNS end) otherwise; Adam7 on
-    alternating docs."""
+    alternating docs.
+
+    Docs ``i >= 132`` are **16-bit PNG** (``s0``): gray/RGB/RGBA
+    rotating, sample ``(i*4099 + k*2053) % 65536`` stored big-endian and
+    canonicalized to its high byte (the spec's depth-scaling
+    truncation), so the oracle value is simply the formula ``// 256``;
+    Adam7 on alternating docs."""
+    if i >= 132:
+        j5 = i - 132
+        return {
+            "fmt": "png", "ext": "png16",
+            "w": 9 + i % 8, "h": 7 + i % 6,
+            "ch": (1, 3, 4)[j5 % 3], "depth": 16,
+            "interlace": (j5 // 3) % 2 == 1,
+        }
     if i >= 120:
         j4 = i - 120
         d = (2, 4, 8)[j4 % 3]
@@ -426,6 +440,11 @@ def encode_real_media(i: int) -> bytes:
         nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
                 for k in range(d["n"])]
         return encode_wav_adpcm_nibbles(d["rate"], first, nibs)
+    if ext == "png16":
+        vals = [(i * 4099 + k * 2053) % 65536
+                for k in range(d["w"] * d["h"] * d["ch"])]
+        return encode_png(d["w"], d["h"], d["ch"], vals, filter_seed=i,
+                          depth=16, interlace=d["interlace"])
     if ext in ("pal8", "palsub", "pngtrns"):
         psize = d["psize"]
         trns = None

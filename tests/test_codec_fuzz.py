@@ -4,9 +4,13 @@ IndexError / KeyError / struct.error / zlib.error escaping to callers
 (normalized at the boundary by ``mediacodec._fail_loud``). Mutations:
 truncation at every region, single-bit flips, and mid-stream garbage
 splices; a mutation that still decodes cleanly is fine — the assertion
-is only about HOW failures fail."""
+is only about HOW failures fail. Seeds derive from crc32, NOT hash():
+str hashing is salted per process, and a salt-dependent seed once hid a
+real finding (a bit-flipped GIF dimension field driving a multi-GB
+allocation — now blocked by mediacodec._check_pixel_budget)."""
 
 import random
+import zlib
 
 import pytest
 
@@ -80,7 +84,7 @@ def _mutations(blob: bytes, rng: random.Random, n: int):
 @pytest.mark.parametrize("name", sorted(SAMPLES))
 def test_container_decoders_fail_with_valueerror_only(name):
     blob, dec = SAMPLES[name]
-    rng = random.Random(hash(name) & 0xFFFF)
+    rng = random.Random(zlib.crc32(name.encode()))
     for m in _mutations(blob, rng, 300):
         try:
             dec(m)
@@ -104,3 +108,32 @@ def test_fax_decoders_fail_with_valueerror_only(codec):
             dec(m)
         except ValueError:
             pass
+
+
+def test_dimension_bomb_guard():
+    # a forged header claiming huge dimensions must raise BEFORE any
+    # gigabyte allocation, whatever the compressed payload says
+    import struct
+    import zlib as _z
+    from b_pdf_parser_spark.mediacodec import _MAX_SAMPLES
+
+    # GIF: 65535 x 65535 logical screen + image descriptor
+    gif = bytearray(encode_gif(4, 4, _PAL[:4], bytes(16)))
+    gif[6:10] = struct.pack("<HH", 65535, 65535)
+    idesc = gif.index(b"\x2c")
+    gif[idesc + 5 : idesc + 9] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(ValueError, match="bomb"):
+        decode_gif(bytes(gif))
+
+    # PNG: forge an IHDR with a huge width (CRC recomputed so the claim
+    # is "valid" as far as the chunk layer knows)
+    png = bytearray(encode_png(4, 4, 3, bytes(48)))
+    i = png.index(b"IHDR")
+    body = bytearray(png[i + 4 : i + 4 + 13])
+    body[0:4] = struct.pack(">I", 1 << 24)
+    crc = (_z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF).to_bytes(4, "big")
+    png[i + 4 : i + 4 + 13] = body
+    png[i + 4 + 13 : i + 4 + 17] = crc
+    with pytest.raises(ValueError, match="bomb"):
+        decode_png(bytes(png))
+    assert (1 << 24) * 4 * 3 > _MAX_SAMPLES  # the forgery really crosses it

@@ -48,8 +48,9 @@ def test_png_multi_idat_and_crc():
 def test_png_rejects_unsupported_shapes():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all----")
-    # 16-bit depth IHDR
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # depth 16 with palette color type: not a legal PNG combination
+    # (16-bit truecolor/greyscale ARE supported as of the round-5 close)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     chunk = (
         len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
         + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
@@ -650,3 +651,21 @@ def test_png_trns_guards():
     with pytest.raises(ValueError, match="tRNS"):
         encode_png(2, 1, 1, bytes([0, 1]), palette=[(0, 0, 0), (1, 1, 1)],
                    depth=1, trns=[1, 2, 3])  # longer than the palette
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_16bit_roundtrip_high_byte_canonical(ch, interlace):
+    for w, h in ((9, 7), (5, 3), (1, 1)):
+        vals = [(4099 + k * 2053) % 65536 for k in range(w * h * ch)]
+        got = decode_png(encode_png(w, h, ch, vals, depth=16,
+                                    interlace=interlace, filter_seed=2))
+        assert got == (w, h, ch, bytes(v >> 8 for v in vals)), (ch, w, h)
+
+
+def test_png_16bit_guards():
+    with pytest.raises(ValueError, match="range"):
+        encode_png(1, 1, 1, [70000], depth=16)
+    with pytest.raises(ValueError, match="bit depth"):
+        # palette at depth 16 is not a legal PNG combination
+        encode_png(1, 1, 1, bytes([0]), palette=[(0, 0, 0)], depth=16)
