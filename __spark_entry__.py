@@ -1313,7 +1313,11 @@ def q_real_media_decode(spark, sf):
     formula for low palette entries and 255 (the spec's opaque default
     past the tRNS end) for the rest. Docs 132-143 are 16-BIT PNG
     (gray/RGB/RGBA, big-endian samples, Adam7 rotation) canonicalized to
-    the high byte, so the oracle value is the sample formula // 256."""
+    the high byte, so the oracle value is the sample formula // 256.
+    Docs 144-155 are STEREO IMA ADPCM: per-channel block headers +
+    interleaved 4-byte nibble groups, each channel its own index-pinned
+    closed form — two prefix sums interleaved sample-major, a
+    channel-partitioned window SUM in the SQL."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1322,7 +1326,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 144))
+    return real_media_features(synth_real_media_df(spark, 156))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2538,7 +2542,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 144)),
+            WITH m AS (SELECT range AS i FROM range(0, 156)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2646,7 +2650,15 @@ def _all_oracles() -> dict[str, str]:
                        (9 + i % 8) * (7 + i % 6)
                            * ([1, 3, 4])[CAST((i - 132) % 3 AS INT) + 1] AS nv,
                        NULL AS psize, 16 AS depth
-                FROM m WHERE i >= 132),
+                FROM m WHERE i >= 132 AND i < 144
+                UNION ALL
+                -- stereo IMA ADPCM strata (i >= 144)
+                SELECT i, 'u0' AS st, 'adpcm' AS fmt,
+                       NULL AS w, NULL AS h, 2 AS ch,
+                       8000 + (((i - 144) // 2) % 3) * 4000 AS rate,
+                       2 * (97 + 2 * (i % 20)) AS nv,
+                       NULL AS psize, 8 AS depth
+                FROM m WHERE i >= 144),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -2754,6 +2766,31 @@ def _all_oracles() -> dict[str, str]:
                        + CAST(SUM(sd) OVER (PARTITION BY i ORDER BY k
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS val
                 FROM ad),
+            -- stereo ADPCM (u0): k alternates channels (c = k % 2,
+            -- per-channel sample index m = k // 2); each channel is its
+            -- own index-pinned prefix sum over its nibble formula
+            ad2 AS (
+                SELECT i, k, k % 2 AS c,
+                       CASE WHEN k // 2 = 0 THEN 0
+                            WHEN k % 2 = 0 THEN
+                            (CASE WHEN (i + (k // 2) - 1) % 7 < 3
+                                  THEN -1 ELSE 1 END)
+                            * (3 * (((i * 5 + ((k // 2) - 1) * 3) % 4) // 2)
+                               + ((i * 5 + ((k // 2) - 1) * 3) % 4) % 2)
+                       ELSE
+                            (CASE WHEN (i + (k // 2) - 1) % 5 < 2
+                                  THEN -1 ELSE 1 END)
+                            * (3 * (((i * 3 + ((k // 2) - 1) * 5) % 4) // 2)
+                               + ((i * 3 + ((k // 2) - 1) * 5) % 4) % 2)
+                       END AS sd
+                FROM vals WHERE st = 'u0'),
+            adv2 AS (
+                SELECT i, k,
+                       (CASE WHEN k % 2 = 0 THEN ((i * 13) % 2003) - 1001
+                             ELSE ((i * 17) % 1999) - 999 END)
+                       + CAST(SUM(sd) OVER (PARTITION BY i, c ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS val
+                FROM ad2),
             v AS (
                 SELECT i, k,
                        CASE fmt
@@ -2779,6 +2816,7 @@ def _all_oracles() -> dict[str, str]:
                 UNION ALL SELECT i, k, val FROM jv
                 UNION ALL SELECT i, k, val FROM ve
                 UNION ALL SELECT i, k, val FROM adv
+                UNION ALL SELECT i, k, val FROM adv2
                 UNION ALL SELECT i, k, val FROM va),
             sums AS (
                 SELECT i,

@@ -90,6 +90,7 @@ __all__ = [
     "encode_wav",
     "decode_wav",
     "encode_wav_adpcm",
+    "encode_wav_adpcm_multi",
     "encode_wav_adpcm_nibbles",
     "ima_adpcm_encode",
     "alaw_expand",
@@ -688,6 +689,53 @@ def encode_wav_adpcm_nibbles(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_adpcm_multi(
+    sample_rate: int,
+    firsts: List[int],
+    nibble_streams: List[List[int]],
+    index0: int = 0,
+) -> bytes:
+    """Multi-channel single-block IMA ADPCM RIFF/WAVE from explicit
+    per-channel nibble streams (all the same length): one 4-byte header
+    per channel, then 4-byte nibble groups (8 samples each, LOW-first)
+    cycling channel 0..ch-1 — the standard interleaved layout. Streams
+    are zero-padded to a multiple of 8 nibbles; the ``fact`` chunk
+    records the true per-channel sample count so pads are not decoded
+    as audio."""
+    ch = len(firsts)
+    if ch < 1 or len(nibble_streams) != ch:
+        raise ValueError("need one nibble stream per channel")
+    n = len(nibble_streams[0])
+    if any(len(s) != n for s in nibble_streams):
+        raise ValueError("nibble streams must be the same length")
+    npad = -(-n // 8) * 8
+    body = bytearray()
+    for c in range(ch):
+        body += struct.pack("<hBB", firsts[c], index0, 0)
+    for g in range(npad // 8):
+        for c in range(ch):
+            chunk8 = (nibble_streams[c] + [0] * (npad - n))[g * 8 : (g + 1) * 8]
+            for j in range(0, 8, 2):
+                body.append((chunk8[j] & 0x0F) | ((chunk8[j + 1] & 0x0F) << 4))
+    block_align = len(body)
+    samples_per_block = 1 + (block_align - 4 * ch) * 2 // ch
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        (sample_rate * block_align) // max(1, samples_per_block),
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<I", 1 + n)  # per-channel, like the mono writer
+    junk = b"INFOsynthetic corpus\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def encode_wav_adpcm(sample_rate: int, samples: List[int]) -> bytes:
     """Mono IMA ADPCM WAV from int16 samples via the greedy encoder: the
     first sample seeds the block header exactly; the rest are quantized."""
@@ -761,8 +809,8 @@ def decode_wav(
                 (1, 16), (1, 8), (6, 8), (7, 8), (0x11, 4)
             ):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
-            if audio_fmt == 0x11 and ch != 1:
-                raise ValueError("only mono IMA ADPCM supported")
+            if audio_fmt == 0x11 and not 1 <= ch <= 8:
+                raise ValueError(f"bad IMA ADPCM channel count {ch}")
         elif cid == b"fact":
             fact_samples = struct.unpack("<I", chunk[:4])[0]
         elif cid == b"data":
@@ -786,22 +834,48 @@ def decode_wav(
             # WAV 8-bit PCM is unsigned; canonicalize to int16
             samples = [(v - 128) * 256 for v in body]
         elif audio_fmt == 0x11:
-            if block_align < 4:
+            if block_align < 4 * ch:
                 raise ValueError("ADPCM block align too small")
+            # per-channel streams: each block carries one 4-byte header
+            # per channel, then 4-byte nibble groups (8 samples) cycling
+            # channel 0..ch-1 — the standard interleaved layout; mono
+            # degenerates to the plain sequential walk
+            chans: List[List[int]] = [[] for _ in range(ch)]
             for b0 in range(0, len(body), block_align):
                 block = body[b0 : b0 + block_align]
-                if len(block) < 4:
+                if len(block) < 4 * ch:
                     raise ValueError("truncated ADPCM block header")
-                pred, idx, _rsv = struct.unpack("<hBB", block[:4])
-                if idx > 88:
-                    raise ValueError(f"ADPCM step index {idx} out of range")
-                samples.append(pred)
-                for byte in block[4:]:
-                    for nib in (byte & 0x0F, byte >> 4):
-                        pred, idx = _ima_step(nib, pred, idx)
-                        samples.append(pred)
-            if fact_samples is not None:
-                samples = samples[:fact_samples]
+                preds = []
+                idxs = []
+                for c in range(ch):
+                    pred, idx, _rsv = struct.unpack(
+                        "<hBB", block[4 * c : 4 * c + 4]
+                    )
+                    if idx > 88:
+                        raise ValueError(f"ADPCM step index {idx} out of range")
+                    preds.append(pred)
+                    idxs.append(idx)
+                    chans[c].append(pred)
+                groups = block[4 * ch :]
+                if ch == 1:
+                    # mono: plain sequential nibble walk, any byte count
+                    for byte in groups:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            preds[0], idxs[0] = _ima_step(nib, preds[0], idxs[0])
+                            chans[0].append(preds[0])
+                else:
+                    if len(groups) % 4:
+                        raise ValueError("ADPCM data not in 4-byte groups")
+                    for g in range(0, len(groups), 4):
+                        c = (g // 4) % ch
+                        for byte in groups[g : g + 4]:
+                            for nib in (byte & 0x0F, byte >> 4):
+                                preds[c], idxs[c] = _ima_step(nib, preds[c], idxs[c])
+                                chans[c].append(preds[c])
+            if fact_samples is not None:  # fact counts samples PER CHANNEL
+                chans = [s[:fact_samples] for s in chans]
+            n_per = min(len(s) for s in chans)
+            samples = [chans[c][m] for m in range(n_per) for c in range(ch)]
         else:
             n2 = len(body) // 2
             samples = list(struct.unpack(f"<{n2}h", body[: n2 * 2]))

@@ -269,11 +269,26 @@ def real_media_dims(i: int) -> dict:
     default for entries past the tRNS end) otherwise; Adam7 on
     alternating docs.
 
-    Docs ``i >= 132`` are **16-bit PNG** (``s0``): gray/RGB/RGBA
+    Docs ``132 <= i < 144`` are **16-bit PNG** (``s0``): gray/RGB/RGBA
     rotating, sample ``(i*4099 + k*2053) % 65536`` stored big-endian and
     canonicalized to its high byte (the spec's depth-scaling
     truncation), so the oracle value is simply the formula ``// 256``;
-    Adam7 on alternating docs."""
+    Adam7 on alternating docs.
+
+    Docs ``i >= 144`` are **STEREO IMA ADPCM** (``u0``): per-channel
+    block headers + interleaved 4-byte nibble groups, each channel an
+    independent index-pinned closed form (left ``(i*5+k*3)%4`` signed by
+    ``(i+k)%7<3``, right ``(i*3+k*5)%4`` signed by ``(i+k)%5<2``) — the
+    decode is two prefix sums interleaved sample-major, which the SQL
+    restates with a channel-partitioned window SUM."""
+    if i >= 144:
+        j6 = i - 144
+        n = 96 + 2 * (i % 20)
+        return {
+            "fmt": "adpcm", "ext": "adpcm2", "ch": 2,
+            "rate": 8000 + ((j6 // 2) % 3) * 4000,
+            "n": n, "nv": 2 * (n + 1),
+        }
     if i >= 132:
         j5 = i - 132
         return {
@@ -440,6 +455,17 @@ def encode_real_media(i: int) -> bytes:
         nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
                 for k in range(d["n"])]
         return encode_wav_adpcm_nibbles(d["rate"], first, nibs)
+    if ext == "adpcm2":
+        from ..mediacodec import encode_wav_adpcm_multi
+
+        n = d["n"]
+        fl = ((i * 13) % 2003) - 1001
+        fr = ((i * 17) % 1999) - 999
+        nl = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)
+              for k in range(n)]
+        nr = [((i * 3 + k * 5) % 4) | (8 if (i + k) % 5 < 2 else 0)
+              for k in range(n)]
+        return encode_wav_adpcm_multi(d["rate"], [fl, fr], [nl, nr])
     if ext == "png16":
         vals = [(i * 4099 + k * 2053) % 65536
                 for k in range(d["w"] * d["h"] * d["ch"])]

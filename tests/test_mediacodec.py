@@ -391,11 +391,12 @@ def test_adpcm_fact_truncates_pad_nibble():
     assert len(smp) == 4  # 1 seed + 3 nibbles; the pad nibble is dropped
 
 
-def test_adpcm_stereo_rejected():
+def test_adpcm_channel_count_guard():
+    # stereo is supported now; an absurd channel count still fails loud
     data = bytearray(encode_wav_adpcm_nibbles(8000, 0, [0, 0]))
     off = data.index(b"fmt ") + 8 + 2
-    data[off:off + 2] = struct.pack("<H", 2)  # claim 2 channels
-    with pytest.raises(ValueError, match="mono"):
+    data[off:off + 2] = struct.pack("<H", 9)
+    with pytest.raises(ValueError, match="channel count"):
         _decode_wav(bytes(data))
 
 
@@ -669,3 +670,60 @@ def test_png_16bit_guards():
     with pytest.raises(ValueError, match="bit depth"):
         # palette at depth 16 is not a legal PNG combination
         encode_png(1, 1, 1, bytes([0]), palette=[(0, 0, 0)], depth=16)
+
+
+# ---------------------------------------------------------------------------
+# Stereo IMA ADPCM (interleaved 4-byte nibble groups per channel)
+# ---------------------------------------------------------------------------
+
+from b_pdf_parser_spark.mediacodec import encode_wav_adpcm_multi  # noqa: E402
+
+
+def _ima_replay(first, nibs):
+    out, pred, idx = [first], first, 0
+    for nb in nibs:
+        pred, idx = _ima_step(nb, pred, idx)
+        out.append(pred)
+    return out
+
+
+def test_adpcm_stereo_matches_per_channel_replay():
+    nl = [(k * 7) % 16 for k in range(64)]
+    nr = [(k * 11 + 5) % 16 for k in range(64)]
+    rate, ch, smp, codec = _decode_wav(
+        encode_wav_adpcm_multi(8000, [100, -200], [nl, nr]), return_codec=True
+    )
+    assert (rate, ch, codec) == (8000, 2, "adpcm")
+    assert smp[0::2] == _ima_replay(100, nl)
+    assert smp[1::2] == _ima_replay(-200, nr)
+
+
+def test_adpcm_stereo_pad_nibbles_not_decoded():
+    # 5 nibbles per channel: padded to 8 on the wire, fact truncates back
+    rate, ch, smp = _decode_wav(
+        encode_wav_adpcm_multi(8000, [10, 20], [[1] * 5, [2] * 5])
+    )
+    assert len(smp) == 2 * 6  # (1 seed + 5 nibbles) per channel
+
+
+def test_adpcm_stereo_guards():
+    with pytest.raises(ValueError, match="same length"):
+        encode_wav_adpcm_multi(8000, [0, 0], [[1, 2], [1]])
+    with pytest.raises(ValueError, match="per channel"):
+        encode_wav_adpcm_multi(8000, [0, 0], [[1, 2]])
+    # non-4-byte-aligned group region in a stereo file must fail loud
+    # (claim block_align 13: 8 header bytes + a 5-byte group region)
+    data = bytearray(encode_wav_adpcm_multi(8000, [0, 0], [[1] * 8, [2] * 8]))
+    off = data.index(b"fmt ") + 8 + 12
+    struct.pack_into("<H", data, off, 13)
+    with pytest.raises(ValueError, match="4-byte groups"):
+        _decode_wav(bytes(data))
+
+
+def test_adpcm_mono_walk_unchanged():
+    # mono blocks need no 4-byte grouping (the corpus writes odd counts)
+    rate, ch, smp = _decode_wav(
+        __import__("b_pdf_parser_spark.mediacodec", fromlist=["x"])
+        .encode_wav_adpcm_nibbles(8000, 5, [1, 2, 3])
+    )
+    assert smp == _ima_replay(5, [1, 2, 3])[:4]
