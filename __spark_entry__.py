@@ -1317,7 +1317,10 @@ def q_real_media_decode(spark, sf):
     Docs 144-155 are STEREO IMA ADPCM: per-channel block headers +
     interleaved 4-byte nibble groups, each channel its own index-pinned
     closed form — two prefix sums interleaved sample-major, a
-    channel-partitioned window SUM in the SQL."""
+    channel-partitioned window SUM in the SQL. Docs 156-167 are IEEE
+    float32 WAV (format 3): the exactly-representable n/32768 family,
+    so the 2^15-scaled int16 canonicalization recovers n bit-exactly
+    and the oracle is the integer formula itself."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1326,7 +1329,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 156))
+    return real_media_features(synth_real_media_df(spark, 168))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2542,7 +2545,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 156)),
+            WITH m AS (SELECT range AS i FROM range(0, 168)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2658,7 +2661,16 @@ def _all_oracles() -> dict[str, str]:
                        8000 + (((i - 144) // 2) % 3) * 4000 AS rate,
                        2 * (97 + 2 * (i % 20)) AS nv,
                        NULL AS psize, 8 AS depth
-                FROM m WHERE i >= 144),
+                FROM m WHERE i >= 144 AND i < 156
+                UNION ALL
+                -- IEEE float32 WAV strata (i >= 156): exact n/32768 family
+                SELECT i, 'f0' AS st, 'float32' AS fmt,
+                       NULL AS w, NULL AS h,
+                       1 + (i - 156) % 2 AS ch,
+                       8000 + (((i - 156) // 2) % 3) * 4000 AS rate,
+                       (120 + i % 40) * (1 + (i - 156) % 2) AS nv,
+                       NULL AS psize, 32 AS depth
+                FROM m WHERE i >= 156),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -2704,7 +2716,9 @@ def _all_oracles() -> dict[str, str]:
             -- hazards that leave canonical values unchanged
             ve AS (
                 SELECT i, k,
-                       CASE WHEN st = 's0' THEN
+                       CASE WHEN st = 'f0' THEN
+                            ((i * 29 + k * 23) % 65535) - 32767
+                       WHEN st = 's0' THEN
                             ((i * 4099 + k * 2053) % 65536) // 256
                        WHEN st = 't0' THEN
                             CASE k % 4
@@ -2728,7 +2742,7 @@ def _all_oracles() -> dict[str, str]:
                        ELSE (i * 31 + k * 7) % 251
                        END AS val
                 FROM vals WHERE (st LIKE 'e%' AND st != 'e4')
-                   OR st IN ('p0', 't0', 's0')),
+                   OR st IN ('p0', 't0', 's0', 'f0')),
             -- G.711 A-law expansion as pure integer SQL (u = code XOR
             -- 0x55; segment 0 linear +8, else mantissa under an implicit
             -- leading 1 shifted by segment-1; MSB set = positive), and

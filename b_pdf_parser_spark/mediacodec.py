@@ -560,16 +560,26 @@ def encode_wav(
     ulaw: bool = False,
     alaw: bool = False,
     pcm8: bool = False,
+    float32: bool = False,
 ) -> bytes:
     """Interleaved samples → RIFF/WAVE. PCM16 by default (``samples`` are
     int16); with ``ulaw=True``/``alaw=True`` the samples are raw G.711
     code bytes (0–255) and the fmt chunk says audio format 7/6 at 8
     bits; with ``pcm8=True`` they are UNSIGNED 8-bit PCM bytes (format
-    1 at 8 bits — the WAV convention for 8-bit). A junk ``LIST`` chunk
-    is inserted before ``data`` so decoders must actually walk chunks."""
-    if sum((ulaw, alaw, pcm8)) > 1:
-        raise ValueError("pick at most one of ulaw/alaw/pcm8")
-    if ulaw or alaw or pcm8:
+    1 at 8 bits — the WAV convention for 8-bit); with ``float32=True``
+    they are floats in [-1, 1) stored as IEEE format 3 at 32 bits (a
+    ``fact`` chunk is written, as required for non-PCM). A junk
+    ``LIST`` chunk is inserted before ``data`` so decoders must
+    actually walk chunks."""
+    if sum((ulaw, alaw, pcm8, float32)) > 1:
+        raise ValueError("pick at most one of ulaw/alaw/pcm8/float32")
+    if float32:
+        body = struct.pack(f"<{len(samples)}f", *samples)
+        fmt = struct.pack(
+            "<HHIIHH", 3, channels, sample_rate,
+            sample_rate * channels * 4, channels * 4, 32,
+        )
+    elif ulaw or alaw or pcm8:
         body = bytes(samples)
         fmt = struct.pack(
             "<HHIIHH", 7 if ulaw else (6 if alaw else 1), channels,
@@ -582,8 +592,12 @@ def encode_wav(
             sample_rate * channels * 2, channels * 2, 16,
         )
     junk = b"INFOsynthetic corpus\x00"
+    fact = b""
+    if float32:  # non-PCM formats carry a fact chunk (per-channel count)
+        fact = b"fact" + struct.pack("<II", 4, len(samples) // max(1, channels))
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
         + b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
         + b"data" + struct.pack("<I", len(body)) + body
         + (b"\x00" if len(body) % 2 else b"")
@@ -806,7 +820,7 @@ def decode_wav(
                 "<HHIIHH", chunk[:16]
             )
             if (audio_fmt, bits) not in (
-                (1, 16), (1, 8), (6, 8), (7, 8), (0x11, 4)
+                (1, 16), (1, 8), (3, 32), (6, 8), (7, 8), (0x11, 4)
             ):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
             if audio_fmt == 0x11 and not 1 <= ch <= 8:
@@ -833,6 +847,15 @@ def decode_wav(
         elif audio_fmt == 1 and bits == 8:
             # WAV 8-bit PCM is unsigned; canonicalize to int16
             samples = [(v - 128) * 256 for v in body]
+        elif audio_fmt == 3:
+            # IEEE float32 in [-1, 1): canonicalize by the exact 2^15
+            # scale (values n/32768 round-trip bit-exactly), clamped to
+            # int16 for out-of-range floats
+            nf = len(body) // 4
+            floats = struct.unpack(f"<{nf}f", body[: nf * 4])
+            samples = [
+                max(-32768, min(32767, round(f * 32768))) for f in floats
+            ]
         elif audio_fmt == 0x11:
             if block_align < 4 * ch:
                 raise ValueError("ADPCM block align too small")
@@ -880,7 +903,7 @@ def decode_wav(
             n2 = len(body) // 2
             samples = list(struct.unpack(f"<{n2}h", body[: n2 * 2]))
     if return_codec:
-        codec = {6: "alaw", 7: "ulaw", 0x11: "adpcm"}.get(
+        codec = {3: "float32", 6: "alaw", 7: "ulaw", 0x11: "adpcm"}.get(
             audio_fmt, "pcm8" if bits == 8 else "pcm16"
         )
         return rate, ch, samples, codec

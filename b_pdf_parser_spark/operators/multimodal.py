@@ -280,7 +280,21 @@ def real_media_dims(i: int) -> dict:
     independent index-pinned closed form (left ``(i*5+k*3)%4`` signed by
     ``(i+k)%7<3``, right ``(i*3+k*5)%4`` signed by ``(i+k)%5<2``) — the
     decode is two prefix sums interleaved sample-major, which the SQL
-    restates with a channel-partitioned window SUM."""
+    restates with a channel-partitioned window SUM.
+
+    Docs ``i >= 156`` are **IEEE float32 WAV** (format 3): samples are
+    the EXACTLY-representable family ``n/32768`` with
+    ``n = ((i*29+k*23) % 65535) - 32767``, so the 2^15-scaled canonical
+    int16 decode recovers ``n`` bit-exactly and the SQL oracle is the
+    integer formula itself."""
+    if i >= 156:
+        j7 = i - 156
+        ch = 1 + j7 % 2
+        return {
+            "fmt": "float32", "ext": "float32", "ch": ch,
+            "rate": 8000 + ((j7 // 2) % 3) * 4000,
+            "n": (120 + i % 40) * ch,
+        }
     if i >= 144:
         j6 = i - 144
         n = 96 + 2 * (i % 20)
@@ -450,6 +464,10 @@ def encode_real_media(i: int) -> bytes:
     if ext == "pcm8":
         codes = [(i * 23 + k * 5) % 256 for k in range(d["n"])]
         return encode_wav(d["rate"], d["ch"], codes, pcm8=True)
+    if ext == "float32":
+        fs = [(((i * 29 + k * 23) % 65535) - 32767) / 32768.0
+              for k in range(d["n"])]
+        return encode_wav(d["rate"], d["ch"], fs, float32=True)
     if ext == "adpcm":
         first = ((i * 13) % 2003) - 1001
         nibs = [((i * 5 + k * 3) % 4) | (8 if (i + k) % 7 < 3 else 0)

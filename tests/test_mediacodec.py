@@ -727,3 +727,22 @@ def test_adpcm_mono_walk_unchanged():
         .encode_wav_adpcm_nibbles(8000, 5, [1, 2, 3])
     )
     assert smp == _ima_replay(5, [1, 2, 3])[:4]
+
+
+def test_wav_float32_exact_family_and_clamp():
+    # n/32768 is exactly representable in float32, so the 2^15-scaled
+    # int16 canonicalization recovers n bit-exactly
+    ns = [((17 * k) % 65535) - 32767 for k in range(300)]
+    rate, ch, smp, codec = _decode_wav(
+        encode_wav(48000, 2, [n / 32768.0 for n in ns], float32=True),
+        return_codec=True,
+    )
+    assert (rate, ch, codec, smp) == (48000, 2, "float32", ns)
+    # out-of-range floats clamp to int16
+    _, _, smp = _decode_wav(encode_wav(8000, 1, [2.0, -3.0], float32=True))
+    assert smp == [32767, -32768]
+
+
+def test_encode_wav_float32_conflicts_rejected():
+    with pytest.raises(ValueError, match="at most one"):
+        encode_wav(8000, 1, [0.0], float32=True, ulaw=True)
