@@ -285,7 +285,11 @@ def semantic_dedup(
         F.col("id").alias("a_id"),
         F.col("nvec").alias("anvec"),
         "cid",
-        (F.col("id") % pair_salt).alias("salt"),
+        # pmod, not %: Spark's % keeps the sign of the dividend, so a
+        # negative (xxhash64) id would land at a salt in [-S+1, -1] that
+        # the B side (replicated only at 0..S-1) never carries — those
+        # pairs would silently vanish and the duplicate be kept
+        F.pmod(F.col("id"), F.lit(pair_salt)).alias("salt"),
     )
     b = assigned.select(
         F.col("id").alias("b_id"), F.col("nvec").alias("bnvec"), "cid"

@@ -87,6 +87,33 @@ def test_semantic_dedup_drops_planted_clones(spark):
     assert len(out) == e.count() + n_clones
 
 
+def test_semantic_dedup_negative_ids(spark):
+    # xxhash64-style ids are negative ~half the time; Spark's % keeps the
+    # dividend's sign, so a plain `id % pair_salt` A-side salt lands
+    # negative-id rows at salts the replicated B side never carries and
+    # their pairs silently vanish (ADVICE r5). pmod fixes it: a clone pair
+    # whose smaller id is negative MUST still be detected.
+    from b_pdf_parser_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    # shift all ids negative, then clone a subset with HIGHER (still
+    # negative) ids so dup_of (the min mate) is the negative original
+    neg = e.select((F.col("vec_id") - 10_000_000).alias("vec_id"), "embedding")
+    clones = neg.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(neg.unionByName(clones), threshold=0.999).collect()
+    dropped = {r["id"]: r["dup_of"] for r in out if not r["keep"]}
+    n_clones = clones.count()
+    assert len(dropped) == n_clones, (len(dropped), n_clones)
+    assert all(cid == oid + 100000 for cid, oid in
+               ((k, v) for k, v in dropped.items())), dropped
+    assert all(v < 0 for v in dropped.values())
+
+
 def test_semantic_dedup_partition_invariant(spark):
     # decisions are pure functions of (vec, seed, threshold): repartitioning
     # the input must not change a single keep/dup_of verdict
