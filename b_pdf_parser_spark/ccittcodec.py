@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+from .mediacodec import _check_pixel_budget
+
 __all__ = ["encode_g4", "decode_g4", "encode_g3", "decode_g3"]
 
 
@@ -451,6 +453,9 @@ def decode_g4(
     lives in the callers, same as ``jpegcodec``)."""
     if columns <= 0 or rows <= 0:
         raise ValueError("CCITT: empty image")
+    # columns/rows come from untrusted PDF /Width//Height — bound the
+    # output allocation before decoding (decompression-bomb guard)
+    _check_pixel_budget(columns * rows)
     br = _BitReader(data)
     out = bytearray()
     ref: List[int] = []
@@ -510,6 +515,7 @@ def decode_g3(
         raise ValueError("CCITT: empty image")
     if k < 0:
         raise ValueError("CCITT: G3 k must be >= 0 (use decode_g4 for MMR)")
+    _check_pixel_budget(columns * rows)
     br = _BitReader(data)
     out = bytearray()
     ref: List[int] = []

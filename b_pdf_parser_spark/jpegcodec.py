@@ -49,6 +49,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .mediacodec import _check_pixel_budget
+
 __all__ = [
     "encode_jpeg",
     "encode_jpeg_progressive",
@@ -916,6 +918,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
+            # decompression-bomb guard (same budget as mediacodec): a
+            # ~25-byte hostile payload can declare 65000x65000x3 here and
+            # the progressive coef arrays / output planes below would be
+            # allocated straight from these untrusted dims
+            _check_pixel_budget(w * h * max(nc, 1))
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]

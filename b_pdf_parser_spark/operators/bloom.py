@@ -365,4 +365,10 @@ def probe_and_confirm(
         if history is not None
         else suspects
     )
-    return fresh.unionByName(confirmed)
+    out = fresh.unionByName(confirmed)
+    # deterministic-cleanup handle (same pattern as df._bloom_bc): once a
+    # caller re-materializes `out` (e.g. the stream's per-epoch eager
+    # checkpoint), the intermediate probe's blocks are garbage — expose
+    # the frame so the caller can free them NOW instead of at GC time
+    out._bloom_probe = probed
+    return out

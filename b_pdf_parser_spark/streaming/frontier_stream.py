@@ -51,6 +51,24 @@ __all__ = ["FrontierState", "frontier_stream"]
 _COMPACT_EVERY = 16
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind an eagerly ``localCheckpoint``-ed
+    frame NOW instead of at Python-GC + ContextCleaner time.
+
+    ``DataFrame.unpersist()`` is a no-op here — localCheckpoint blocks
+    belong to the checkpointed RDD, not the cache manager — so reach the
+    RDD through the analyzed ``LogicalRDD`` plan node (verified to drop
+    the entry from ``getRDDStorageInfo`` on this Spark). Best-effort: a
+    plan shape we don't recognize just falls back to GC-time cleanup,
+    which was the prior behavior."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup is an optimization; correctness never depends on it
+
+
 class FrontierState:
     """Driver-side frontier state: the incremental bitmap + history dir.
 
@@ -193,14 +211,21 @@ class FrontierState:
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: emit exactly-new keys of this batch into
         ``history_dir/epoch=<id>/`` and fold them into the bitmap."""
-        new = probe_and_confirm(
+        raw = probe_and_confirm(
             batch_df,
             self.key_col,
             self.bloom,
             self.m_bits,
             self.k,
             self._history_df(exclude_epoch=int(epoch_id)),
-        ).localCheckpoint(eager=True)
+        )
+        new = raw.localCheckpoint(eager=True)
+        # `new` is self-contained now — free the kernel's intermediate
+        # probe checkpoint immediately (one per epoch otherwise lingers
+        # until GC; ADVICE r5)
+        probe = getattr(raw, "_bloom_probe", None)
+        if probe is not None:
+            _unpersist_local_checkpoint(probe)
         # epoch-keyed overwrite: a retried epoch rewrites the same subdir,
         # so at-least-once foreachBatch delivery stays exactly-once on disk
         new.write.mode("overwrite").parquet(
@@ -211,9 +236,12 @@ class FrontierState:
         # instead of re-scanning the files (a redelivery of the SAME epoch
         # replaces the entry and is excluded by _history_df anyway)
         self._committed[int(epoch_id)] = new
+        # absorb BEFORE compaction: the fold unpersists the consumed
+        # per-epoch frames (including this one), so the bitmap scan of
+        # ``new`` must run while its checkpoint blocks still exist
+        self.absorb(new)
         if len(self._committed) >= _COMPACT_EVERY:
             self._fold_committed_into_leg()
-        self.absorb(new)
 
     def _fold_committed_into_leg(self) -> None:
         """Fold the per-epoch frames plus every equal-level mate into ONE
@@ -236,17 +264,27 @@ class FrontierState:
             for e, df in self._committed.items()
         ]
         remaining = list(self._legs)
+        consumed_legs: List[DataFrame] = []
         level = 0
         while any(lv == level for lv, _ in remaining):
-            frames.append(next(df for lv, df in remaining if lv == level))
+            leg = next(df for lv, df in remaining if lv == level)
+            frames.append(leg)
+            consumed_legs.append(leg)
             remaining = [(lv, df) for lv, df in remaining if lv != level]
             level += 1
         folded = frames[0]
         for f in frames[1:]:
             folded = folded.unionByName(f)
         new_leg = folded.localCheckpoint(eager=True)  # the one fallible action
+        consumed_frames = list(self._committed.values())
         self._legs = remaining + [(level, new_leg)]
         self._committed = {}
+        # the new leg's blocks now hold every key the consumed frames and
+        # legs held — free theirs immediately (ADVICE r5: GC-time cleanup
+        # can transiently pin ~2x the history key set in non-replicated
+        # executor block storage on a long-running stream)
+        for df in consumed_frames + consumed_legs:
+            _unpersist_local_checkpoint(df)
 
 
 def frontier_stream(

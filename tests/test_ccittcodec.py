@@ -276,3 +276,14 @@ def test_byte_align_no_eol_g3_roundtrip():
     px = bytes(255 if (x + y) % 3 else 0 for y in range(7) for x in range(13))
     enc = encode_g3(13, 7, px, k=0, eol=False, byte_align=True)
     assert decode_g3(enc, 13, 7, k=0, byte_align=True) == px
+
+
+def test_hostile_dims_rejected_before_allocation():
+    # untrusted PDF /Width//Height must hit the shared sample-budget
+    # guard before the columns*rows output buffer is allocated
+    import pytest
+
+    for fn in (lambda: decode_g4(b"\x00" * 8, 65000, 65000),
+               lambda: decode_g3(b"\x00" * 8, 65000, 65000, k=0)):
+        with pytest.raises(ValueError, match="sample budget"):
+            fn()

@@ -197,3 +197,18 @@ def test_progressive_frame_without_scans_raises():
     eoi = prog.rindex(b"\xff\xd9")
     with pytest.raises(ValueError):
         decode_jpeg(prog[:sos] + prog[eoi:])
+
+
+def test_hostile_sof_dims_rejected_before_allocation():
+    # ADVICE r5: a ~25-byte payload declaring 65000x65000x3 must hit the
+    # sample-budget guard (ValueError) instead of requesting ~94 GiB of
+    # progressive coefficient arrays (MemoryError / executor OOM-kill)
+    import struct
+
+    body = struct.pack(">BHHB", 8, 65000, 65000, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    for sof in (0xC0, 0xC2):  # baseline and progressive frames alike
+        seg = bytes([0xFF, sof]) + struct.pack(">H", len(body) + 2) + body
+        with pytest.raises(ValueError, match="sample budget"):
+            decode_jpeg(b"\xff\xd8" + seg)

@@ -152,6 +152,7 @@ def test_frontier_compaction_keeps_exactness(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(fs, "_COMPACT_EVERY", 3)
     hist = str(tmp_path / "hist")
+    blocks_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     state = FrontierState(spark, hist, key_col="url", m_bits=M, k=K)
     seen = set()
     for e in range(7):
@@ -175,6 +176,13 @@ def test_frontier_compaction_keeps_exactness(spark, tmp_path, monkeypatch):
     }
     visible = {r.url for r in state._history_df(exclude_epoch=2).collect()}
     assert visible == seen - ep2
+    # ADVICE r5: folds must free consumed frames' checkpoint blocks NOW,
+    # not at GC time — live block entries stay bounded by legs + pending
+    # frames (7 epochs compacted twice would otherwise pin ~9 RDDs)
+    # delta vs test start: other tests' lingering blocks don't count
+    live = len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) - blocks_before
+    expect = len(state._legs) + len(state._committed)
+    assert live <= expect + 1, (live, expect)  # +1: the startup key cache
 
 
 def test_frontier_stream_rejects_foreign_checkpoint(spark, tmp_path):
