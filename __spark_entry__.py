@@ -915,7 +915,15 @@ def q_extract_txn_crosscheck(spark, sf):
     and the pure-relational window re-derivation (posexplode → running-sum
     sessionization → positional classifiers) must emit identical transaction
     rows on column-layout documents. Expected single row with
-    n_only_udf = n_only_relational = 0 and n_udf = n_relational."""
+    n_only_udf = n_only_relational = 0 and n_udf = n_relational.
+
+    No DuckDB oracle BY DESIGN: the query's whole point is comparing two
+    in-engine implementations against each other (a third, SQL-side
+    restatement would just be `extract_transactions`' oracle again, which
+    already hash-checks the UDF path in the driver window). Pinned by:
+    the zero/equal-count contract asserted in tests, plus both sides'
+    independent oracles (`extract_transactions` hash row, and
+    `sessionize_events` for the window machinery)."""
     from b_pdf_parser_spark.plans.transactions_relational import transactions_relational
     from b_pdf_parser_spark.plans.verify import transactions_table
 
@@ -998,7 +1006,14 @@ def q_url_audit(spark, sf):
 def q_url_audit_approx(spark, sf):  # rows-only: HLL sketch is engine-specific
     """Unique-key audit, sketch half: approx_count_distinct is one pass, no
     shuffle of the key — the metrics-table audit SURVEY §2.4 calls out.
-    rsd=0.01 keeps the sketch within 1% of exact."""
+    rsd=0.01 keeps the sketch within 1% of exact.
+
+    No DuckDB oracle BY DESIGN: the value is a HyperLogLog++ estimate
+    whose exact bits are engine-specific (DuckDB's approx_count_distinct
+    uses a different sketch — equal inputs give different estimates).
+    Pinned by: `tests/test_entry_oracle.py`'s rows-only check plus the
+    exact twin `url_audit`-style count_distinct queries in the driver
+    window, against which the 1%-rsd bound is asserted in tests."""
     d = _t(spark, sf, "documents")
     return d.agg(
         F.approx_count_distinct("doc_id", rsd=0.01).alias("n_approx_distinct"),
