@@ -72,6 +72,15 @@ _T0 = time.time()
 SEED = 42
 
 DETAIL_PATH = REPO / "BENCH" / "DETAIL.json"
+# paired same-window code A/B (round-5 verdict #1): the committed r5
+# headline moved -32% with no same-window control, and same-day same-code
+# runs spread 7.5-14k docs/s — round-over-round numbers are only
+# comparable when old and new CODE run interleaved against the SAME
+# corpus cache inside ONE invocation. The previous round's package is
+# frozen at tag round-5 (BENCH/frozen/r5_pkg.tar.gz, git archive).
+FROZEN_R5 = REPO / "BENCH" / "frozen" / "r5_pkg.tar.gz"
+CODE_AB = os.environ.get("SPARK_GRAFT_CODE_AB", "1") == "1"
+AB_PAIRS = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "3"))
 
 
 def _session(cpus: int):
@@ -180,13 +189,94 @@ def _env_capacity_ratio(small: int, seconds: float = 3.0) -> float:
 
 
 def _extract_only(cpus: int) -> None:
-    """Internal mode: one clean-process extraction measurement."""
+    """Internal mode: one clean-process extraction measurement.
+
+    Two A/B knobs (both optional): ``SPARK_GRAFT_AB_PKG_DIR`` prepends a
+    directory to ``sys.path`` BEFORE the first ``b_pdf_parser_spark``
+    import, so the rep runs a frozen package snapshot (``ship_package``
+    zips from the imported package's own location, so executors get the
+    frozen code too); ``SPARK_GRAFT_AB_CORPUS`` pins the exact corpus
+    parquet so both A/B sides read identical input bytes."""
+    pkg_dir = os.environ.get("SPARK_GRAFT_AB_PKG_DIR")
+    if pkg_dir:
+        sys.path.insert(0, pkg_dir)
+        assert "b_pdf_parser_spark" not in sys.modules
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = _ensure_corpus(spark)
+    corpus = os.environ.get("SPARK_GRAFT_AB_CORPUS") or _ensure_corpus(spark)
     r = _time_extraction(spark, corpus, cpus)
+    if pkg_dir:
+        import b_pdf_parser_spark
+
+        # prove which code actually ran — a stale sys.path would silently
+        # turn the A/B into new-vs-new
+        r["pkg_file"] = b_pdf_parser_spark.__file__
     spark.stop()
     print(json.dumps(r))
+
+
+def _ab_rep(cpus: int, corpus: str, pkg_dir: str | None) -> float:
+    """One clean-process extraction rep, optionally under a frozen package."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_EXTRACT_ONLY=str(cpus),
+               SPARK_GRAFT_AB_CORPUS=corpus, SPARK_GRAFT_DOCS=str(N_DOCS))
+    env.pop("SPARK_GRAFT_AB_PKG_DIR", None)
+    if pkg_dir:
+        env["SPARK_GRAFT_AB_PKG_DIR"] = pkg_dir
+    res = subprocess.run([sys.executable, __file__], env=env,
+                         capture_output=True, text=True, check=True)
+    got = json.loads(res.stdout.strip().splitlines()[-1])
+    if pkg_dir:
+        assert got["pkg_file"].startswith(pkg_dir), got["pkg_file"]
+    return float(got["docs_per_sec"])
+
+
+def _code_ab(corpus: str, old_tar: Path, label: str,
+             new_tar: Path | None = None, n_pairs: int = AB_PAIRS) -> dict:
+    """Paired same-window code A/B: frozen ``old_tar`` package vs HEAD
+    (or vs a second frozen package — the retro r4-vs-r5 mode).
+
+    Methodology matches the scaling probe's N-vs-4N pairing: each pair is
+    two clean-process reps over the SAME cached corpus, old/new order
+    ALTERNATED across pairs (the first run of a pair is consistently
+    slower under co-tenant load ramps — round-4 finding), ratio taken
+    WITHIN each pair so ambient drift cancels, median across pairs."""
+    import statistics
+    import tarfile
+    import tempfile
+
+    def _unpack(tar: Path) -> str:
+        d = tempfile.mkdtemp(prefix="ab_pkg_", dir="/dev/shm")
+        with tarfile.open(tar) as t:
+            t.extractall(d)
+        return d
+
+    old_dir = _unpack(old_tar)
+    new_dir = _unpack(new_tar) if new_tar is not None else None
+    olds: list[float] = []
+    news: list[float] = []
+    for i in range(n_pairs):
+        sides = [("old", old_dir), ("new", new_dir)]
+        if i % 2 == 1:
+            sides.reverse()
+        got = {}
+        for name, d in sides:
+            got[name] = _ab_rep(CPUS, corpus, d)
+        olds.append(got["old"])
+        news.append(got["new"])
+    pairs = [n / o for o, n in zip(olds, news)]
+    return {
+        "baseline": label,
+        "docs": N_DOCS,
+        "cpus": CPUS,
+        f"{label}_docs_per_sec": max(olds),
+        "head_docs_per_sec": max(news),
+        "paired_ratio_median": round(statistics.median(pairs), 3),
+        "pair_ratios": [round(p, 3) for p in pairs],
+        "reps_old": [round(o, 1) for o in olds],
+        "reps_new": [round(n, 1) for n in news],
+    }
 
 
 def _scaling_probe() -> dict:
@@ -350,6 +440,17 @@ def main() -> None:
         _ensure_corpus(spark, SCALING_DOCS)
     spark.stop()
 
+    # paired code A/B vs the frozen previous-round package: the ONLY
+    # round-over-round perf number immune to sandbox weather (both codes
+    # measured interleaved in this same window, same corpus cache)
+    code_ab = None
+    code_ab_error = None
+    if CODE_AB and FROZEN_R5.exists():
+        try:
+            code_ab = _code_ab(corpus, FROZEN_R5, "r5")
+        except Exception as e:  # a failed A/B must not eat the bench
+            code_ab_error = f"{type(e).__name__}: {e}"
+
     scaling = None
     scaling_error = None
     if SCALING:
@@ -373,6 +474,15 @@ def main() -> None:
         "queries_total_sec": round(sum(timings.values()), 2),
         "queries": slowest,  # 10 slowest only — full map in BENCH/DETAIL.json
     }
+    if code_ab is not None:
+        out["code_ab"] = {
+            k: code_ab[k]
+            for k in ("baseline", "r5_docs_per_sec", "head_docs_per_sec",
+                      "paired_ratio_median")
+            if k in code_ab
+        }
+    if code_ab_error:
+        out["code_ab_error"] = code_ab_error
     if scaling is not None:
         out["scaling"] = {k: v for k, v in scaling.items() if k != "windows"}
     if scaling_error:
@@ -414,10 +524,17 @@ def main() -> None:
             "html_wall_sec": timings.get("extract_formula_html"),
             "kinds_wall_sec": timings.get("extract_kinds"),
         },
+        "code_ab": code_ab,
+        "code_ab_error": code_ab_error,
         "scaling": scaling,
         "scaling_error": scaling_error,
         "scale_1m": scale_detail,
         "method": (
+            "code_ab: paired same-window A/B of the frozen round-5 package "
+            "(BENCH/frozen/r5_pkg.tar.gz, tag round-5) vs HEAD — 3 pairs "
+            "of clean-process reps over the same corpus cache, old/new "
+            "order alternated per pair, ratio within pair, median across "
+            "pairs. "
             "Headline: best-of-3 extraction walls over the cached synthetic "
             "corpus at local[CPUS], 4 task-waves/core. Queries: one pass in "
             "registry order + a cache-cleared re-time of the 5 slowest "
