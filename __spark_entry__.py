@@ -1079,6 +1079,8 @@ def q_corpus_card(spark, sf):
     can't move the hash."""
     from b_pdf_parser_spark.operators.textstats import quality_score
 
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
+
     d = _t(spark, sf, "documents")
     tot = d.agg(
         F.count("*").alias("n_docs"),
@@ -1087,17 +1089,32 @@ def q_corpus_card(spark, sf):
         (F.sum(quality_score(F.col("text")).cast("decimal(18,4)")).cast("double")
          / F.count("*")).alias("mean_quality"),
     )
+    # round-6: the card also prices the corpus in REAL BPE tokens (the
+    # unit a trainer budgets in), next to the whitespace count
+    dd = d.select("doc_id", "text")
+    merges = train_bpe_on(
+        dd, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
+    )
+    bpe_tot = bpe_tokenize(dd, "text", merges).agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("n_bpe_tokens")
+    )
     p = F.col("n") / F.col("n_docs")
     ent = (
         d.groupBy("lang").agg(F.count("*").alias("n"))
         .crossJoin(F.broadcast(tot.select("n_docs")))
         .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("lang_entropy_bits"))
     )
-    return tot.crossJoin(F.broadcast(ent)).select(
-        "n_docs", "n_tokens",
-        F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_rate"),
-        F.round("mean_quality", 4).alias("mean_quality"),
-        "lang_entropy_bits",
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(bpe_tot))
+        .select(
+            "n_docs", "n_tokens", "n_bpe_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 4
+            ).alias("dup_rate"),
+            F.round("mean_quality", 4).alias("mean_quality"),
+            "lang_entropy_bits",
+        )
     )
 
 
@@ -1426,6 +1443,51 @@ def q_pii_scrub(spark, sf):
     )
 
 
+# one merge-table recipe shared by the Spark query and the DuckDB oracle
+# builder — any drift between them is a guaranteed hash mismatch
+_BPE_N_MERGES = 50
+_BPE_TOP_WORDS = 5000
+
+
+def q_bpe_tokens(spark, sf):
+    """Real subword tokenization (round-5 verdict #2): train a BPE merge
+    table on the corpus (Sennrich 2016, from scratch —
+    ``functions/bpe.py``), encode every document, report per-doc token
+    counts plus the first 8 tokens as a value witness.
+
+    Scale shape: training is a map-side-combined word count whose driver
+    footprint is capped at ``top_words`` rows (TakeOrderedAndProject);
+    encoding is map-only Arrow batches with a per-worker distinct-word
+    cache — no joins, no shuffles beyond the final presentation sort.
+
+    Oracle independence: DuckDB recounts the words itself (independent of
+    Spark's count path — equality of the two count tables is separately
+    pinned by ``tests/test_bpe.py``), the shared trainer is pinned by
+    hand-computed merge tests, and the ENCODE is restated natively in SQL
+    as a recursive CTE that merges the leftmost lowest-rank pair one step
+    per recursion level (equivalent to textbook merge-all; proof in
+    ``functions/bpe.py``, randomized cross-check in tests)."""
+    from b_pdf_parser_spark.functions.bpe import WORD_PATTERN
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe_on(
+        d, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
+    )
+    return (
+        bpe_tokenize(d, "text", merges)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(WORD_PATTERN), F.lit(0))
+            ).cast("long").alias("n_words"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.concat_ws("|", F.slice("tokens", 1, 8)).alias("first_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_length_histogram(spark, sf):
     """Doc-length histogram per language (100-char buckets) — the corpus-
     shape diagnostic behind batch-size and truncation decisions. Integer
@@ -1721,11 +1783,23 @@ def q_token_shards_bucketed(spark, sf):
     """Two-level token-budget sharding — the form that actually runs at
     10^12 docs: 16 coarse md5 buckets, running-sum packing PER BUCKET (the
     window partitions on the bucket, so no global sorted pass exists
-    anywhere in the plan). See sampling.token_shards_bucketed."""
+    anywhere in the plan). See sampling.token_shards_bucketed.
+
+    Round-6: shards are priced in REAL BPE tokens (corpus-trained merge
+    table, ``operators/bpe``) instead of the whitespace heuristic — the
+    budgets this packs are now the budgets a trainer would actually see.
+    The plain global-window ``token_shards`` in extras keeps the
+    whitespace unit as the simple-form contract."""
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
     from b_pdf_parser_spark.operators.sampling import token_shards_bucketed
 
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe_on(
+        d, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
+    )
+    priced = bpe_tokenize(d, "text", merges).select("doc_id", "text", "n_tokens")
     return token_shards_bucketed(
-        _t(spark, sf, "documents"), "doc_id", "text", 2000
+        priced, "doc_id", "text", 2000, n_tokens_col="n_tokens"
     ).orderBy("doc_id")
 
 
@@ -1990,7 +2064,9 @@ def queries() -> dict[str, _T]:
         # the family's third axis (exact / lexical / semantic) — round-5
         "semantic_dedup": q_semantic_dedup,
         # -- similarity / ANN ---------------------------------------------
-        "ann_topk": q_ann_topk,
+        # (ann_topk — the deliberately quadratic brute-force baseline —
+        # retired to extras round-6 for the bpe_tokens slot; its scale
+        # twins below stay in-window, parity for it continues in tests)
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         # -- text quality ---------------------------------------------------
@@ -2003,6 +2079,8 @@ def queries() -> dict[str, _T]:
         "strip_boilerplate": q_strip_boilerplate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
+        # -- tokenization (real BPE units — round-6) ----------------------
+        "bpe_tokens": q_bpe_tokens,
         # -- sampling / mixture -------------------------------------------
         "training_mix": q_training_mix,
         "host_cap_threshold": q_host_cap_threshold,
@@ -2030,6 +2108,10 @@ def extra_queries() -> dict[str, _T]:
     retirement from the driver window costs no verification, only a slot."""
     return {
         "extract_txn_crosscheck": q_extract_txn_crosscheck,
+        # quadratic brute-force ANN baseline — retired round-6 for the
+        # bpe_tokens slot; still the quality yardstick the LSH/IVF tests
+        # measure recall against, still DuckDB-parity-checked here
+        "ann_topk": q_ann_topk,
         # window-form exact-contract demos: their windowless/bucketed scale
         # twins (host_cap_threshold, token_shards_bucketed) hold the
         # registered slots; these keep full DuckDB parity here
@@ -2318,6 +2400,130 @@ def _ivf_ann_oracle(
     """
 
 
+@functools.lru_cache(maxsize=4)
+def _bpe_merges_for(sf_dir: str) -> tuple:
+    """Merge table for the oracle: word counts come from DUCKDB (an
+    independent recount of the corpus — if Spark's count path drifted,
+    the resulting merges, and therefore every token value, would
+    mismatch), trained by the same ``train_bpe`` the query uses (the
+    trainer itself is pinned by hand-computed merges and the
+    merge-all-equivalence tests in ``tests/test_bpe.py``)."""
+    import duckdb
+
+    from b_pdf_parser_spark.functions.bpe import WORD_PATTERN, train_bpe
+
+    wc = duckdb.connect().execute(
+        f"""WITH w AS (SELECT unnest(regexp_extract_all(text, '{WORD_PATTERN}'))
+                              AS word
+                       FROM read_parquet('{sf_dir}/documents.parquet'))
+            SELECT word, count(*) AS c FROM w GROUP BY 1
+            ORDER BY c DESC, word LIMIT {_BPE_TOP_WORDS}"""
+    ).fetchall()
+    return tuple(train_bpe({w: c for w, c in wc}, _BPE_N_MERGES))
+
+
+def _bpe_enc_ctes() -> str:
+    """The shared recursive-CTE block restating greedy BPE encoding —
+    CTEs ``docs`` (doc_id, word list), ``words`` (exploded with
+    position), ``vocab``, ``enc`` (the recursion) and ``final`` (each
+    distinct word's finished token list). The merge table is embedded as
+    rank-ordered literals trained on the harness's SF dir
+    (``ENTRY_TEST_SF`` — exported by tests/test_entry_oracle.py; the
+    driver's gate runs at sf0.01, the default). Each recursion level
+    merges the LEFTMOST occurrence of the lowest-ranked pair — equivalent
+    to textbook BPE (proof in ``functions/bpe.py``). NOTE DuckDB's
+    ``list_position`` returns 0, not NULL, on a miss — hence the
+    ``nullif`` before the 999999 sentinel."""
+    sf_dir = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.01")
+    from b_pdf_parser_spark.functions.bpe import WORD_PATTERN
+
+    merges = _bpe_merges_for(sf_dir)
+    pairs = "[" + ",".join(f"'{a} {b}'" for a, b in merges) + "]"
+    rl = (
+        "list_transform(range(1, len(syms)), j -> coalesce(nullif("
+        f"list_position({pairs}, syms[j] || ' ' || syms[j+1]), 0), 999999))"
+    )
+    return f"""
+        docs AS (SELECT doc_id, regexp_extract_all(text, '{WORD_PATTERN}') AS ws
+                 FROM documents),
+        words AS (SELECT doc_id, i AS pos, ws[i] AS word
+                  FROM docs, unnest(range(1, len(ws)+1)) AS u(i)),
+        vocab AS (SELECT DISTINCT word FROM words),
+        enc(word, syms) AS (
+          SELECT word, list_transform(range(1, length(word)+1), i -> word[i:i])
+          FROM vocab
+          UNION ALL
+          SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+          FROM (
+            SELECT word, syms, list_position(rl, list_min(rl)) AS bi,
+                   list_min(rl) AS br
+            FROM (SELECT word, syms, {rl} AS rl
+                  FROM enc WHERE len(syms) > 1) t1) t2
+          WHERE br < 999999
+        ),
+        final AS (
+          SELECT word, syms FROM enc
+          WHERE coalesce(list_min({rl}), 999999) = 999999
+        )"""
+
+
+def _bpe_oracle() -> str:
+    """Per-doc BPE token counts + first-8-token witness (see
+    :func:`_bpe_enc_ctes` for the encode restatement)."""
+    return f"""
+        WITH RECURSIVE
+        {_bpe_enc_ctes()},
+        toks AS (
+          SELECT w.doc_id, w.pos, j, f.syms[j] AS tok
+          FROM words w JOIN final f USING(word),
+               unnest(range(1, len(f.syms)+1)) AS u(j)
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 string_agg(tok, '|' ORDER BY pos, j) FILTER (rn <= 8)
+                     AS first_tokens
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos, j) AS rn
+                FROM toks)
+          GROUP BY 1
+        )
+        SELECT d.doc_id AS doc_id,
+               CAST(len(d.ws) AS BIGINT) AS n_words,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.first_tokens, '') AS first_tokens
+        FROM docs d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _token_shards_bpe_oracle() -> str:
+    """token_shards_bucketed re-priced in real BPE tokens (round-6): the
+    per-doc count is the recursive-encode token total (SUM of each
+    word's final symbol-list length), then the same md5 bucket +
+    per-bucket running-sum packing as before."""
+    return f"""
+        WITH RECURSIVE
+        {_bpe_enc_ctes()},
+        counts AS (
+          SELECT d.doc_id, coalesce(c.n, 0) AS n_toks
+          FROM docs d LEFT JOIN (
+            SELECT w.doc_id, CAST(SUM(len(f.syms)) AS BIGINT) AS n
+            FROM words w JOIN final f USING (word) GROUP BY 1) c
+          USING (doc_id)),
+        t AS (SELECT doc_id, n_toks,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+              FROM counts),
+        o AS (SELECT doc_id, substr(h, 1, 1) AS bucket, n_toks,
+                SUM(n_toks) OVER (PARTITION BY substr(h, 1, 1)
+                                  ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, bucket, CAST(n_toks AS BIGINT) AS n_toks,
+               CAST((cum - n_toks) // 2000 AS BIGINT) AS shard
+        FROM o ORDER BY doc_id
+    """
+
+
 def _semantic_dedup_oracle(
     n_centroids: int = 16, threshold: float = 0.999,
 ) -> str:
@@ -2474,7 +2680,12 @@ def _all_oracles() -> dict[str, str]:
         """,
         "extract_corpus_audit": _corpus_audit_oracle(),
         "corpus_card": f"""
-            WITH tot AS (
+            WITH RECURSIVE
+            {_bpe_enc_ctes()},
+            bpe_tot AS (
+                SELECT CAST(SUM(len(f.syms)) AS BIGINT) AS n_bpe_tokens
+                FROM words w JOIN final f USING (word)),
+            tot AS (
                 SELECT COUNT(*) AS n_docs,
                        CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
                            AS n_tokens,
@@ -2489,11 +2700,11 @@ def _all_oracles() -> dict[str, str]:
                            AS lang_entropy_bits
                 FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
                      tot t)
-            SELECT n_docs, n_tokens,
+            SELECT n_docs, n_tokens, bpe_tot.n_bpe_tokens AS n_bpe_tokens,
                    round(1.0 - n_unique * 1.0 / n_docs, 4) AS dup_rate,
                    round(mean_quality, 4) AS mean_quality,
                    lang_entropy_bits
-            FROM tot, ent
+            FROM tot, ent, bpe_tot
         """,
         "quality_cut": f"""
             WITH q AS (
@@ -3332,21 +3543,7 @@ def _all_oracles() -> dict[str, str]:
                    CAST((cum - n_toks) // 2000 AS BIGINT) AS shard
             FROM o ORDER BY doc_id
         """,
-        "token_shards_bucketed": f"""
-            WITH t AS (SELECT doc_id,
-                    CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len({_TOKS}) END AS n_toks,
-                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
-                FROM documents),
-            o AS (SELECT doc_id, substr(h, 1, 1) AS bucket, n_toks,
-                    SUM(n_toks) OVER (PARTITION BY substr(h, 1, 1)
-                                      ORDER BY h, doc_id
-                                      ROWS UNBOUNDED PRECEDING) AS cum
-                  FROM t)
-            SELECT doc_id, bucket, n_toks,
-                   CAST((cum - n_toks) // 2000 AS BIGINT) AS shard
-            FROM o ORDER BY doc_id
-        """,
+        "token_shards_bucketed": _token_shards_bpe_oracle(),
         "host_cap_threshold": """
             WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
             t AS (SELECT source, n,
@@ -3648,6 +3845,7 @@ def _all_oracles() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "bpe_tokens": _bpe_oracle(),
         # DuckDB's native ASOF JOIN is the ground truth for the union+window
         # implementation; orders are pre-collapsed per (custkey, orderdate)
         # the same way (MAX payload) so ties resolve identically

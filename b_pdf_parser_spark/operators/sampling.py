@@ -221,7 +221,7 @@ def token_shards(
 
 def token_shards_bucketed(
     df: DataFrame, id_col: str, text_col: str, tokens_per_shard: int,
-    bucket_hex_len: int = 1,
+    bucket_hex_len: int = 1, n_tokens_col: str = None,
 ) -> DataFrame:
     """Two-level shard packing — the 10^12-doc form of ``token_shards``.
 
@@ -238,14 +238,23 @@ def token_shards_bucketed(
 
     Output: (doc_id, bucket, n_toks, shard). Pure integer + md5-hex
     arithmetic → identical on any cluster size and in the DuckDB oracle.
+
+    ``n_tokens_col``: price shards in an already-computed token count
+    (e.g. real BPE tokens from ``operators/bpe.bpe_tokenize`` — round-6
+    re-pricing) instead of the whitespace ``token_count`` default.
     """
     from pyspark.sql import Window
 
     from ..operators.textstats import token_count
 
+    n_toks = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count(F.col(text_col)).cast("long")
+    )
     t = df.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).alias("n_toks"),
+        n_toks.alias("n_toks"),
         _bucket(id_col).alias("_h"),
     ).withColumn("bucket", F.substring("_h", 1, bucket_hex_len))
     cum = F.sum("n_toks").over(

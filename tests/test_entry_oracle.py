@@ -12,6 +12,10 @@ import pytest
 import __spark_entry__ as entry
 
 SF_DIR = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.001")
+# data-dependent oracle literals (bpe_tokens' merge table) must train on
+# the same SF this harness compares at; the driver's gate leaves the env
+# unset and gets the sf0.01 default inside _bpe_oracle()
+os.environ["ENTRY_TEST_SF"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
