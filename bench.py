@@ -410,6 +410,34 @@ def main() -> None:
         retimed[name] = [timings[name], second]
         timings[name] = min(timings[name], second)
 
+    # semantic_dedup production-shape evidence (round-6 verdict #4):
+    # measured per-cluster sizes under the corpus-scaled quantizer —
+    # Σ cluster² IS the pairwise-stage cost, so this is the 100-TB story
+    # as a number (≈ n·width for balanced clusters), not a docstring
+    semdedup_stats = None
+    try:
+        import pyspark.sql.functions as F
+
+        sizes = (
+            reg["semantic_dedup"](spark, SF_DIR)
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"))
+        )
+        r = sizes.agg(
+            F.count("*").alias("k"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_sq_cluster"),
+            F.max("n").alias("max_cluster"),
+        ).collect()[0]
+        semdedup_stats = {
+            "k": r["k"], "n_rows": r["n_rows"],
+            "sum_sq_cluster": r["sum_sq_cluster"],
+            "max_cluster": r["max_cluster"],
+        }
+    except Exception as e:  # diagnostics must never eat the bench
+        print(f"semdedup stats pass failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # best-of-3: round-4 interleaved A/B runs showed the FIRST run of a
     # pair consistently slower regardless of which corpus ran (position
     # effect from co-tenant load ramps) — two reps can both land in one
@@ -470,10 +498,16 @@ def main() -> None:
         "extract_wall_sec": big["wall_sec"],
         "extract_bytes_per_sec": big["bytes_per_sec"],
         "straggler_ratio": straggler,
+        # label the measurement config inline: r5's 1.242 (100k docs,
+        # CPUS*4 tasks) vs 1.48 (1M docs) pair was easy to misread as a
+        # regression when it is two different task populations
+        "straggler_cfg": {"docs": big["docs"], "tasks": CPUS * 4},
         "queries_timed": len(timings),
         "queries_total_sec": round(sum(timings.values()), 2),
         "queries": slowest,  # 10 slowest only — full map in BENCH/DETAIL.json
     }
+    if semdedup_stats is not None:
+        out["semdedup_clusters"] = semdedup_stats
     if code_ab is not None:
         out["code_ab"] = {
             k: code_ab[k]
@@ -503,6 +537,7 @@ def main() -> None:
                 "docs": scale_detail["docs"],
                 "docs_per_sec": scale_detail["docs_per_sec"],
                 "straggler_ratio": scale_detail["straggler_ratio"],
+                "straggler_tasks": scale_detail.get("straggler_tasks"),
                 "queries_x10_total_sec": scale_detail["queries_x10_total_sec"],
                 "stale": bool(scale_detail.get("corpus_version") != CORPUS_VERSION),
             }
@@ -524,6 +559,7 @@ def main() -> None:
             "html_wall_sec": timings.get("extract_formula_html"),
             "kinds_wall_sec": timings.get("extract_kinds"),
         },
+        "semantic_dedup_clusters": semdedup_stats,
         "code_ab": code_ab,
         "code_ab_error": code_ab_error,
         "scaling": scaling,
