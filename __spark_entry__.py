@@ -1616,6 +1616,26 @@ def q_pdf_jpeg_decode(spark, sf):
     return pdf_jpeg_pixel_features(synth_jpegdoc_df(spark, 120))
 
 
+def q_pdf_jpx_decode(spark, sf):
+    """The JPEG 2000 twin of ``pdf_jpeg_decode`` (round-6, closing the
+    last web-relevant image-filter stub): 120 deterministic PDFs embed
+    REAL JPEG 2000 codestreams — from-scratch MQ arithmetic coder, EBCOT
+    Tier-1 passes, tag-tree packet headers, reversible 5/3 wavelet with
+    the decomposition level rotating 0/1/2 — as /JPXDecode image
+    XObjects next to a pseudo-byte DCT decoy. The path is LOSSLESS, so
+    the DuckDB oracle recomputes the exact pixel formula: a bug in the
+    XObject walk, the filter routing, the packet parse, the MQ decode,
+    the T1 passes OR the inverse wavelet breaks the parity hash."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        pdf_jpx_pixel_features,
+        synth_jpxdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return pdf_jpx_pixel_features(synth_jpxdoc_df(spark, 120))
+
+
 def q_pdf_ccitt_decode(spark, sf):
     """The fax twin of ``pdf_jpeg_decode``: 120 deterministic PDFs embed
     REAL CCITT Group 4 (ITU-T T.6) bi-level images — pass/horizontal/
@@ -2171,6 +2191,7 @@ def extra_queries() -> dict[str, _T]:
         "url_audit_approx": q_url_audit_approx,
         "media_frame_sample": q_media_frame_sample,
         "pdf_jpeg_decode": q_pdf_jpeg_decode,
+        "pdf_jpx_decode": q_pdf_jpx_decode,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4160,6 +4181,41 @@ def _all_oracles() -> dict[str, str]:
                                      * (8 + (doc_id * j) % 24)) // 4) AS BIGINT)
                        AS n_bytes
             FROM imgs
+        """,
+        # lossless 5/3+MQ: the decoded samples ARE the generating
+        # formula — no YCbCr restatement needed, unlike the JPEG twin
+        "pdf_jpx_decode": """
+            WITH d AS (SELECT range AS i FROM range(0, 120)),
+            imgs AS (
+                SELECT i, CAST(unnest(range(0, i % 3)) AS INT) AS j FROM d),
+            dims AS (
+                SELECT i, j,
+                       6 + (i * 5 + j * 3) % 19 AS w,
+                       5 + (i * 2 + j) % 14 AS h,
+                       CASE WHEN (i + j) % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                       i * 13 + j * 7 AS s
+                FROM imgs),
+            vals AS (
+                SELECT i, j, w, h, ch, s, unnest(range(0, w * h * ch)) AS k
+                FROM dims),
+            jv AS (
+                SELECT i, j, k,
+                       (s + 7 * ((k // ch) % w) + 11 * ((k // ch) // w)
+                        + 97 * (k % ch)) % 256 AS val
+                FROM vals),
+            sums AS (
+                SELECT i, j, COUNT(*) AS nv,
+                       CAST(SUM(val) AS BIGINT) AS value_sum,
+                       CAST(SUM((k + 1) * val) AS BIGINT) AS weighted_sum
+                FROM jv GROUP BY i, j)
+            SELECT dm.i AS doc_id, CAST(0 AS INT) AS page,
+                   'Im' || dm.j AS name,
+                   CAST(dm.w AS INT) AS width, CAST(dm.h AS INT) AS height,
+                   CAST(dm.ch AS INT) AS channels,
+                   CAST(s2.nv AS BIGINT) AS n_values,
+                   s2.value_sum, s2.weighted_sum,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM dims dm JOIN sums s2 USING (i, j)
         """,
         "pdf_jpeg_decode": """
             WITH d AS (SELECT range AS i FROM range(0, 120)),

@@ -709,10 +709,17 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
             w, h, ch, px = decode_tiff(bytes(payload))
             row.update(fmt="tiff", width=w, height=h, channels=ch)
             vals = list(px)
+        elif payload[:4] == b"\xff\x4f\xff\x51":
+            from b_pdf_parser_spark.jpxcodec import decode_jpx
+
+            w, h, ch, px = decode_jpx(bytes(payload))
+            row.update(fmt="jp2k", width=w, height=h, channels=ch)
+            vals = list(px)
         else:
             raise NotImplementedError(
                 "no from-scratch decoder for this container (arithmetic-"
-                "coded JPEG, JPEG2000 and compressed VIDEO stay stubbed)"
+                "coded JPEG and compressed VIDEO stay stubbed; JPEG 2000 "
+                "codestreams decode via jpxcodec since round 6)"
             )
         row.update(
             n_values=len(vals),
@@ -927,6 +934,120 @@ def pdf_jpeg_pixel_features(docs: DataFrame) -> DataFrame:
                                 f"XObject dims {rec['width']}x{rec['height']}"
                                 f" != JPEG dims {w}x{h}"
                             )
+                        rows.append({
+                            "doc_id": int(did), "page": rec["page"],
+                            "name": rec["name"], "width": w, "height": h,
+                            "channels": ch, "n_values": len(vals),
+                            "value_sum": int(sum(vals)),
+                            "weighted_sum": int(
+                                sum((k + 1) * v for k, v in enumerate(vals))
+                            ),
+                            "error": None,
+                        })
+                except Exception as e:  # corrupt doc/stream → error row
+                    rows.append({
+                        "doc_id": int(did), "page": -1, "name": "",
+                        "width": None, "height": None, "channels": None,
+                        "n_values": None, "value_sum": None,
+                        "weighted_sum": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=JPEG_PIX_SCHEMA_DDL)
+
+
+def _jpx_xobject_dims(i: int, j: int) -> dict:
+    """Generating formulas for embedded JPEG 2000 image ``j`` of doc
+    ``i`` — shared by the corpus builder and the DuckDB oracle. The
+    pixel at (x, y, channel c) is ``(s + 7x + 11y + 97c) % 256`` with
+    seed ``s = i*13 + j*7``; the 5/3+MQ path is LOSSLESS so the decoded
+    samples ARE the formula (no quantization argument needed).
+    ``levels`` rotates 0/1/2 wavelet decompositions — the decoded pixels
+    are identical across levels, so the oracle is level-independent
+    while the transform/packet routing is pinned (the same cheap hazard
+    trick as the CCITT /K rotation)."""
+    return {
+        "w": 6 + (i * 5 + j * 3) % 19,
+        "h": 5 + (i * 2 + j) % 14,
+        "ch": (1, 3)[(i + j) % 2],
+        "levels": (i + j) % 3,
+        "seed": i * 13 + j * 7,
+    }
+
+
+def _jpx_pixels(s: int, w: int, h: int, ch: int) -> bytes:
+    return bytes(
+        (s + 7 * x + 11 * y + 97 * c) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+
+
+def synth_jpxdoc_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    """``n`` deterministic PDFs, each embedding ``i % 3`` REAL JPEG 2000
+    codestreams (from-scratch ``jpxcodec``: MQ coder, EBCOT Tier-1,
+    reversible 5/3 — lossless) as /JPXDecode image XObjects with the
+    wavelet level count rotating 0/1/2, plus one pseudo-byte DCTDecode
+    decoy per doc so a filter-routing bug (running the wrong codec over
+    the wrong stream) breaks the oracle with an error row instead of
+    passing silently."""
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.jpxcodec import encode_jpx
+        from b_pdf_parser_spark.pdfwriter import build_pdf, make_image
+
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                spans = [[(40.0, 700.0, f"jpx doc {i}")]]
+                imgs = []
+                for j in range(i % 3):
+                    d = _jpx_xobject_dims(i, j)
+                    px = _jpx_pixels(d["seed"], d["w"], d["h"], d["ch"])
+                    imgs.append({
+                        "page": 0, "width": d["w"], "height": d["h"],
+                        "filter": "JPXDecode",
+                        "data": encode_jpx(d["w"], d["h"], d["ch"], px,
+                                           levels=d["levels"]),
+                    })
+                imgs.append(make_image(0, 16, 8, "DCTDecode", seed=i))
+                rows.append({
+                    "doc_id": i,
+                    "pdf": build_pdf(spans, xref_stream=(i % 2 == 0), images=imgs),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    return base.mapInPandas(gen, schema=IMAGEDOC_SCHEMA_DDL)
+
+
+def pdf_jpx_pixel_features(docs: DataFrame) -> DataFrame:
+    """PDF walk → /JPXDecode XObject streams → REAL JPEG 2000 decode →
+    exact integer pixel features per embedded image (lossless path, so
+    the features are exact by construction). Non-JPX images are routed
+    past the codec. One Arrow-batch Python dispatch per document."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from b_pdf_parser_spark.jpxcodec import decode_jpx
+        from b_pdf_parser_spark.pdfmodel import image_inventory
+
+        cols = ["doc_id", "page", "name", "width", "height", "channels",
+                "n_values", "value_sum", "weighted_sum", "error"]
+        for b in batches:
+            rows = []
+            for did, pdf in zip(b["doc_id"], b["pdf"]):
+                try:
+                    for rec in image_inventory(bytes(pdf), with_data=True):
+                        if rec["filter"] != "JPXDecode":
+                            continue
+                        w, h, ch, px = decode_jpx(rec["data"])
+                        if (w, h) != (rec["width"], rec["height"]):
+                            raise ValueError(
+                                f"XObject dims {rec['width']}x{rec['height']}"
+                                f" != JPX dims {w}x{h}"
+                            )
+                        vals = list(px)
                         rows.append({
                             "doc_id": int(did), "page": rec["page"],
                             "name": rec["name"], "width": w, "height": h,

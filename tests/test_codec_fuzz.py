@@ -63,6 +63,14 @@ SAMPLES = {
              decode_jpeg),
 }
 
+from b_pdf_parser_spark.jpxcodec import decode_jpx, encode_jpx  # noqa: E402
+
+SAMPLES["jpx"] = (
+    encode_jpx(11, 9, 3, bytes((k * 29) % 256 for k in range(11 * 9 * 3)),
+               levels=1),
+    decode_jpx,
+)
+
 _FAX_PX = bytes(255 if ((x // 3 + y) % 4) else 0 for y in range(7) for x in range(9))
 
 
