@@ -1368,7 +1368,11 @@ def q_real_media_decode(spark, sf):
     channel-partitioned window SUM in the SQL. Docs 156-167 are IEEE
     float32 WAV (format 3): the exactly-representable n/32768 family,
     so the 2^15-scaled int16 canonicalization recovers n bit-exactly
-    and the oracle is the integer formula itself."""
+    and the oracle is the integer formula itself. Docs 168-179 are
+    JPEG 2000 codestreams (round 6, from-scratch jpxcodec: MQ coder +
+    EBCOT Tier-1 + reversible 5/3 — LOSSLESS, so the oracle value is
+    the %251 ramp itself) with the decomposition level rotating 0/1/2
+    as a pure decode-path hazard."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1377,7 +1381,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 168))
+    return real_media_features(synth_real_media_df(spark, 180))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2815,7 +2819,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 168)),
+            WITH m AS (SELECT range AS i FROM range(0, 180)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2940,7 +2944,18 @@ def _all_oracles() -> dict[str, str]:
                        8000 + (((i - 156) // 2) % 3) * 4000 AS rate,
                        (120 + i % 40) * (1 + (i - 156) % 2) AS nv,
                        NULL AS psize, 32 AS depth
-                FROM m WHERE i >= 156),
+                FROM m WHERE i >= 156 AND i < 168
+                UNION ALL
+                -- JPEG 2000 strata (i >= 168, round 6): lossless 5/3+MQ,
+                -- value IS the %251 ramp; levels rotation is decode-only
+                SELECT i, 'j0' AS st, 'jp2k' AS fmt,
+                       9 + i % 8 AS w, 7 + i % 6 AS h,
+                       CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                       NULL AS rate,
+                       (9 + i % 8) * (7 + i % 6)
+                           * (CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END) AS nv,
+                       NULL AS psize, 8 AS depth
+                FROM m WHERE i >= 168),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -3012,7 +3027,7 @@ def _all_oracles() -> dict[str, str]:
                        ELSE (i * 31 + k * 7) % 251
                        END AS val
                 FROM vals WHERE (st LIKE 'e%' AND st != 'e4')
-                   OR st IN ('p0', 't0', 's0', 'f0')),
+                   OR st IN ('p0', 't0', 's0', 'f0', 'j0')),
             -- G.711 A-law expansion as pure integer SQL (u = code XOR
             -- 0x55; segment 0 linear +8, else mantissa under an implicit
             -- leading 1 shifted by segment-1; MSB set = positive), and

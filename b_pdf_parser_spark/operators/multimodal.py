@@ -286,7 +286,21 @@ def real_media_dims(i: int) -> dict:
     the EXACTLY-representable family ``n/32768`` with
     ``n = ((i*29+k*23) % 65535) - 32767``, so the 2^15-scaled canonical
     int16 decode recovers ``n`` bit-exactly and the SQL oracle is the
-    integer formula itself."""
+    integer formula itself.
+
+    Docs ``i >= 168`` are **JPEG 2000 codestreams** (``j0``, round 6):
+    the same ``%251`` byte ramp as the base PNG/BMP strata through the
+    from-scratch ``jpxcodec`` (MQ coder + EBCOT Tier-1 + reversible 5/3
+    — LOSSLESS, so the oracle value IS the ramp), with the wavelet
+    decomposition level rotating 0/1/2 as a pure decode-path hazard."""
+    if i >= 168:
+        j8 = i - 168
+        return {
+            "fmt": "jp2k", "ext": "jp2k",
+            "w": 9 + i % 8, "h": 7 + i % 6,
+            "ch": 1 if i % 2 == 0 else 3,
+            "levels": j8 % 3,
+        }
     if i >= 156:
         j7 = i - 156
         ch = 1 + j7 % 2
@@ -452,6 +466,12 @@ def encode_real_media(i: int) -> bytes:
 
     d = real_media_dims(i)
     ext = d.get("ext")
+    if ext == "jp2k":
+        from ..jpxcodec import encode_jpx
+
+        n = d["w"] * d["h"] * d["ch"]
+        px = bytes((i * 31 + k * 7) % 251 for k in range(n))
+        return encode_jpx(d["w"], d["h"], d["ch"], px, levels=d["levels"])
     if ext == "bmp8":
         psize = d["psize"]
         return encode_bmp(
