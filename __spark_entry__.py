@@ -1160,11 +1160,22 @@ def q_chunk_documents(spark, sf):
     """Context-window segmentation: 64-token chunks with a 48-token stride
     (16-token overlap) over every document — map-only, no shuffle; the
     oracle recomputes every chunk string with the same split/slice
-    arithmetic."""
+    arithmetic. Round-6: each chunk also carries its REAL BPE token count
+    (``n_bpe_tokens``) so window budgets are priced in trainer units; the
+    oracle re-encodes every chunk string through the recursive-CTE
+    restatement."""
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
     from b_pdf_parser_spark.operators.sampling import chunk_documents
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    return chunk_documents(d, "doc_id", "text", tokens_per_chunk=64, stride=48)
+    merges = train_bpe_on(
+        d, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
+    )
+    ch = chunk_documents(d, "doc_id", "text", tokens_per_chunk=64, stride=48)
+    return bpe_tokenize(ch, "chunk_text", merges).select(
+        "doc_id", "chunk_id", "n_chunk_toks", "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_bpe_tokens"),
+    )
 
 
 def q_doc_logprob(spark, sf):
@@ -2537,6 +2548,50 @@ def _bpe_oracle() -> str:
     """
 
 
+def _chunk_documents_bpe_oracle() -> str:
+    """chunk_documents with per-chunk BPE pricing (round-6): the chunk
+    strings come from the same split/slice arithmetic as before; each
+    chunk's ``n_bpe_tokens`` re-extracts the chunk's words and sums their
+    recursive-encode token counts (chunk words are a subset of the corpus
+    vocabulary the ``enc`` recursion already covers)."""
+    from b_pdf_parser_spark.functions.bpe import WORD_PATTERN
+
+    return f"""
+        WITH RECURSIVE
+        {_bpe_enc_ctes()},
+        toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents WHERE length(trim(text)) > 0),
+        starts AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 1, 0) + 1, 48)) AS s,
+                   generate_subscripts(
+                       range(0, greatest(len(t) - 1, 0) + 1, 48), 1) - 1
+                       AS chunk_id
+            FROM toks),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT)
+                       AS n_chunk_toks,
+                   array_to_string(list_slice(t, s + 1, s + 64), ' ')
+                       AS chunk_text
+            FROM starts),
+        cw AS (
+            SELECT doc_id, chunk_id,
+                   unnest(regexp_extract_all(chunk_text, '{WORD_PATTERN}'))
+                       AS word
+            FROM chunks),
+        cb AS (
+            SELECT doc_id, chunk_id,
+                   CAST(SUM(len(f.syms)) AS BIGINT) AS n_bpe
+            FROM cw JOIN final f USING (word) GROUP BY 1, 2)
+        SELECT c.doc_id, c.chunk_id, c.n_chunk_toks, c.chunk_text,
+               coalesce(cb.n_bpe, 0) AS n_bpe_tokens
+        FROM chunks c LEFT JOIN cb USING (doc_id, chunk_id)
+    """
+
+
 def _token_shards_bpe_oracle() -> str:
     """token_shards_bucketed re-priced in real BPE tokens (round-6): the
     per-doc count is the recursive-encode token total (SUM of each
@@ -2770,25 +2825,7 @@ def _all_oracles() -> dict[str, str]:
             WHERE q.q >= c.cut
             GROUP BY q.lang
         """,
-        "chunk_documents": """
-            WITH toks AS (
-                SELECT doc_id, string_split(trim(text), ' ') AS t
-                FROM documents WHERE length(trim(text)) > 0),
-            starts AS (
-                SELECT doc_id, t,
-                       unnest(range(0, greatest(len(t) - 1, 0) + 1, 48)) AS s,
-                       generate_subscripts(
-                           range(0, greatest(len(t) - 1, 0) + 1, 48), 1) - 1
-                           AS chunk_id
-                FROM toks)
-            SELECT doc_id,
-                   CAST(chunk_id AS BIGINT) AS chunk_id,
-                   CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT)
-                       AS n_chunk_toks,
-                   array_to_string(list_slice(t, s + 1, s + 64), ' ')
-                       AS chunk_text
-            FROM starts
-        """,
+        "chunk_documents": _chunk_documents_bpe_oracle(),
         "temperature_mix": """
             WITH counts AS (
                 SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
