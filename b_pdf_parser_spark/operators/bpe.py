@@ -76,14 +76,18 @@ def bpe_tokenize(
     docstring for the scale shape."""
     from pyspark.sql.functions import pandas_udf
 
+    import re
+
     ranks = merge_ranks(merges)  # small dict, ships in the closure
+    # cache + pattern live OUTSIDE the UDF body: the closure is
+    # deserialized once per python worker and reused across Arrow
+    # batches, so the per-distinct-word encode cost is paid once per
+    # worker, not once per 4096-row batch
+    pat = re.compile(WORD_PATTERN)
+    cache: dict = {}
 
     @pandas_udf("array<string>")
     def _encode(texts: pd.Series) -> pd.Series:
-        import re
-
-        pat = re.compile(WORD_PATTERN)
-        cache: dict = {}
         return texts.map(lambda t: encode_text(t, ranks, pattern=pat, cache=cache))
 
     return df.withColumn(out_col, _encode(F.col(text_col))).withColumn(

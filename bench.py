@@ -242,6 +242,7 @@ def _code_ab(corpus: str, old_tar: Path, label: str,
     ALTERNATED across pairs (the first run of a pair is consistently
     slower under co-tenant load ramps — round-4 finding), ratio taken
     WITHIN each pair so ambient drift cancels, median across pairs."""
+    import shutil
     import statistics
     import tarfile
     import tempfile
@@ -256,15 +257,22 @@ def _code_ab(corpus: str, old_tar: Path, label: str,
     new_dir = _unpack(new_tar) if new_tar is not None else None
     olds: list[float] = []
     news: list[float] = []
-    for i in range(n_pairs):
-        sides = [("old", old_dir), ("new", new_dir)]
-        if i % 2 == 1:
-            sides.reverse()
-        got = {}
-        for name, d in sides:
-            got[name] = _ab_rep(CPUS, corpus, d)
-        olds.append(got["old"])
-        news.append(got["new"])
+    try:
+        for i in range(n_pairs):
+            sides = [("old", old_dir), ("new", new_dir)]
+            if i % 2 == 1:
+                sides.reverse()
+            got = {}
+            for name, d in sides:
+                got[name] = _ab_rep(CPUS, corpus, d)
+            olds.append(got["old"])
+            news.append(got["new"])
+    finally:
+        # /dev/shm is RAM-backed AND Spark's local dir — leaked package
+        # trees would eat the very space shuffles spill into
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if new_dir is not None:
+            shutil.rmtree(new_dir, ignore_errors=True)
     pairs = [n / o for o, n in zip(olds, news)]
     return {
         "baseline": label,
