@@ -1354,9 +1354,8 @@ def q_real_media_decode(spark, sf):
     by the general 89-step table walk but fed a nibble stream whose
     ``nibble&7 <= 3`` pins the step index at 0 so the decode is a closed
     form the SQL restates as a windowed prefix sum (the lossy-codec
-    tractable-slice trick, same as flat-block JPEG). Arithmetic-coded
-    JPEG and compressed VIDEO stay honestly stubbed (no native libs
-    here). Docs 96-107 complete the G.711 pair and the PCM family:
+    tractable-slice trick, same as flat-block JPEG).
+    Docs 96-107 complete the G.711 pair and the PCM family:
     A-law code bytes through the XOR-0x55 segment/mantissa expansion
     (restated as SQL integer arithmetic, like the mu-law branch) and
     UNSIGNED 8-bit PCM canonicalized as (v-128)*256. Docs 108-119 are
@@ -1378,7 +1377,21 @@ def q_real_media_decode(spark, sf):
     JPEG 2000 codestreams (round 6, from-scratch jpxcodec: MQ coder +
     EBCOT Tier-1 + reversible 5/3 — LOSSLESS, so the oracle value is
     the %251 ramp itself) with the decomposition level rotating 0/1/2
-    as a pure decode-path hazard."""
+    as a pure decode-path hazard. Docs 180-191 are ARITHMETIC-coded
+    JPEG (round 6, from-scratch arithjpeg: T.81 Annex-D QM coder +
+    Annex-F DC/AC statistical models, SOF9 + DAC markers, restart
+    rotation 0/2/3): arithmetic coding is lossless entropy coding over
+    the SAME quantized-coefficient pipeline as baseline, so the
+    flat-block formulas apply unchanged while the QM decode path is
+    value-checked — the last still-stubbed IMAGE entropy coding,
+    closed. Docs 192-203 are MJPEG VIDEO in AVI containers (round 6,
+    from-scratch avicodec: RIFF hdrl/strl/movi/idx1 walk, word-aligned
+    chunks, header/stream/frame-count agreement enforced, per-frame
+    baseline JPEG): 2-4 flat-block frames per file with an f*53 frame
+    term, canonical values in presentation order, so the weighted sum
+    pins frame ORDER as well as content — compressed VIDEO, the last
+    stubbed multimodal class, now decodes for real (inter-frame codecs
+    stay out of scope, stated in avicodec.py)."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1387,7 +1400,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 180))
+    return real_media_features(synth_real_media_df(spark, 204))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -1658,6 +1671,29 @@ def q_pdf_jpx_decode(spark, sf):
 
     b_pdf_parser_spark.ship_package(spark)
     return pdf_jpx_pixel_features(synth_jpxdoc_df(spark, 120))
+
+
+def q_avi_frame_sample(spark, sf):
+    """REAL video frame sampling (round 6 — the video leg of the
+    multimodal axis as an OPERATOR, not just a codec): 40 deterministic
+    MJPEG-in-AVI files (4-8 grayscale flat-block frames each, frame f
+    valued ``(i*31 + f*53 + b*17) % 256``), sampled every 2nd frame by
+    ``avicodec.sample_avi_frames`` — the unsampled frames' JPEG decode is
+    skipped entirely, which is the cost model a 100-TB video pipeline
+    needs — then each sampled frame reduced to exact integer features.
+    The DuckDB oracle regenerates the sampled (video, frame) grid and
+    the per-frame sums from the formulas: a bug in the RIFF walk, the
+    sampling stride, the frame indexing or the per-frame JPEG decode
+    breaks the hash. Grayscale by design: the color fixed-point chain is
+    pinned by real_media_decode's v0 stratum; THIS query pins sampling."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.multimodal import (
+        avi_frame_features,
+        synth_avi_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    return avi_frame_features(synth_avi_df(spark, 40), every=2)
 
 
 def q_pdf_ccitt_decode(spark, sf):
@@ -2214,6 +2250,7 @@ def extra_queries() -> dict[str, _T]:
         "media_frame_sample": q_media_frame_sample,
         "pdf_jpeg_decode": q_pdf_jpeg_decode,
         "pdf_jpx_decode": q_pdf_jpx_decode,
+        "avi_frame_sample": q_avi_frame_sample,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2863,7 +2900,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 180)),
+            WITH m AS (SELECT range AS i FROM range(0, 204)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -2999,9 +3036,39 @@ def _all_oracles() -> dict[str, str]:
                        (9 + i % 8) * (7 + i % 6)
                            * (CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END) AS nv,
                        NULL AS psize, 8 AS depth
-                FROM m WHERE i >= 168),
+                FROM m WHERE i >= 168 AND i < 180
+                UNION ALL
+                -- arithmetic-coded JPEG strata (i >= 180, round 6):
+                -- SOF9 + DAC, lossless ENTROPY coding over the same
+                -- quantized-coefficient pipeline as baseline, so the
+                -- flat-block jp/jy/jv chain below applies unchanged
+                SELECT i, 'ja' AS st, 'jpeg' AS fmt,
+                       8 * (1 + (i - 180) % 3) AS w,
+                       8 * (1 + ((i - 180) // 3) % 2) AS h,
+                       CASE WHEN (i - 180) % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                       NULL AS rate,
+                       8 * (1 + (i - 180) % 3)
+                           * 8 * (1 + ((i - 180) // 3) % 2)
+                           * (CASE WHEN (i - 180) % 2 = 0 THEN 1 ELSE 3 END) AS nv,
+                       NULL AS psize, 8 AS depth
+                FROM m WHERE i >= 180 AND i < 192
+                UNION ALL
+                -- MJPEG-in-AVI video strata (i >= 192, round 6): frames
+                -- in presentation order; the generalized jp chain below
+                -- adds the f*53 frame term via k // (w*h*ch)
+                SELECT i, 'v0' AS st, 'mjpeg' AS fmt,
+                       8 * (1 + (i - 192) % 3) AS w,
+                       8 * (1 + ((i - 192) // 3) % 2) AS h,
+                       CASE WHEN (i - 192) % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                       10 + ((i - 192) % 3) * 5 AS rate,
+                       (2 + (i - 192) % 3)
+                           * 8 * (1 + (i - 192) % 3)
+                           * 8 * (1 + ((i - 192) // 3) % 2)
+                           * (CASE WHEN (i - 192) % 2 = 0 THEN 1 ELSE 3 END) AS nv,
+                       NULL AS psize, 8 AS depth
+                FROM m WHERE i >= 192),
             vals AS (
-                SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.ch,
+                SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.h, d.ch,
                        unnest(range(0, d.nv)) AS k
                 FROM dims d),
             -- JPEG flat 8x8 blocks: block index from pixel position, flat
@@ -3009,15 +3076,21 @@ def _all_oracles() -> dict[str, str]:
             -- integer YCbCr round trip ((k*x+128)>>8 == FLOOR(../256)).
             -- Grayscale (ch=1) skips color conversion entirely; DC quant 8
             -- makes flat blocks bit-exact, so this IS the decoded output.
+            -- generalized for video: f = k // (w*h*ch) is the frame index
+            -- (0 for single-frame jpeg docs, so their terms are unchanged)
+            -- and kk = k % (w*h*ch) the within-frame position
             jp AS (
-                SELECT i, k, ch, k % ch AS c,
-                       (i * 31 + ((((k // ch) // w) // 8) * (w // 8)
-                                  + (((k // ch) % w) // 8)) * 17) % 256 AS r0,
-                       (i * 31 + ((((k // ch) // w) // 8) * (w // 8)
-                                  + (((k // ch) % w) // 8)) * 17 + 101) % 256 AS g0,
-                       (i * 31 + ((((k // ch) // w) // 8) * (w // 8)
-                                  + (((k // ch) % w) // 8)) * 17 + 202) % 256 AS b0
-                FROM vals WHERE fmt = 'jpeg'),
+                SELECT i, k, ch, (k % (w * h * ch)) % ch AS c,
+                       (i * 31 + (k // (w * h * ch)) * 53
+                          + (((((k % (w * h * ch)) // ch) // w) // 8) * (w // 8)
+                             + ((((k % (w * h * ch)) // ch) % w) // 8)) * 17) % 256 AS r0,
+                       (i * 31 + (k // (w * h * ch)) * 53
+                          + (((((k % (w * h * ch)) // ch) // w) // 8) * (w // 8)
+                             + ((((k % (w * h * ch)) // ch) % w) // 8)) * 17 + 101) % 256 AS g0,
+                       (i * 31 + (k // (w * h * ch)) * 53
+                          + (((((k % (w * h * ch)) // ch) // w) // 8) * (w // 8)
+                             + ((((k % (w * h * ch)) // ch) % w) // 8)) * 17 + 202) % 256 AS b0
+                FROM vals WHERE fmt IN ('jpeg', 'mjpeg')),
             jy AS (
                 SELECT i, k, ch, c, r0,
                        CAST(FLOOR((77 * r0 + 150 * g0 + 29 * b0 + 128) / 256.0)
@@ -4243,6 +4316,37 @@ def _all_oracles() -> dict[str, str]:
         """,
         # lossless 5/3+MQ: the decoded samples ARE the generating
         # formula — no YCbCr restatement needed, unlike the JPEG twin
+        "avi_frame_sample": """
+            -- the sampled (video, frame) grid: nf = 4 + i%5 frames,
+            -- stride 2 -> f in {0, 2, 4, 6}; grayscale flat 8x8 blocks
+            -- are bit-exact under DC quant 8, so the per-frame value is
+            -- the generating formula (i*31 + f*53 + b*17) % 256 itself
+            WITH m AS (SELECT range AS i FROM range(0, 40)),
+            dims AS (
+                SELECT i, 8 * (1 + i % 3) AS w, 8 * (1 + (i // 3) % 2) AS h,
+                       4 + i % 5 AS nf, 10 + (i % 3) * 5 AS fps
+                FROM m),
+            fr AS (
+                SELECT i, w, h, fps, unnest(range(0, nf)) AS f
+                FROM dims),
+            sam AS (SELECT * FROM fr WHERE f % 2 = 0),
+            vals AS (
+                SELECT i, w, h, fps, f, unnest(range(0, w * h)) AS k
+                FROM sam),
+            v AS (
+                SELECT i, f, w, h, fps, k,
+                       (i * 31 + f * 53
+                          + ((k // w) // 8 * (w // 8) + (k % w) // 8) * 17)
+                       % 256 AS val
+                FROM vals)
+            SELECT i AS media_id, CAST(f AS INT) AS frame_idx,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(fps AS INT) AS fps,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(SUM(val) AS BIGINT) AS value_sum,
+                   CAST(SUM((k + 1) * val) AS BIGINT) AS weighted_sum
+            FROM v GROUP BY i, f, w, h, fps
+        """,
         "pdf_jpx_decode": """
             WITH d AS (SELECT range AS i FROM range(0, 120)),
             imgs AS (

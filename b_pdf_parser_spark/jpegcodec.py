@@ -866,8 +866,11 @@ from .mediacodec import _fail_loud
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, interleaved top-down pixel bytes);
     RGB for 3-component YCbCr input, grayscale passthrough for 1.
-    Handles baseline (SOF0/SOF1) in one scan and progressive (SOF2) by
-    accumulating coefficients across its scan script."""
+    Handles baseline (SOF0/SOF1) in one scan, progressive (SOF2) by
+    accumulating coefficients across its scan script, and extended
+    sequential ARITHMETIC coding (SOF9 + DAC, T.81 Annexes D/F) via
+    :mod:`b_pdf_parser_spark.arithjpeg`. Progressive arithmetic (SOF10)
+    is rejected loudly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -877,6 +880,9 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None  # (width, height, [(comp_id, qtab_id)])
     progressive = False
+    arith = False
+    dc_cond: Dict[int, Tuple[int, int]] = {}  # DAC: table id → (L, U)
+    ac_cond: Dict[int, int] = {}  # DAC: table id → Kx
     saw_eoi = False
     n_prog_scans = 0
     coef: Optional[List[np.ndarray]] = None  # per comp: [nblocks, 64] zigzag
@@ -914,7 +920,17 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 p += 17 + n
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 1 < len(body):
+                tc, tb = body[p] >> 4, body[p] & 0x0F
+                cs = body[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                p += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -930,11 +946,12 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                     raise ValueError("JPEG: only 4:4:4 (1x1 sampling) supported")
                 comps.append((cid, tq))
             frame = (w, h, comps)
+            arith = marker == 0xC9
             if marker == 0xC2:
                 progressive = True
                 bw, bh = (w + 7) // 8, (h + 7) // 8
                 coef = [np.zeros((bw * bh, 64), dtype=np.int64) for _ in comps]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: non-baseline frame 0x{marker:02x} unsupported")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
@@ -951,6 +968,18 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 continue
             w, h, comps = frame
             ns = body[0]
+            if arith:
+                from .arithjpeg import decode_scan_arith
+
+                comp_index = {cid: ix for ix, (cid, _tq) in enumerate(comps)}
+                scan_comps = []
+                for si in range(ns):
+                    cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                    scan_comps.append((comp_index[cs], tdta >> 4, tdta & 0x0F))
+                return decode_scan_arith(
+                    data, pos, frame, scan_comps, qtabs,
+                    dc_cond, ac_cond, restart_interval,
+                )
             scan_tabs = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]

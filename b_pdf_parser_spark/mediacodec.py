@@ -44,11 +44,12 @@ real-roundtrip-vs-formula pattern. Encoders exist to build the test
 corpus deterministically; the PNG encoder rotates the row filter type so
 the decoder's whole unfilter surface is exercised by round-trips.
 
-JPEG (entropy-coded DCT, baseline SOF0/SOF1 and progressive SOF2) lives
-in the sibling module ``jpegcodec.py``, and CCITT Group 3/Group 4 fax
-(ITU-T T.4/T.6) in ``ccittcodec.py`` — all implemented from scratch as
-of round 5. What remains stubbed — and why: arithmetic-coded JPEG,
-JPEG2000, and every VIDEO compression codec still need decoders we
+JPEG (entropy-coded DCT: baseline SOF0/SOF1, progressive SOF2, and —
+since round 6 — arithmetic-coded SOF9 via ``arithjpeg.py``) lives in
+the sibling module ``jpegcodec.py``, CCITT Group 3/Group 4 fax
+(ITU-T T.4/T.6) in ``ccittcodec.py``, and JPEG 2000 Part-1 codestreams
+in ``jpxcodec.py`` — all implemented from scratch. What remains stubbed
+— and why: every VIDEO compression codec still needs decoders we
 haven't built (or the absent native libs); those payloads take the
 honest NotImplementedError path in operators/multimodal.py.
 """

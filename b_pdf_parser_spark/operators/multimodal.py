@@ -16,12 +16,13 @@ Decode status, honestly labeled per format:
   ``pdf_jpeg_pixel_features`` / ``pdf_ccitt_pixel_features`` close the
   loop with the PDF walk: DCTDecode / CCITTFaxDecode image XObjects
   decode to pixels.
-* **STUBBED**: arithmetic-coded JPEG, JPEG2000 and compressed VIDEO
-  need decoders we haven't built or the absent native libs
-  (PIL/ffmpeg/opencv are not in this runtime) — those payloads land in
-  the ``error`` column, never crash the batch. Compressed AUDIO is no
-  longer stubbed: mono IMA/DVI ADPCM decodes for real
-  (``mediacodec.decode_wav``, format 0x11).
+* **STUBBED**: compressed VIDEO needs decoders we haven't built or the
+  absent native libs (PIL/ffmpeg/opencv are not in this runtime) —
+  those payloads land in the ``error`` column, never crash the batch.
+  No longer stubbed: compressed AUDIO (mono/stereo IMA ADPCM,
+  ``mediacodec.decode_wav`` format 0x11), JPEG 2000 codestreams
+  (``jpxcodec``, round 6) and arithmetic-coded JPEG (SOF9 + DAC,
+  ``arithjpeg``, round 6).
 
 Everything Spark-side is real and tested for both classes: schema, Arrow
 batch shape, partitioning, the ``mapInPandas`` feature-extraction
@@ -292,7 +293,39 @@ def real_media_dims(i: int) -> dict:
     the same ``%251`` byte ramp as the base PNG/BMP strata through the
     from-scratch ``jpxcodec`` (MQ coder + EBCOT Tier-1 + reversible 5/3
     — LOSSLESS, so the oracle value IS the ramp), with the wavelet
-    decomposition level rotating 0/1/2 as a pure decode-path hazard."""
+    decomposition level rotating 0/1/2 as a pure decode-path hazard.
+
+    Docs ``i >= 180`` are **ARITHMETIC-coded JPEG** (``ja``, round 6,
+    T.81 SOF9 + DAC through ``arithjpeg``): the same flat-8×8-block
+    pixel formula as the baseline JPEG stratum — arithmetic coding is
+    lossless ENTROPY coding over the identical quantized-coefficient
+    pipeline, so the flat-block oracle formulas hold unchanged while the
+    QM coder, the Annex-F DC/AC statistical models and the
+    restart-rotation resync (0/2/3) are all value-checked.
+
+    Docs ``i >= 192`` are **MJPEG VIDEO in AVI** (``v0``, round 6,
+    ``avicodec``): 2–4 frames per file, frame ``f`` using the flat-block
+    formula with an extra ``f*53`` term — the canonical value stream is
+    frames in presentation order, so the weighted sum pins frame ORDER,
+    the RIFF chunk walk, header/stream agreement and the per-frame JPEG
+    decode; ``sample_rate`` carries the fps from dwRate/dwScale."""
+    if i >= 192:
+        jv = i - 192
+        return {
+            "fmt": "mjpeg", "ext": "mjpeg",
+            "w": 8 * (1 + jv % 3), "h": 8 * (1 + (jv // 3) % 2),
+            "ch": 1 if jv % 2 == 0 else 3,
+            "nf": 2 + jv % 3,
+            "rate": 10 + (jv % 3) * 5,
+        }
+    if i >= 180:
+        ja = i - 180
+        return {
+            "fmt": "jpeg", "ext": "jarith",
+            "w": 8 * (1 + ja % 3), "h": 8 * (1 + (ja // 3) % 2),
+            "ch": 1 if ja % 2 == 0 else 3,
+            "restart": (0, 2, 3)[ja % 3],
+        }
     if i >= 168:
         j8 = i - 168
         return {
@@ -438,6 +471,20 @@ def _jpeg_flat_pixels(i: int, w: int, h: int, ch: int) -> bytes:
     return bytes(out)
 
 
+def _mjpeg_flat_frame(i: int, f: int, w: int, h: int, ch: int) -> bytes:
+    """Frame ``f`` of video doc ``i``: the flat-block formula with an
+    ``f*53`` frame term — ``(i*31 + f*53 + b*17 + c*101) % 256`` —
+    mirrored by the DuckDB oracle's generalized jp chain."""
+    bw = w // 8
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            b = (y // 8) * bw + (x // 8)
+            for c in range(ch):
+                out.append((i * 31 + f * 53 + b * 17 + c * 101) % 256)
+    return bytes(out)
+
+
 def _shared_palette(i: int, psize: int):
     """The one palette formula all three indexed containers (GIF,
     palette-PNG, 8-bit BMP) and the DuckDB oracle share — change it in
@@ -466,6 +513,27 @@ def encode_real_media(i: int) -> bytes:
 
     d = real_media_dims(i)
     ext = d.get("ext")
+    if ext == "mjpeg":
+        from ..avicodec import encode_avi_mjpeg
+        from ..jpegcodec import QUANT_CHROMA, QUANT_LUM
+
+        q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
+        frames = [
+            _mjpeg_flat_frame(i, f, d["w"], d["h"], d["ch"])
+            for f in range(d["nf"])
+        ]
+        return encode_avi_mjpeg(d["w"], d["h"], d["ch"], frames,
+                                fps=d["rate"], qtables=q8)
+    if ext == "jarith":
+        from ..arithjpeg import encode_jpeg_arith
+        from ..jpegcodec import QUANT_CHROMA, QUANT_LUM
+
+        q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
+        px = _jpeg_flat_pixels(i, d["w"], d["h"], d["ch"])
+        return encode_jpeg_arith(
+            d["w"], d["h"], d["ch"], px,
+            qtables=q8, restart_interval=d["restart"],
+        )
     if ext == "jp2k":
         from ..jpxcodec import encode_jpx
 
@@ -585,6 +653,89 @@ def synth_real_media_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
+
+
+def avi_media_dims(i: int) -> dict:
+    """Generating formulas for AVI video doc ``i`` in the frame-sampling
+    corpus — GRAYSCALE flat-block frames only (the color fixed-point
+    chain is already pinned by the ``v0`` stratum of
+    ``real_media_decode``; this corpus exists to oracle the SAMPLING
+    semantics, so it keeps the per-frame value a one-line formula):
+    ``4 + i%5`` frames of ``8*(1+i%3) × 8*(1+(i//3)%2)`` pixels, frame
+    ``f`` pixel value ``(i*31 + f*53 + b*17) % 256`` for 8×8 block
+    ``b``, fps ``10 + (i%3)*5``."""
+    return {
+        "w": 8 * (1 + i % 3), "h": 8 * (1 + (i // 3) % 2),
+        "nf": 4 + i % 5, "fps": 10 + (i % 3) * 5,
+    }
+
+
+def encode_avi_media(i: int) -> bytes:
+    from ..avicodec import encode_avi_mjpeg
+    from ..jpegcodec import QUANT_CHROMA, QUANT_LUM
+
+    d = avi_media_dims(i)
+    q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
+    frames = [_mjpeg_flat_frame(i, f, d["w"], d["h"], 1)
+              for f in range(d["nf"])]
+    return encode_avi_mjpeg(d["w"], d["h"], 1, frames,
+                            fps=d["fps"], qtables=q8)
+
+
+def synth_avi_df(spark, n: int, num_partitions: int = 8) -> DataFrame:
+    base = spark.range(0, n, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                {"media_id": int(i), "kind": "mjpeg",
+                 "payload": encode_avi_media(int(i))}
+                for i in b["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
+
+
+AVI_FRAME_SCHEMA_DDL = (
+    "media_id BIGINT, frame_idx INT, width INT, height INT, fps INT, "
+    "n_values BIGINT, value_sum BIGINT, weighted_sum BIGINT"
+)
+
+
+def avi_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode every ``every``-th MJPEG frame
+    of each AVI payload (``avicodec.sample_avi_frames`` — unsampled
+    frames' JPEG decode is skipped entirely, the saving that matters at
+    video scale) and reduce each sampled frame to exact integer features
+    one row per (video, frame). Same single-Arrow-batch-dispatch shape
+    as the other media operators; a malformed payload fails the batch
+    loud (this corpus is writer-emitted, so an error column would only
+    hide generator bugs)."""
+    from ..avicodec import sample_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, fps, sampled = sample_avi_frames(bytes(payload), every=every)
+                for fidx, (fw, fh, fch, px) in sampled:
+                    vals = memoryview(px)
+                    rows.append({
+                        "media_id": int(mid), "frame_idx": int(fidx),
+                        "width": fw, "height": fh, "fps": fps,
+                        "n_values": len(vals),
+                        "value_sum": int(sum(vals)),
+                        "weighted_sum": int(sum((k + 1) * v
+                                             for k, v in enumerate(vals))),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "fps",
+                         "n_values", "value_sum", "weighted_sum"],
+            )
+
+    return media.mapInPandas(run, schema=AVI_FRAME_SCHEMA_DDL)
 
 
 def tiff_media_dims(i: int) -> dict:
@@ -714,6 +865,21 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
             w, h, ch, px = decode_gif(bytes(payload))
             row.update(fmt="gif", width=w, height=h, channels=ch)
             vals = list(px)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from ..avicodec import decode_avi
+
+            w, h, fps, _nf, frames = decode_avi(bytes(payload))
+            # canonical value stream: frames in presentation order, each
+            # frame's interleaved pixels — so the (k+1)-weighted sum is
+            # sensitive to frame ORDER, not just frame content
+            vals = []
+            ch = frames[0][2]
+            for fw, fh, fch, px in frames:
+                if fch != ch:
+                    raise ValueError("AVI: mixed frame channel counts")
+                vals.extend(px)
+            row.update(fmt="mjpeg", width=w, height=h, channels=ch,
+                       sample_rate=fps)
         elif payload[:4] == b"RIFF":
             rate, ch, samples, codec = decode_wav(bytes(payload), return_codec=True)
             row.update(
@@ -737,9 +903,10 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
             vals = list(px)
         else:
             raise NotImplementedError(
-                "no from-scratch decoder for this container (arithmetic-"
-                "coded JPEG and compressed VIDEO stay stubbed; JPEG 2000 "
-                "codestreams decode via jpxcodec since round 6)"
+                "no from-scratch decoder for this container (compressed "
+                "VIDEO stays stubbed; JPEG 2000 codestreams decode via "
+                "jpxcodec and arithmetic-coded JPEG via arithjpeg since "
+                "round 6)"
             )
         row.update(
             n_values=len(vals),

@@ -71,6 +71,25 @@ SAMPLES["jpx"] = (
     decode_jpx,
 )
 
+from b_pdf_parser_spark.arithjpeg import encode_jpeg_arith  # noqa: E402
+
+SAMPLES["jpeg_arith"] = (
+    encode_jpeg_arith(16, 8, 3, bytes((k * 31) % 256 for k in range(16 * 8 * 3)),
+                      restart_interval=2),
+    decode_jpeg,
+)
+
+from b_pdf_parser_spark.avicodec import decode_avi, encode_avi_mjpeg  # noqa: E402
+
+SAMPLES["avi_mjpeg"] = (
+    encode_avi_mjpeg(
+        16, 8, 1,
+        [bytes((f * 53 + k * 31) % 256 for k in range(16 * 8)) for f in range(3)],
+        fps=10,
+    ),
+    decode_avi,
+)
+
 _FAX_PX = bytes(255 if ((x // 3 + y) % 4) else 0 for y in range(7) for x in range(9))
 
 
