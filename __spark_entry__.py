@@ -1673,6 +1673,48 @@ def q_pdf_jpx_decode(spark, sf):
     return pdf_jpx_pixel_features(synth_jpxdoc_df(spark, 120))
 
 
+def q_pq_ann_topk(spark, sf):
+    """Product-quantization ANN with asymmetric distance computation +
+    exact re-rank (the ADC-with-reranking pipeline of Jégou et al. 2011)
+    — the memory-bandwidth member of the ANN family (brute → LSH → IVF →
+    PQ): m=16 subspaces × 64-entry frozen data-drawn sub-codebooks
+    (first-64-by-md5, the deterministic-quantizer idiom), per-vector
+    codes = 16 small ints (16× compression of the 64-float vectors),
+    queries scan CODES through a (16×64) LUT, keep the best 32, and
+    re-rank those by exact squared L2 (measured recall@3 ≈ 0.93 on
+    these UNCLUSTERED near-random embeddings — raw ADC ordering alone
+    reads 0.03 here, which is why the re-rank is part of the operator).
+    Hash-green via the same two tricks as the rest of the family: every
+    distance is the identical sequential float64 fold in both engines,
+    and LUT entries are rounded+DECIMAL per row so the per-pair ADC sum
+    is exact decimal arithmetic (order-independent). Compose with IVF
+    lists to prune the code scan at 10^12 scale."""
+    from b_pdf_parser_spark.operators.similarity import pq_ann_topk
+
+    return pq_ann_topk(
+        _t(spark, sf, "embeddings"),
+        query_pred=F.col("vec_id") % 100 == 0,
+        k=3,
+    )
+
+
+def q_dsir_select(spark, sf):
+    """DSIR data selection (Xie et al. 2023, public algorithm): hashed
+    uni+bigram bag models for the target domain (lang='en') vs the raw
+    pool, per-doc importance log-weights, Gumbel-top-k resampling with
+    DETERMINISTIC md5-derived noise (k=120). Hash-green because every
+    float is rounded per-row and cast to DECIMAL before any SUM — the
+    bucket log-ratios and the Gumbel noise — so all aggregation is exact
+    decimal arithmetic, independent of partitioning/addition order; the
+    only cross-engine float contract is libm ln on identical doubles,
+    absorbed by round(,9). Scale shape: map-only explode → one 256-row
+    model agg (broadcast back) → doc-keyed partial agg → top-k via
+    TakeOrderedAndProject (never a global sort)."""
+    from b_pdf_parser_spark.operators.dsir import dsir_select
+
+    return dsir_select(_t(spark, sf, "documents"), F.col("lang") == "en", k=120)
+
+
 def q_avi_frame_sample(spark, sf):
     """REAL video frame sampling (round 6 — the video leg of the
     multimodal axis as an OPERATOR, not just a codec): 40 deterministic
@@ -2251,6 +2293,8 @@ def extra_queries() -> dict[str, _T]:
         "pdf_jpeg_decode": q_pdf_jpeg_decode,
         "pdf_jpx_decode": q_pdf_jpx_decode,
         "avi_frame_sample": q_avi_frame_sample,
+        "dsir_select": q_dsir_select,
+        "pq_ann_topk": q_pq_ann_topk,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4316,6 +4360,102 @@ def _all_oracles() -> dict[str, str]:
         """,
         # lossless 5/3+MQ: the decoded samples ARE the generating
         # formula — no YCbCr restatement needed, unlike the JPEG twin
+        "pq_ann_topk": """
+            -- PQ ADC-shortlist + exact-rerank twin: frozen
+            -- first-64-by-md5 sub-codebooks (m=16 subspaces of 4 dims),
+            -- the identical sequential float64 folds, rounded DECIMAL
+            -- LUT entries -> exact decimal ADC sums, rerank=32
+            WITH ranked AS (
+                SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                          vec_id) AS rn
+                FROM embeddings),
+            cents AS (SELECT rn - 1 AS cid, embedding AS cvec
+                      FROM ranked WHERE rn <= 64),
+            subs AS (SELECT unnest(range(16)) AS s),
+            cd AS (
+                SELECT e.vec_id, s.s, c.cid,
+                       list_reduce(list_transform(
+                           list_zip(list_slice(e.embedding, s.s*4 + 1, s.s*4 + 4),
+                                    list_slice(c.cvec, s.s*4 + 1, s.s*4 + 4)),
+                           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                                * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                           (acc, v) -> acc + v) AS d
+                FROM embeddings e CROSS JOIN cents c CROSS JOIN subs s),
+            codes AS (
+                SELECT vec_id, s, cid FROM (
+                    SELECT vec_id, s, cid,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d, cid) AS rn
+                    FROM cd) WHERE rn = 1),
+            lut AS (SELECT vec_id AS query_id, s, cid,
+                           CAST(round(d, 9) AS DECIMAL(28,9)) AS dd
+                    FROM cd WHERE vec_id % 100 = 0),
+            adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.dd) AS adist
+                    FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+                    WHERE l.query_id <> c.vec_id
+                    GROUP BY 1, 2),
+            short AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adist, neighbor_id) AS srank
+                    FROM adc) WHERE srank <= 32),
+            ex AS (
+                SELECT sh.query_id, sh.neighbor_id,
+                       list_reduce(list_transform(
+                           list_zip(qe.embedding, ne.embedding),
+                           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                                * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                           (acc, v) -> acc + v) AS dist
+                FROM short sh
+                JOIN embeddings qe ON qe.vec_id = sh.query_id
+                JOIN embeddings ne ON ne.vec_id = sh.neighbor_id),
+            topk AS (SELECT query_id, neighbor_id, dist,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, neighbor_id) AS rank
+                     FROM ex)
+            SELECT query_id, rank, neighbor_id, dist
+            FROM topk WHERE rank <= 3
+        """,
+        "dsir_select": """
+            -- hashed uni+bigram models: per-row rounded DECIMAL log
+            -- ratios + deterministic md5 Gumbel noise -> exact decimal
+            -- sums, so the ranking is engine-independent (see
+            -- operators/dsir.py for the parity design)
+            WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ts
+                       FROM documents),
+            g1 AS (SELECT doc_id, lang, unnest(ts) AS g FROM t),
+            g2 AS (SELECT doc_id, lang, array_to_string(ts[i+1:i+2], ' ') AS g
+                   FROM t, unnest(range(greatest(len(ts) - 1, 0))) AS u(i)),
+            g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+            f AS (SELECT doc_id, lang = 'en' AS is_t, substr(md5(g), 1, 2) AS b
+                  FROM g),
+            cnt AS (SELECT b, COUNT(*) AS cq,
+                           SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+                    FROM f GROUP BY b),
+            tot AS (SELECT SUM(cq) AS q_tot, SUM(ct) AS t_tot FROM cnt),
+            w AS (SELECT b,
+                         CAST(round(ln(ct + 1) - ln(t_tot + 256)
+                                    - ln(cq + 1) + ln(q_tot + 256), 9)
+                              AS DECIMAL(28,9)) AS lr
+                  FROM cnt CROSS JOIN tot),
+            lw AS (SELECT doc_id, SUM(lr) AS logw
+                   FROM f JOIN w USING (b) GROUP BY doc_id),
+            sc AS (SELECT doc_id, logw,
+                          CAST(round(-ln(-ln(
+                              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                    AS BIGINT) + 0.5) / 4294967296.0)), 9)
+                               AS DECIMAL(28,9)) AS gum
+                   FROM lw)
+            SELECT doc_id, CAST(logw AS DOUBLE) AS logw,
+                   CAST(gum AS DOUBLE) AS gumbel,
+                   -- one IEEE double addition, matching the Spark side
+                   -- (a decimal sum would overflow width 38 and fall
+                   -- back to double in THIS engine only)
+                   CAST(logw AS DOUBLE) + CAST(gum AS DOUBLE) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 120
+        """,
         "avi_frame_sample": """
             -- the sampled (video, frame) grid: nf = 4 + i%5 frames,
             -- stride 2 -> f in {0, 2, 4, 6}; grayscale flat 8x8 blocks

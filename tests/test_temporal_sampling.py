@@ -377,3 +377,37 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short doc → one chunk, whole text; whitespace-only doc → dropped
     assert rows[(2, 0)]["chunk_text"] == "short doc"
     assert not any(d == 3 for d, _ in rows)
+
+
+def test_dsir_select_semantics_and_partition_invariance(spark):
+    from b_pdf_parser_spark.operators.dsir import dsir_select
+
+    # two vocabularies: target-domain docs talk about "spark sql engine",
+    # off-domain docs about "cats dogs birds"; a mixed doc sits between
+    rows = []
+    for i in range(30):
+        rows.append((i, "spark sql engine query plan spark sql", "en"))
+    for i in range(30, 60):
+        rows.append((i, "cats dogs birds fish cats dogs", "de"))
+    rows.append((60, "spark sql cats dogs", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = dsir_select(df, F.col("lang") == "en", k=35).collect()
+    assert len(out) == 35
+    got = {r["doc_id"]: r for r in out}
+    # importance weights must separate the domains: every target-vocab doc
+    # outranks every off-domain doc in logw (Gumbel noise can reorder the
+    # SELECTION, logw itself is noise-free)
+    en_logw = min(r["logw"] for i, r in got.items() if i < 30)
+    de_logw = max(r["logw"] for i, r in got.items() if 30 <= i < 60)
+    if any(30 <= i < 60 for i in got):
+        assert en_logw > de_logw
+    # the mixed doc sits strictly between the two pure vocab weights
+    full = {r["doc_id"]: r["logw"]
+            for r in dsir_select(df, F.col("lang") == "en", k=61).collect()}
+    assert full[0] > full[60] > full[59]
+    # partition invariance: decimal-summed weights and md5 Gumbel noise
+    # must make the SELECTED SET identical under any repartitioning
+    out13 = dsir_select(df.repartition(13), F.col("lang") == "en", k=35).collect()
+    assert {(r["doc_id"], r["score"]) for r in out} == \
+        {(r["doc_id"], r["score"]) for r in out13}
