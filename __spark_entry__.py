@@ -1391,7 +1391,12 @@ def q_real_media_decode(spark, sf):
     term, canonical values in presentation order, so the weighted sum
     pins frame ORDER as well as content — compressed VIDEO, the last
     stubbed multimodal class, now decodes for real (inter-frame codecs
-    stay out of scope, stated in avicodec.py)."""
+    stay out of scope, stated in avicodec.py). Docs 204-215 are FLAC
+    (round 6, from-scratch flaccodec: Rice-coded residual partitions,
+    fixed 0-4 / verbatim / LPC subframes, left-side / mid-side stereo
+    decorrelation, frame CRC-8/16 + STREAMINFO MD5 all VERIFIED by the
+    decoder): lossless, so the oracle value is the PCM sample formula
+    while the whole strategy surface rotates underneath it."""
     from b_pdf_parser_spark.operators.multimodal import (
         real_media_features,
         synth_real_media_df,
@@ -1400,7 +1405,7 @@ def q_real_media_decode(spark, sf):
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
-    return real_media_features(synth_real_media_df(spark, 204))
+    return real_media_features(synth_real_media_df(spark, 216))
 
 
 def q_frontier_stream_equiv(spark, sf):
@@ -2944,7 +2949,7 @@ def _all_oracles() -> dict[str, str]:
             FROM cand c ANTI JOIN base b USING (url)
         """,
         "real_media_decode": """
-            WITH m AS (SELECT range AS i FROM range(0, 204)),
+            WITH m AS (SELECT range AS i FROM range(0, 216)),
             dims AS (
                 -- base corpus (i < 60): formulas unchanged since round 5 mid
                 SELECT i, 'b' AS st,
@@ -3110,7 +3115,19 @@ def _all_oracles() -> dict[str, str]:
                            * 8 * (1 + ((i - 192) // 3) % 2)
                            * (CASE WHEN (i - 192) % 2 = 0 THEN 1 ELSE 3 END) AS nv,
                        NULL AS psize, 8 AS depth
-                FROM m WHERE i >= 192),
+                FROM m WHERE i >= 192 AND i < 204
+                UNION ALL
+                -- FLAC strata (i >= 204, round 6): lossless, value IS
+                -- the WAV sample formula; subframe strategy / Rice
+                -- partition order / stereo decorrelation rotate as
+                -- decode-path hazards under the unchanged oracle
+                SELECT i, 'f1' AS st, 'flac' AS fmt,
+                       NULL AS w, NULL AS h,
+                       1 + (i - 204) % 2 AS ch,
+                       8000 + (((i - 204) // 2) % 3) * 4000 AS rate,
+                       (180 + i % 50) * (1 + (i - 204) % 2) AS nv,
+                       NULL AS psize, 16 AS depth
+                FROM m WHERE i >= 204),
             vals AS (
                 SELECT d.i, d.st, d.fmt, d.psize, d.depth, d.w, d.h, d.ch,
                        unnest(range(0, d.nv)) AS k
@@ -3255,6 +3272,8 @@ def _all_oracles() -> dict[str, str]:
                 SELECT i, k,
                        CASE fmt
                        WHEN 'wav' THEN ((i * 13 + k * 7) % 2003) - 1001
+                       -- FLAC is lossless: the decode is the formula
+                       WHEN 'flac' THEN ((i * 13 + k * 7) % 2003) - 1001
                        -- G.711 mu-law expansion as pure integer SQL:
                        -- u = complement byte, mag = ((u%16)*8+132)<<exp - 132
                        WHEN 'ulaw' THEN
@@ -3272,7 +3291,7 @@ def _all_oracles() -> dict[str, str]:
                             ELSE (i * 13 + ((i * 31 + (k // 3) * 7) % psize) * 9) % 256
                             END
                        ELSE (i * 31 + k * 7) % 251 END AS val
-                FROM vals WHERE st = 'b' AND fmt != 'jpeg'
+                FROM vals WHERE (st = 'b' AND fmt != 'jpeg') OR st = 'f1'
                 UNION ALL SELECT i, k, val FROM jv
                 UNION ALL SELECT i, k, val FROM ve
                 UNION ALL SELECT i, k, val FROM adv

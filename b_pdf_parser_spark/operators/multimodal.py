@@ -308,7 +308,28 @@ def real_media_dims(i: int) -> dict:
     formula with an extra ``f*53`` term — the canonical value stream is
     frames in presentation order, so the weighted sum pins frame ORDER,
     the RIFF chunk walk, header/stream agreement and the per-frame JPEG
-    decode; ``sample_rate`` carries the fps from dwRate/dwScale."""
+    decode; ``sample_rate`` carries the fps from dwRate/dwScale.
+
+    Docs ``i >= 204`` are **FLAC** (``f1``, round 6, ``flaccodec``):
+    the same sample formula as the base PCM WAV stratum — FLAC is
+    LOSSLESS, so the oracle value is the formula — while the subframe
+    strategy (fixed 0-4 / verbatim / LPC), the Rice partition order and
+    the stereo decorrelation mode (independent / left-side / mid-side)
+    all rotate as pure decode-path hazards; the decoder additionally
+    verifies CRC-8/CRC-16 per frame and the STREAMINFO MD5 of the whole
+    stream."""
+    if i >= 204:
+        jf = i - 204
+        ch = 1 + jf % 2
+        return {
+            "fmt": "flac", "ext": "flac", "ch": ch,
+            "rate": 8000 + ((jf // 2) % 3) * 4000,
+            "n": (180 + i % 50) * ch,
+            "subframe": ("fixed1", "fixed2", "lpc", "fixed3",
+                         "verbatim", "fixed4")[jf % 6],
+            "stereo": ("indep", "left_side", "mid_side")[(jf // 2) % 3],
+            "po": jf % 2,
+        }
     if i >= 192:
         jv = i - 192
         return {
@@ -513,6 +534,15 @@ def encode_real_media(i: int) -> bytes:
 
     d = real_media_dims(i)
     ext = d.get("ext")
+    if ext == "flac":
+        from ..flaccodec import encode_flac
+
+        samples = [((i * 13 + k * 7) % 2003) - 1001 for k in range(d["n"])]
+        return encode_flac(
+            d["rate"], d["ch"], samples,
+            subframe=d["subframe"], stereo=d["stereo"],
+            partition_order=d["po"], lpc_coefs=(3, -3, 1), lpc_shift=1,
+        )
     if ext == "mjpeg":
         from ..avicodec import encode_avi_mjpeg
         from ..jpegcodec import QUANT_CHROMA, QUANT_LUM
@@ -865,6 +895,12 @@ def _real_decode_one(media_id: int, payload: Optional[bytes]) -> dict:
             w, h, ch, px = decode_gif(bytes(payload))
             row.update(fmt="gif", width=w, height=h, channels=ch)
             vals = list(px)
+        elif payload[:4] == b"fLaC":
+            from ..flaccodec import decode_flac
+
+            rate, ch, samples = decode_flac(bytes(payload))
+            row.update(fmt="flac", sample_rate=rate, channels=ch)
+            vals = samples
         elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             from ..avicodec import decode_avi
 

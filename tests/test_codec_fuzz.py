@@ -90,6 +90,14 @@ SAMPLES["avi_mjpeg"] = (
     decode_avi,
 )
 
+from b_pdf_parser_spark.flaccodec import decode_flac, encode_flac  # noqa: E402
+
+SAMPLES["flac"] = (
+    encode_flac(8000, 2, [((k * 13) % 2003) - 1001 for k in range(400)],
+                subframe="fixed2", stereo="mid_side", partition_order=1),
+    decode_flac,
+)
+
 _FAX_PX = bytes(255 if ((x // 3 + y) % 4) else 0 for y in range(7) for x in range(9))
 
 
