@@ -1703,6 +1703,29 @@ def q_pq_ann_topk(spark, sf):
     )
 
 
+def q_ivfpq_ann_topk(spark, sf):
+    """The ANN capstone composition — IVF inverted-list pruning + PQ
+    compressed-code ADC scan + exact re-rank (IVFADC, Jégou et al.
+    2011; codes over raw vectors, with per-list residual encoding named
+    as the production refinement of the same plan shape). Queries meet
+    only their nprobe/16 probed lists' code rows (join keyed on the
+    coarse centroid id), every surviving comparison is 16 LUT adds over
+    16×-compressed codes, and only 24 true vectors per query are read
+    for the exact re-rank — equi-joins and partial aggregations
+    throughout, no corpus-proportional state on any node. Frozen
+    deterministic quantizers (coarse = the IVF oracle's seeded-md5
+    hyperplanes; sub-codebooks = PQ's first-64-by-md5) make the whole
+    pipeline DuckDB-restatable; float parity via the family's folds +
+    decimal LUT sums."""
+    from b_pdf_parser_spark.operators.similarity import ivfpq_ann_topk
+
+    return ivfpq_ann_topk(
+        _t(spark, sf, "embeddings"),
+        query_pred=F.col("vec_id") % 100 == 0,
+        k=3,
+    )
+
+
 def q_dsir_select(spark, sf):
     """DSIR data selection (Xie et al. 2023, public algorithm): hashed
     uni+bigram bag models for the target domain (lang='en') vs the raw
@@ -2300,6 +2323,7 @@ def extra_queries() -> dict[str, _T]:
         "avi_frame_sample": q_avi_frame_sample,
         "dsir_select": q_dsir_select,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2491,6 +2515,98 @@ def _formula_txn_oracle() -> str:
                CASE WHEN b.is_cr THEN {fmt('b.cents')} ELSE '0,00' END AS credit,
                {fmt('b.bal_c')} AS balance
         FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % {len(_DESCS)}
+    """
+
+
+def _ivfpq_ann_oracle(
+    n_coarse: int = 16, nprobe: int = 6, m: int = 16, ksub: int = 64,
+    rerank: int = 24, k: int = 3, dim: int = 64, seed: int = 7,
+) -> str:
+    """DuckDB twin of similarity.ivfpq_ann_topk: the IVF stage uses the
+    same frozen seeded-md5 hyperplane centroids as the IVF oracle, the
+    PQ stage the same first-ksub-by-md5 sub-codebooks as the PQ oracle;
+    distances are the identical sequential float64 folds and the ADC sum
+    is exact DECIMAL — the full prune → compressed-scan → exact-rerank
+    pipeline restated."""
+    from b_pdf_parser_spark.operators.similarity import _hyperplane
+
+    cent_rows = ",\n                ".join(
+        f"({c}, [{', '.join(repr(v) for v in _hyperplane(dim, c, seed))}])"
+        for c in range(n_coarse)
+    )
+    sub_d = dim // m
+    full_fold = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+    slice_fold = full_fold.format(
+        a=f"list_slice({{a}}, s.s*{sub_d} + 1, s.s*{sub_d} + {sub_d})",
+        b=f"list_slice({{b}}, s.s*{sub_d} + 1, s.s*{sub_d} + {sub_d})",
+    )
+    return f"""
+        WITH ccents(ccid, ccvec) AS (VALUES {cent_rows}),
+        cdists AS (
+            SELECT e.vec_id, c.ccid,
+                   {full_fold.format(a='e.embedding', b='c.ccvec')} AS d
+            FROM embeddings e CROSS JOIN ccents c),
+        cranked AS (
+            SELECT vec_id, ccid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+            FROM cdists),
+        lists AS (SELECT vec_id, ccid FROM cranked WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, ccid FROM cranked
+                   WHERE rn <= {nprobe} AND vec_id % 100 = 0),
+        pranked AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS rn
+            FROM embeddings),
+        cents AS (SELECT rn - 1 AS cid, embedding AS cvec
+                  FROM pranked WHERE rn <= {ksub}),
+        subs AS (SELECT unnest(range({m})) AS s),
+        cd AS (
+            SELECT e.vec_id, s.s, c.cid,
+                   {slice_fold.format(a='e.embedding', b='c.cvec')} AS d
+            FROM embeddings e CROSS JOIN cents c CROSS JOIN subs s),
+        codes0 AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, cid) AS rn
+                FROM cd) WHERE rn = 1),
+        codes AS (SELECT c0.vec_id, l.ccid, c0.s, c0.cid
+                  FROM codes0 c0 JOIN lists l USING (vec_id)),
+        lut AS (SELECT vec_id AS query_id, s, cid,
+                       CAST(round(d, 9) AS DECIMAL(28,9)) AS dd
+                FROM cd WHERE vec_id % 100 = 0),
+        adc AS (
+            SELECT qp.query_id, co.vec_id AS neighbor_id, SUM(l.dd) AS adist
+            FROM qprobe qp
+            JOIN codes co ON co.ccid = qp.ccid
+            JOIN lut l ON l.query_id = qp.query_id
+                      AND l.s = co.s AND l.cid = co.cid
+            WHERE co.vec_id <> qp.query_id
+            GROUP BY 1, 2),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adist, neighbor_id) AS srank
+                FROM adc) WHERE srank <= {rerank}),
+        ex AS (
+            SELECT sh.query_id, sh.neighbor_id,
+                   {full_fold.format(a='qe.embedding', b='ne.embedding')} AS dist
+            FROM short sh
+            JOIN embeddings qe ON qe.vec_id = sh.query_id
+            JOIN embeddings ne ON ne.vec_id = sh.neighbor_id),
+        topk AS (SELECT query_id, neighbor_id, dist,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY dist, neighbor_id) AS rank
+                 FROM ex)
+        SELECT query_id, rank, neighbor_id, dist
+        FROM topk WHERE rank <= {k}
     """
 
 
@@ -4379,6 +4495,7 @@ def _all_oracles() -> dict[str, str]:
         """,
         # lossless 5/3+MQ: the decoded samples ARE the generating
         # formula — no YCbCr restatement needed, unlike the JPEG twin
+        "ivfpq_ann_topk": _ivfpq_ann_oracle(),
         "pq_ann_topk": """
             -- PQ ADC-shortlist + exact-rerank twin: frozen
             -- first-64-by-md5 sub-codebooks (m=16 subspaces of 4 dims),

@@ -37,6 +37,7 @@ __all__ = [
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "ivfpq_ann_topk",
     "pq_ann_topk",
     "semantic_dedup",
 ]
@@ -327,6 +328,135 @@ def pq_ann_topk(
     wr = Window.partitionBy("query_id").orderBy(
         F.asc("dist"), F.asc("neighbor_id")
     )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column,
+    k: int = 3,
+    n_coarse: int = 16,
+    nprobe: int = 6,
+    m: int = 16,
+    ksub: int = 64,
+    rerank: int = 24,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """The 10^12-scale ANN composition: IVF inverted-list pruning + PQ
+    code scan + exact re-rank (the IVFADC pipeline of Jégou et al. 2011,
+    here without residual encoding — codes quantize the raw vectors, the
+    production refinement being PQ over per-list residuals with the SAME
+    plan shape): → (query_id, rank, neighbor_id, dist).
+
+    Plan shape, which is the point: the coarse assignment keys BOTH
+    sides by centroid id, so the ADC scan joins on (cid, s, code) —
+    queries only meet the ~nprobe/n_coarse fraction of code rows in
+    their probed lists (IVF prunes candidates), each surviving
+    comparison costs m LUT adds over 16× -compressed codes (PQ cuts
+    bytes), and only `rerank` true vectors per query are ever touched
+    (exact re-rank restores accuracy). Every stage is an equi-join or
+    partial aggregation — no stage holds corpus-proportional state.
+
+    Frozen deterministic quantizers throughout (coarse = the seeded
+    md5 hyperplanes shared with ``ivf_ann_topk``; sub-codebooks = the
+    first ``ksub`` vectors by md5 order, shared with ``pq_ann_topk``) so
+    the DuckDB oracle restates the whole pipeline. Same float-parity
+    design as the family: sequential float64 folds + rounded-DECIMAL
+    LUT sums."""
+    spark = emb.sparkSession
+    sub_d = dim // m
+    coarse = spark.createDataFrame(
+        [(c, [float(x) for x in _hyperplane(dim, c, seed)])
+         for c in range(n_coarse)],
+        "ccid INT, ccvec ARRAY<DOUBLE>",
+    )
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def coarse_assign(df: DataFrame, idn: str, n: int) -> DataFrame:
+        w = Window.partitionBy(idn).orderBy("cd", "ccid")
+        return (
+            df.crossJoin(F.broadcast(coarse))
+            .withColumn("cd", _sq_l2_cols(F.col("vec"), F.col("ccvec")))
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("ccvec", "cd", "crank")
+        )
+
+    lists = coarse_assign(base, "id", 1)  # (id, vec, ccid)
+
+    h = F.md5(F.col(id_col).cast("string"))
+    cents = (
+        emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("cvec"),
+                   h.alias("h"))
+        .orderBy("h", "src")
+        .limit(ksub)
+        .withColumn("cid", F.row_number().over(Window.orderBy("h", "src")) - 1)
+        .select("cid", "cvec")
+    )
+
+    def sub_dists(df: DataFrame, cols: list) -> DataFrame:
+        start = (F.col("s") * sub_d + 1).cast("int")
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .select(
+                *cols, "cid",
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+                "vec", "cvec",
+            )
+            .withColumn("d", _sq_l2_slice(F.col("vec"), F.col("cvec"),
+                                          start, sub_d))
+            .drop("vec", "cvec")
+        )
+
+    wcode = Window.partitionBy("id", "s").orderBy("d", "cid")
+    codes = (
+        sub_dists(lists, ["id", "ccid"])
+        .withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("id", "ccid", "s", "cid")
+    )
+
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+    )
+    qprobe = coarse_assign(q, "query_id", nprobe)  # (query_id, vec, ccid)
+    lut = sub_dists(q, ["query_id"]).select(
+        "query_id", "s", "cid",
+        F.round("d", 9).cast("decimal(28,9)").alias("dd"),
+    )
+    adc = (
+        qprobe.select("query_id", "ccid")
+        .join(codes, "ccid")  # IVF pruning: only probed lists' codes
+        .join(F.broadcast(lut), ["query_id", "s", "cid"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("dd").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                                F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist
+        .join(q.withColumnRenamed("vec", "qvec"), "query_id")
+        .join(base.select(F.col("id").alias("neighbor_id"),
+                          F.col("vec").alias("nvec")), "neighbor_id")
+        .withColumn("dist", _sq_l2_cols(F.col("qvec"),
+                                        _as_double(F.col("nvec"))))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                                F.asc("neighbor_id"))
     return (
         exact.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
