@@ -112,15 +112,22 @@ def _walk(data: bytes, pos: int, end: int):
         pos = body + ln + (ln % 2)  # word alignment
 
 
-@_fail_loud
-def decode_avi(data: bytes) -> Tuple[int, int, int, int, List[Tuple[int, int, int, bytes]]]:
-    """→ (width, height, fps, n_frames, [(w, h, channels, pixels), ...])
-    with every '00dc' MJPEG frame decoded through ``decode_jpeg``. The
-    header/stream/frame dimensions must agree and the frame count must
-    match avih's dwTotalFrames — disagreement fails loud rather than
-    rendering a silently-wrong video."""
+def _decode_avi_sampled(
+    data: bytes, every: int
+) -> Tuple[int, int, int, int, List[Tuple[int, Tuple[int, int, int, bytes]]]]:
+    """Shared validated walk for :func:`decode_avi` (every=1) and
+    :func:`sample_avi_frames`: one header/stream/frame validation path so
+    the sampling API cannot silently accept what the full decode rejects.
+    → (width, height, fps, n_frames_total, [(frame_index, frame), ...]).
+
+    Safety: the aggregate pixel budget is enforced CUMULATIVELY over the
+    frames actually decoded — the avih frame count is attacker-controlled
+    and is only cross-checked against the movi census at the end, so it
+    must never be what the bomb guard trusts."""
     from .jpegcodec import decode_jpeg
 
+    if every < 1:
+        raise ValueError("AVI: sampling stride must be >= 1")
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
     (riff_len,) = struct.unpack_from("<I", data, 4)
@@ -129,7 +136,9 @@ def decode_avi(data: bytes) -> Tuple[int, int, int, int, List[Tuple[int, int, in
     width = height = total = None
     scale = rate = None
     handler_ok = False
-    frames: List[Tuple[int, int, int, bytes]] = []
+    sampled: List[Tuple[int, Tuple[int, int, int, bytes]]] = []
+    fidx = 0
+    budget_samples = 0
 
     for fourcc, body, ln in _walk(data, 12, end):
         if fourcc != b"LIST":
@@ -158,70 +167,56 @@ def decode_avi(data: bytes) -> Tuple[int, int, int, int, List[Tuple[int, int, in
         elif ltype == b"movi":
             if width is None or not handler_ok:
                 raise ValueError("AVI: movi before complete headers")
-            _check_pixel_budget((total or 0) * max(width, 1) * max(height, 1) * 3)
             for f2, b2, l2 in _walk(data, body + 4, body + ln):
                 if f2 == b"00dc":
-                    w, h, ch, px = decode_jpeg(data[b2 : b2 + l2])
-                    if (w, h) != (width, height):
-                        raise ValueError(
-                            f"AVI: frame {len(frames)} is {w}x{h}, "
-                            f"header says {width}x{height}"
-                        )
-                    frames.append((w, h, ch, px))
+                    if fidx % every == 0:
+                        # cumulative bomb guard over DECODED frames —
+                        # never over the (untrusted) declared count
+                        budget_samples += max(width, 1) * max(height, 1) * 3
+                        _check_pixel_budget(budget_samples)
+                        w, h, ch, px = decode_jpeg(data[b2 : b2 + l2])
+                        if (w, h) != (width, height):
+                            raise ValueError(
+                                f"AVI: frame {fidx} is {w}x{h}, "
+                                f"header says {width}x{height}"
+                            )
+                        sampled.append((fidx, (w, h, ch, px)))
+                    fidx += 1
                 elif f2 == b"00db":
                     raise ValueError("AVI: uncompressed DIB frames unsupported")
     if width is None:
         raise ValueError("AVI: no avih header found")
-    if not frames:
+    if not sampled:
         raise ValueError("AVI: no MJPEG frames found")
-    if total is not None and total != len(frames):
+    if total is not None and total != fidx:
         raise ValueError(
-            f"AVI: header promises {total} frames, movi has {len(frames)}"
+            f"AVI: header promises {total} frames, movi has {fidx}"
         )
     if not scale or not rate:
         raise ValueError("AVI: missing stream timing (dwScale/dwRate)")
-    return width, height, rate // scale, len(frames), frames
+    return width, height, rate // scale, fidx, sampled
 
 
+@_fail_loud
+def decode_avi(data: bytes) -> Tuple[int, int, int, int, List[Tuple[int, int, int, bytes]]]:
+    """→ (width, height, fps, n_frames, [(w, h, channels, pixels), ...])
+    with every '00dc' MJPEG frame decoded through ``decode_jpeg``. The
+    header/stream/frame dimensions must agree and the frame count must
+    match avih's dwTotalFrames — disagreement fails loud rather than
+    rendering a silently-wrong video."""
+    w, h, fps, nf, sampled = _decode_avi_sampled(data, 1)
+    return w, h, fps, nf, [fr for _, fr in sampled]
+
+
+@_fail_loud
 def sample_avi_frames(
     data: bytes, every: int = 2
 ) -> Tuple[int, int, int, List[Tuple[int, Tuple[int, int, int, bytes]]]]:
     """Frame sampling for training-data pipelines: decode only frames
     ``0, every, 2*every, ...`` → (width, height, fps,
-    [(frame_index, (w, h, ch, pixels)), ...]). The container walk still
-    validates headers and counts; the saving is skipping the JPEG
+    [(frame_index, (w, h, ch, pixels)), ...]). Runs the SAME validated
+    container walk as :func:`decode_avi` (header/stream/dimension/count
+    agreement, cumulative pixel budget); the saving is skipping the JPEG
     decode of unsampled frames (the dominant cost at video scale)."""
-    if every < 1:
-        raise ValueError("AVI: sampling stride must be >= 1")
-    from .jpegcodec import decode_jpeg
-
-    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
-        raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
-    (riff_len,) = struct.unpack_from("<I", data, 4)
-    end = min(len(data), 8 + riff_len)
-    width = height = None
-    scale = rate = None
-    out: List[Tuple[int, Tuple[int, int, int, bytes]]] = []
-    fidx = 0
-    for fourcc, body, ln in _walk(data, 12, end):
-        if fourcc != b"LIST":
-            continue
-        ltype = data[body : body + 4]
-        if ltype == b"hdrl":
-            for f2, b2, l2 in _walk(data, body + 4, body + ln):
-                if f2 == b"avih" and l2 >= 40:
-                    vals = struct.unpack_from("<10I", data, b2)
-                    width, height = vals[8], vals[9]
-                elif f2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
-                    for f3, b3, l3 in _walk(data, b2 + 4, b2 + l2):
-                        if f3 == b"strh" and l3 >= 36:
-                            scale, rate = struct.unpack_from("<II", data, b3 + 20)
-        elif ltype == b"movi":
-            for f2, b2, l2 in _walk(data, body + 4, body + ln):
-                if f2 == b"00dc":
-                    if fidx % every == 0:
-                        out.append((fidx, decode_jpeg(data[b2 : b2 + l2])))
-                    fidx += 1
-    if width is None or not scale or not rate:
-        raise ValueError("AVI: incomplete headers")
-    return width, height, rate // scale, out
+    w, h, fps, _nf, sampled = _decode_avi_sampled(data, every)
+    return w, h, fps, sampled

@@ -327,10 +327,10 @@ def encode_flac(
 
     frame_no = 0
     pos = 0
-    while pos < nsamples or (nsamples == 0 and frame_no == 0):
+    # a zero-sample stream encodes as STREAMINFO with no frames at all
+    # (total=0, md5 of empty input) — the decoder accepts that directly
+    while pos < nsamples:
         bs = min(blocksize, nsamples - pos)
-        if bs <= 0:
-            break
         fb = _BitWriter()
         fb.write(0b11111111111110, 14)
         fb.write(0, 1)  # reserved

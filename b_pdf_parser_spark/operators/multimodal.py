@@ -478,24 +478,13 @@ def real_media_dims(i: int) -> dict:
     }
 
 
-def _jpeg_flat_pixels(i: int, w: int, h: int, ch: int) -> bytes:
+def _jpeg_flat_pixels(i: int, w: int, h: int, ch: int, f: int = 0) -> bytes:
     """Flat-per-8×8-block pixel buffer: block ``b`` (row-major), channel
-    ``c`` gets ``(i*31 + b*17 + c*101) % 256`` — the same formula the
-    DuckDB oracle evaluates per decoded pixel position."""
-    bw = w // 8
-    out = bytearray()
-    for y in range(h):
-        for x in range(w):
-            b = (y // 8) * bw + (x // 8)
-            for c in range(ch):
-                out.append((i * 31 + b * 17 + c * 101) % 256)
-    return bytes(out)
-
-
-def _mjpeg_flat_frame(i: int, f: int, w: int, h: int, ch: int) -> bytes:
-    """Frame ``f`` of video doc ``i``: the flat-block formula with an
-    ``f*53`` frame term — ``(i*31 + f*53 + b*17 + c*101) % 256`` —
-    mirrored by the DuckDB oracle's generalized jp chain."""
+    ``c`` of video frame ``f`` gets ``(i*31 + f*53 + b*17 + c*101) % 256``
+    — the ONE formula the DuckDB oracle's generalized jp chain evaluates
+    per decoded value position (single-frame strata pass ``f=0``, whose
+    term vanishes). One function, every flat-block stratum — splitting it
+    per stratum is how a formula tweak desynchronizes from the SQL."""
     bw = w // 8
     out = bytearray()
     for y in range(h):
@@ -549,7 +538,7 @@ def encode_real_media(i: int) -> bytes:
 
         q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
         frames = [
-            _mjpeg_flat_frame(i, f, d["w"], d["h"], d["ch"])
+            _jpeg_flat_pixels(i, d["w"], d["h"], d["ch"], f=f)
             for f in range(d["nf"])
         ]
         return encode_avi_mjpeg(d["w"], d["h"], d["ch"], frames,
@@ -706,7 +695,7 @@ def encode_avi_media(i: int) -> bytes:
 
     d = avi_media_dims(i)
     q8 = ((8,) + QUANT_LUM[1:], (8,) + QUANT_CHROMA[1:])
-    frames = [_mjpeg_flat_frame(i, f, d["w"], d["h"], 1)
+    frames = [_jpeg_flat_pixels(i, d["w"], d["h"], 1, f=f)
               for f in range(d["nf"])]
     return encode_avi_mjpeg(d["w"], d["h"], 1, frames,
                             fps=d["fps"], qtables=q8)

@@ -218,6 +218,97 @@ def _sq_l2_slice(a: Column, b: Column, start: Column, length: int) -> Column:
     )
 
 
+def _pq_checked_vec(c: Column, dim: int) -> Column:
+    """Length-guarded vector: evaluates to the vector when its size is
+    ``dim`` and raises at execution otherwise. The check rides INSIDE the
+    value column so column pruning cannot optimize it away — without it a
+    caller whose embeddings are longer (or shorter) than ``dim`` gets
+    silently mis-sliced codebooks and a recall collapse with no error."""
+    return F.when(F.size(c) == dim, c).otherwise(
+        F.raise_error(f"PQ: embedding length != dim={dim}")
+    )
+
+
+def _pq_codebook(emb: DataFrame, id_col: str, vec_col: str,
+                 ksub: int, dim: int) -> DataFrame:
+    """Frozen data-drawn sub-codebook source: the first ``ksub`` vectors
+    in md5(id) order (the deterministic-quantizer idiom shared with IVF
+    and semdedup; production would Lloyd-refine each subspace, same
+    structure) → (cid, cvec)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return (
+        emb.select(F.col(id_col).alias("src"),
+                   _pq_checked_vec(F.col(vec_col), dim).alias("cvec"),
+                   h.alias("h"))
+        .orderBy("h", "src")
+        .limit(ksub)
+        .withColumn("cid", F.row_number().over(Window.orderBy("h", "src")) - 1)
+        .select("cid", "cvec")
+    )
+
+
+def _pq_sub_dists(df: DataFrame, cents: DataFrame, keep: list,
+                  m: int, sub_d: int) -> DataFrame:
+    """Per (row, subspace, centroid) squared L2 over the subspace slice:
+    broadcast the tiny codebook, explode the ``m`` subspaces, fold."""
+    start = (F.col("s") * sub_d + 1).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .select(
+            *keep, "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            "vec", "cvec",
+        )
+        .withColumn("d", _sq_l2_slice(F.col("vec"), F.col("cvec"),
+                                      start, sub_d))
+        .drop("vec", "cvec")
+    )
+
+
+def _pq_codes(df: DataFrame, cents: DataFrame, keep: list,
+              m: int, sub_d: int) -> DataFrame:
+    """PQ encoding: argmin centroid per (vector, subspace), ties to the
+    lowest centroid id → (*keep, s, cid)."""
+    wcode = Window.partitionBy(keep[0], "s").orderBy("d", "cid")
+    return (
+        _pq_sub_dists(df, cents, keep, m, sub_d)
+        .withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select(*keep, "s", "cid")
+    )
+
+
+def _adc_shortlist(adc: DataFrame, rerank: int) -> DataFrame:
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                                F.asc("neighbor_id"))
+    return (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _pq_exact_rerank(shortlist: DataFrame, q: DataFrame, base: DataFrame,
+                     k: int) -> DataFrame:
+    """Exact squared-L2 re-rank of the ADC shortlist: only ``rerank``
+    true vectors per query are ever read."""
+    exact = (
+        shortlist
+        .join(q.withColumnRenamed("vec", "qvec"), "query_id")
+        .join(base.select(F.col("id").alias("neighbor_id"),
+                          F.col("vec").alias("nvec")), "neighbor_id")
+        .withColumn("dist", _sq_l2_cols(F.col("qvec"),
+                                        _as_double(F.col("nvec"))))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                                F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
 def pq_ann_topk(
     emb: DataFrame,
     *,
@@ -235,13 +326,11 @@ def pq_ann_topk(
     → (query_id, rank, neighbor_id, dist), ``dist`` the EXACT squared L2.
 
     Index: the vector splits into ``m`` subspaces of ``dim//m`` dims;
-    each subspace has a FROZEN data-drawn sub-codebook — the first
-    ``ksub`` vectors in md5(id) order (the repo's deterministic-quantizer
-    idiom, same as IVF/semdedup; production would Lloyd-refine, the
-    structure is identical) — and every vector stores one code per
-    subspace (argmin squared-L2, ties to the lowest centroid id): ``m``
-    small ints instead of ``dim`` floats — 16× compression at the
-    defaults, and the full-vector scan happens only over codes.
+    each subspace has a FROZEN data-drawn sub-codebook (``_pq_codebook``)
+    and every vector stores one code per subspace (argmin squared-L2,
+    ties to the lowest centroid id): ``m`` small ints instead of ``dim``
+    floats — 16× compression at the defaults, and the full-vector scan
+    happens only over codes.
 
     Query: precompute the (m × ksub) LUT of subspace distances; the ADC
     pass is ``m`` LUT lookups + adds per code row and keeps only the
@@ -252,53 +341,30 @@ def pq_ann_topk(
     m=16/ksub=64/rerank=32, vs 0.03 for raw-ADC ordering alone — the
     re-rank stage is not optional at this dimensionality, which is why it
     is part of the operator and not left to the caller. Compose with IVF
-    inverted lists to prune the code scan at 10^12 scale (both building
-    blocks exist here).
+    inverted lists to prune the code scan at 10^12 scale
+    (``ivfpq_ann_topk`` is exactly that composition, sharing these
+    helpers).
 
     Parity design: subspace/exact distances are the same sequential
     float64 fold as IVF (bitwise-deterministic in both engines); the LUT
     entries are rounded-and-DECIMAL-cast per row so the per-pair ADC SUM
     is exact decimal arithmetic — independent of partitioning and
-    addition order (a float sum would not be).
+    addition order (a float sum would not be). ``dim`` must equal the
+    embedding length (execution-time guarded) and divide by ``m``.
     """
+    if dim % m:
+        raise ValueError("pq_ann_topk: dim must be divisible by m")
     sub_d = dim // m
-    h = F.md5(F.col(id_col).cast("string"))
-    cents16 = (
-        emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("cvec"),
-                   h.alias("h"))
-        .orderBy("h", "src")
-        .limit(ksub)
-    )
-    cdf = cents16.withColumn(
-        "cid", F.row_number().over(Window.orderBy("h", "src")) - 1
-    ).select("cid", "cvec")
-
-    def sub_dists(df: DataFrame, idn: str) -> DataFrame:
-        start = (F.col("s") * sub_d + 1).cast("int")
-        return (
-            df.crossJoin(F.broadcast(cdf))
-            .select(
-                idn, "cid",
-                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-                "vec", "cvec",
-            )
-            .withColumn("d", _sq_l2_slice(F.col("vec"), F.col("cvec"), start, sub_d))
-            .drop("vec", "cvec")
-        )
-
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    wcode = Window.partitionBy("id", "s").orderBy("d", "cid")
-    codes = (
-        sub_dists(base, "id")
-        .withColumn("rn", F.row_number().over(wcode))
-        .filter(F.col("rn") == 1)
-        .select("id", "s", "cid")
-    )
+    cents = _pq_codebook(emb, id_col, vec_col, ksub, dim)
+    base = emb.select(F.col(id_col).alias("id"),
+                      _pq_checked_vec(F.col(vec_col), dim).alias("vec"))
+    codes = _pq_codes(base, cents, ["id"], m, sub_d)
 
     q = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("query_id"),
+        _pq_checked_vec(F.col(vec_col), dim).alias("vec"),
     )
-    lut = sub_dists(q, "query_id").select(
+    lut = _pq_sub_dists(q, cents, ["query_id"], m, sub_d).select(
         "query_id", "s", "cid",
         F.round("d", 9).cast("decimal(28,9)").alias("dd"),
     )
@@ -308,31 +374,7 @@ def pq_ann_topk(
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
         .agg(F.sum("dd").alias("adist"))  # exact decimal sum over m terms
     )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.asc("adist"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        adc.withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    # exact re-rank: only `rerank` true-vector folds per query
-    exact = (
-        shortlist
-        .join(q.withColumnRenamed("vec", "qvec"), "query_id")
-        .join(base.select(F.col("id").alias("neighbor_id"),
-                          F.col("vec").alias("nvec")), "neighbor_id")
-        .withColumn("dist", _sq_l2_cols(F.col("qvec"),
-                                        _as_double(F.col("nvec"))))
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.asc("dist"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "dist")
-    )
+    return _pq_exact_rerank(_adc_shortlist(adc, rerank), q, base, k)
 
 
 def ivfpq_ann_topk(
@@ -360,17 +402,21 @@ def ivfpq_ann_topk(
     sides by centroid id, so the ADC scan joins on (cid, s, code) —
     queries only meet the ~nprobe/n_coarse fraction of code rows in
     their probed lists (IVF prunes candidates), each surviving
-    comparison costs m LUT adds over 16× -compressed codes (PQ cuts
-    bytes), and only `rerank` true vectors per query are ever touched
+    comparison costs m LUT adds over 16×-compressed codes (PQ cuts
+    bytes), and only ``rerank`` true vectors per query are ever touched
     (exact re-rank restores accuracy). Every stage is an equi-join or
     partial aggregation — no stage holds corpus-proportional state.
+    Measured recall@3 ≈ 0.83 on the unclustered test embeddings (the
+    nprobe prune sets the ceiling).
 
     Frozen deterministic quantizers throughout (coarse = the seeded
-    md5 hyperplanes shared with ``ivf_ann_topk``; sub-codebooks = the
-    first ``ksub`` vectors by md5 order, shared with ``pq_ann_topk``) so
+    md5 hyperplanes shared with ``ivf_ann_topk``; sub-codebooks, codes,
+    shortlist and re-rank = the exact helpers ``pq_ann_topk`` uses) so
     the DuckDB oracle restates the whole pipeline. Same float-parity
     design as the family: sequential float64 folds + rounded-DECIMAL
     LUT sums."""
+    if dim % m:
+        raise ValueError("ivfpq_ann_topk: dim must be divisible by m")
     spark = emb.sparkSession
     sub_d = dim // m
     coarse = spark.createDataFrame(
@@ -378,7 +424,8 @@ def ivfpq_ann_topk(
          for c in range(n_coarse)],
         "ccid INT, ccvec ARRAY<DOUBLE>",
     )
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    base = emb.select(F.col(id_col).alias("id"),
+                      _pq_checked_vec(F.col(vec_col), dim).alias("vec"))
 
     def coarse_assign(df: DataFrame, idn: str, n: int) -> DataFrame:
         w = Window.partitionBy(idn).orderBy("cd", "ccid")
@@ -391,44 +438,15 @@ def ivfpq_ann_topk(
         )
 
     lists = coarse_assign(base, "id", 1)  # (id, vec, ccid)
-
-    h = F.md5(F.col(id_col).cast("string"))
-    cents = (
-        emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("cvec"),
-                   h.alias("h"))
-        .orderBy("h", "src")
-        .limit(ksub)
-        .withColumn("cid", F.row_number().over(Window.orderBy("h", "src")) - 1)
-        .select("cid", "cvec")
-    )
-
-    def sub_dists(df: DataFrame, cols: list) -> DataFrame:
-        start = (F.col("s") * sub_d + 1).cast("int")
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .select(
-                *cols, "cid",
-                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-                "vec", "cvec",
-            )
-            .withColumn("d", _sq_l2_slice(F.col("vec"), F.col("cvec"),
-                                          start, sub_d))
-            .drop("vec", "cvec")
-        )
-
-    wcode = Window.partitionBy("id", "s").orderBy("d", "cid")
-    codes = (
-        sub_dists(lists, ["id", "ccid"])
-        .withColumn("rn", F.row_number().over(wcode))
-        .filter(F.col("rn") == 1)
-        .select("id", "ccid", "s", "cid")
-    )
+    cents = _pq_codebook(emb, id_col, vec_col, ksub, dim)
+    codes = _pq_codes(lists, cents, ["id", "ccid"], m, sub_d)
 
     q = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("query_id"),
+        _pq_checked_vec(F.col(vec_col), dim).alias("vec"),
     )
     qprobe = coarse_assign(q, "query_id", nprobe)  # (query_id, vec, ccid)
-    lut = sub_dists(q, ["query_id"]).select(
+    lut = _pq_sub_dists(q, cents, ["query_id"], m, sub_d).select(
         "query_id", "s", "cid",
         F.round("d", 9).cast("decimal(28,9)").alias("dd"),
     )
@@ -440,28 +458,7 @@ def ivfpq_ann_topk(
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
         .agg(F.sum("dd").alias("adist"))
     )
-    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"),
-                                                F.asc("neighbor_id"))
-    shortlist = (
-        adc.withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    exact = (
-        shortlist
-        .join(q.withColumnRenamed("vec", "qvec"), "query_id")
-        .join(base.select(F.col("id").alias("neighbor_id"),
-                          F.col("vec").alias("nvec")), "neighbor_id")
-        .withColumn("dist", _sq_l2_cols(F.col("qvec"),
-                                        _as_double(F.col("nvec"))))
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.asc("dist"),
-                                                F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "dist")
-    )
+    return _pq_exact_rerank(_adc_shortlist(adc, rerank), q, base, k)
 
 
 def semantic_dedup(

@@ -104,3 +104,45 @@ def test_not_an_avi():
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         decode_avi(b"garbage")
+
+
+def test_sampling_api_validates_like_full_decode():
+    # sample_avi_frames shares decode_avi's validated walk: a lying
+    # dwTotalFrames or a foreign handler must fail there too
+    data = bytearray(encode_avi_mjpeg(8, 8, 1, [_flat_frame(1, 0, 8, 8, 1)] * 3,
+                                      qtables=_Q8))
+    pos = bytes(data).index(b"avih") + 8
+    struct.pack_into("<I", data, pos + 16, 9)  # dwTotalFrames lie
+    with pytest.raises(ValueError, match="promises 9 frames"):
+        sample_avi_frames(bytes(data), every=2)
+    data2 = bytearray(encode_avi_mjpeg(8, 8, 1, [_flat_frame(1, 0, 8, 8, 1)],
+                                       qtables=_Q8))
+    hp = bytes(data2).index(b"MJPG")
+    data2[hp : hp + 4] = b"XVID"
+    with pytest.raises(ValueError, match="only MJPG"):
+        sample_avi_frames(bytes(data2), every=1)
+
+
+def test_pixel_budget_is_cumulative_not_header_trusted(monkeypatch):
+    # the bomb guard must count frames actually decoded — a header that
+    # under-declares dwTotalFrames (or declares 0) must not bypass it
+    import b_pdf_parser_spark.avicodec as avicodec
+
+    data = bytearray(encode_avi_mjpeg(8, 8, 1,
+                                      [_flat_frame(2, f, 8, 8, 1)
+                                       for f in range(4)], qtables=_Q8))
+    pos = bytes(data).index(b"avih") + 8
+    struct.pack_into("<I", data, pos + 16, 0)  # header claims ZERO frames
+
+    seen = []
+
+    def tiny_budget(n):
+        seen.append(n)
+        if n > 2 * 8 * 8 * 3:  # allow two frames' worth, then trip
+            raise ValueError("decode budget exceeded")
+
+    monkeypatch.setattr(avicodec, "_check_pixel_budget", tiny_budget)
+    with pytest.raises(ValueError, match="budget"):
+        decode_avi(bytes(data))
+    # the guard fired DURING the walk (cumulative), before all 4 frames
+    assert len(seen) == 3
