@@ -1703,6 +1703,40 @@ def q_pq_ann_topk(spark, sf):
     )
 
 
+def q_bigram_perplexity(spark, sf):
+    """CCNet-shaped perplexity filter, the interpolated-BIGRAM upgrade of
+    doc_logprob: the LM trains on the TARGET subset (lang='en' — CCNet
+    trains on Wikipedia and scores the crawl) and every document gets
+    its mean -log2 p under λ·ML-bigram + (1-λ)·add-one-unigram (λ=0.7).
+    Model building is two map-side-combined aggregations over the target
+    subset (vocabulary-sized, not corpus-sized); scoring is gram-keyed
+    equi-joins + one doc-keyed agg. Determinism: integer counts, fixed
+    IEEE expression shape in both engines, per-doc mean rounded to 4
+    decimals (the unigram oracle's absorption, proven since round 2)."""
+    from b_pdf_parser_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf, "documents"), F.col("lang") == "en")
+
+
+def q_bm25_retrieval(spark, sf):
+    """BM25 top-3 retrieval for 10 probe queries drawn from the corpus
+    itself (doc_id % 53 == 0; terms = the probe doc's first 5 tokens) —
+    decontamination-by-retrieval / data-selection shape. The broadcast
+    query side prunes the tf posting list before any corpus-sized join;
+    per-term contributions are rounded to 9 decimals and summed as exact
+    DECIMAL(28,9) (the DSIR idiom) so ranking is partition-order-proof."""
+    from b_pdf_parser_spark.operators.textstats import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.slice(F.split(F.lower(F.trim("text")), " "), 1, 5)
+        ).alias("term"),
+    )
+    return bm25_topk(d, probes, k=3)
+
+
 def q_ivfpq_ann_topk(spark, sf):
     """The ANN capstone composition — IVF inverted-list pruning + PQ
     compressed-code ADC scan + exact re-rank (IVFADC, Jégou et al.
@@ -2324,6 +2358,8 @@ def extra_queries() -> dict[str, _T]:
         "dsir_select": q_dsir_select,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        "bigram_perplexity": q_bigram_perplexity,
+        "bm25_retrieval": q_bm25_retrieval,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4496,6 +4532,80 @@ def _all_oracles() -> dict[str, str]:
         # lossless 5/3+MQ: the decoded samples ARE the generating
         # formula — no YCbCr restatement needed, unlike the JPEG twin
         "ivfpq_ann_topk": _ivfpq_ann_oracle(),
+        "bigram_perplexity": """
+            -- interpolated bigram LM trained on the lang='en' target
+            -- subset; 0.30000000000000004 is EXACTLY the double the
+            -- Spark side computes as 1.0 - 0.7 (a bare 0.3 differs in
+            -- the last ulp); round(,4) absorbs AVG association
+            WITH t AS (SELECT doc_id, lang,
+                              string_split(lower(trim(text)), ' ') AS ts
+                       FROM documents),
+            g AS (SELECT doc_id, lang = 'en' AS is_t,
+                         ts[i+1] AS w1, ts[i+2] AS w2
+                  FROM t, unnest(range(greatest(len(ts) - 1, 0))) AS u(i)),
+            toks AS (SELECT doc_id, lang = 'en' AS is_t, unnest(ts) AS tok
+                     FROM t),
+            big AS (SELECT w1, w2, COUNT(*) AS cb FROM g WHERE is_t
+                    GROUP BY 1, 2),
+            w1tot AS (SELECT w1, SUM(cb) AS cw1 FROM big GROUP BY 1),
+            uni AS (SELECT tok, COUNT(*) AS cu FROM toks WHERE is_t
+                    GROUP BY 1),
+            scal AS (SELECT SUM(cu) AS n_total, COUNT(*) AS v_size FROM uni)
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(-AVG(log2(
+                       0.7 * coalesce(CAST(b.cb AS DOUBLE) / w.cw1, 0.0)
+                       + 0.30000000000000004
+                         * (coalesce(u.cu, 0) + 1)
+                         / (s.n_total + s.v_size)
+                   )), 4) AS nll_bits
+            FROM g
+            LEFT JOIN big b USING (w1, w2)
+            LEFT JOIN w1tot w USING (w1)
+            LEFT JOIN uni u ON u.tok = g.w2
+            CROSS JOIN scal s
+            GROUP BY g.doc_id
+        """,
+        "bm25_retrieval": f"""
+            -- BM25 (Lucene idf variant); every float literal is spelled as
+            -- the exact double Spark computes (2.2 = 1.2+1.0 reprs as 2.2
+            -- and CAST parses it to the same bits); per-term contributions
+            -- round(,9)::DECIMAL(28,9) then exact decimal SUM (DSIR idiom)
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            toks AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+            q AS (SELECT DISTINCT doc_id AS qid, unnest(ts[1:5]) AS term
+                  FROM t WHERE doc_id % 53 = 0),
+            contrib AS (
+                SELECT q.qid, tf.doc_id,
+                       CAST(round(
+                           ln(1.0 + (CAST(s.n_docs - dfs.df AS DOUBLE) + 0.5)
+                                    / (CAST(dfs.df AS DOUBLE) + 0.5))
+                           * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                             / (CAST(tf.tf AS DOUBLE)
+                                + CAST(1.2 AS DOUBLE)
+                                  * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                    / s.avgdl)))
+                       , 9) AS DECIMAL(28,9)) AS c
+                FROM q JOIN tf ON tf.tok = q.term
+                JOIN dfs ON dfs.tok = tf.tok
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s),
+            scores AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+                              SUM(c) AS sc
+                       FROM contrib GROUP BY 1, 2),
+            ranked AS (SELECT qid, doc_id, n_hit, sc,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sc DESC, doc_id)
+                                  AS rank
+                       FROM scores)
+            SELECT qid, rank, doc_id, n_hit,
+                   round(CAST(sc AS DOUBLE), 4) AS bm25
+            FROM ranked WHERE rank <= 3
+        """,
         "pq_ann_topk": """
             -- PQ ADC-shortlist + exact-rerank twin: frozen
             -- first-64-by-md5 sub-codebooks (m=16 subspaces of 4 dims),

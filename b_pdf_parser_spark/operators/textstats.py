@@ -16,7 +16,7 @@ stage as the scan, and columnar parquet scans prune to ``text`` only.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
     "STOPWORDS",
@@ -30,6 +30,8 @@ __all__ = [
     "fingerprint",
     "langid",
     "unigram_logprob",
+    "bm25_topk",
+    "bigram_logprob",
     "word_ngrams",
     "intra_doc_repetition",
     "quality_decisions",
@@ -219,6 +221,154 @@ def unigram_logprob(
         .agg(
             F.round(-F.avg(F.log2(F.col("tf") / F.col("n_total"))), 4).alias("nll_bits"),
             F.count("*").alias("n_toks"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    target_pred: Column,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-shaped LM perplexity scoring, the interpolated-BIGRAM form of
+    :func:`unigram_logprob`: the LM trains on the TARGET subset (CCNet
+    trains on Wikipedia and scores the crawl — ``target_pred`` marks the
+    in-domain rows) and every document is scored by its mean negative
+    log2-probability under ``p(w2|w1) = λ·c(w1w2)/c(w1·) +
+    (1−λ)·(c(w2)+1)/(N+V)`` — maximum-likelihood bigram interpolated with
+    an add-one unigram floor, so unseen words and unseen continuations
+    stay finite. → (doc_id, n_bigrams, nll_bits); documents with fewer
+    than two tokens have no bigrams and are excluded.
+
+    Scale shape: the model side is two map-side-combined aggregations
+    over the target subset (distinct bigrams / unigrams — the CCNet LM
+    is corpus-vocabulary-sized, not corpus-sized); scoring is equi-joins
+    on the gram keys (Zipf-hot keys are AQE-splittable) + one doc-keyed
+    partial aggregation. Determinism: counts are integers, the
+    interpolation is fixed-expression IEEE arithmetic on identical
+    doubles in both engines, and the per-doc mean is rounded to 4
+    decimals (the same absorption the unigram oracle has used since
+    round 2)."""
+    text = F.col(text_col)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_t"),
+        F.explode(word_ngrams(text, 2)).alias("g"),
+    ).select(
+        "doc_id", "is_t",
+        F.split("g", " ").getItem(0).alias("w1"),
+        F.split("g", " ").getItem(1).alias("w2"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_t"),
+        F.explode(F.split(F.lower(F.trim(text)), " ")).alias("tok"),
+    )
+    big = (
+        grams.filter("is_t").groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    w1tot = big.groupBy("w1").agg(F.sum("cb").alias("cw1"))
+    uni = (
+        toks.filter("is_t").groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    scal = uni.agg(
+        F.sum("cu").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    p = (
+        F.lit(lam)
+        * F.coalesce(F.col("cb") / F.col("cw1"), F.lit(0.0))
+        + F.lit(1.0 - lam)
+        * (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("v_size"))
+    )
+    return (
+        grams.drop("is_t")
+        .join(big, ["w1", "w2"], "left")
+        .join(w1tot, "w1", "left")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log2(p)), 4).alias("nll_bits"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-``k`` retrieval (Robertson–Spärck Jones, the Lucene
+    ``ln(1 + (N−df+0.5)/(df+0.5))`` idf variant) — the retrieval op a
+    training-data pipeline runs for benchmark decontamination-by-retrieval
+    and nearest-neighbour data selection. ``queries`` is a small
+    ``(qid, term)`` relation; every query gets its ``k`` best documents by
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))``.
+
+    Scale shape: ``tf`` is the posting list — the broadcast query side
+    prunes it to matched terms BEFORE the df/dl joins, so the scored
+    relation is |postings of query terms|, not |corpus|; df/avgdl are
+    map-side-combined corpus aggregates; the (N, avgdl) scalar frame is
+    broadcast; per-query top-k is a window over the tiny scored set.
+    Determinism: each per-term contribution is one fixed-shape IEEE
+    expression rounded to 9 decimals and cast to DECIMAL(28,9) before the
+    per-doc SUM (the [[dsir]] idiom — exact, partition-order-independent),
+    and ranking ties break on doc_id. → (qid, rank, doc_id, n_hit, bm25)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_toks(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q = queries.select("qid", F.col("term").alias("tok")).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    tfn = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "tok")
+        .join(dfs, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * tfn, 9).cast("decimal(28,9)").alias("c"),
+        )
+    )
+    scores = contrib.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"), F.sum("c").alias("sc")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sc"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "rank",
+            "doc_id",
+            "n_hit",
+            F.round(F.col("sc").cast("double"), 4).alias("bm25"),
         )
     )
 

@@ -14,7 +14,7 @@ from b_pdf_parser_spark.operators.sampling import (
     stratified_sample,
 )
 from b_pdf_parser_spark.operators.temporal import asof_join
-from b_pdf_parser_spark.operators.textstats import unigram_logprob
+from b_pdf_parser_spark.operators.textstats import bigram_logprob, unigram_logprob
 
 
 def _ts(s):
@@ -181,6 +181,64 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     )
     out = {r.doc_id: r.nll_bits for r in unigram_logprob(df).collect()}
     assert out[2] > out[1]  # rare token → more surprising document
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # target corpus is one doc "a a a a": the only bigram (a,a) has
+    # p = 0.7*(3/3) + 0.3*(4+1)/(4+1) = 1.0 → target doc scores exactly 0;
+    # the out-of-domain doc "b b" sees only the add-one unigram floor,
+    # p = 0.3 * (0+1)/(4+1) = 0.06 → -log2 ≈ 4.0589
+    df = spark.createDataFrame(
+        [(1, True, "a a a a"), (2, False, "b b"), (3, False, "a")],
+        "doc_id long, is_t boolean, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.nll_bits)
+        for r in bigram_logprob(df, F.col("is_t")).collect()
+    }
+    assert out[1] == (3, 0.0)
+    assert out[2] == (1, 4.0589)
+    assert 3 not in out  # single-token doc has no bigrams → excluded
+
+
+def test_bigram_logprob_unseen_continuation_finite(spark):
+    # w1 seen in-domain but the (w1, w2) continuation unseen: the bigram
+    # term is zero and only the unigram floor carries — finite, and more
+    # surprising than the attested continuation
+    df = spark.createDataFrame(
+        [(1, True, "a b a b"), (2, False, "a b"), (3, False, "a z")],
+        "doc_id long, is_t boolean, text string",
+    )
+    out = {r.doc_id: r.nll_bits for r in bigram_logprob(df, F.col("is_t")).collect()}
+    assert all(v == v and v != float("inf") for v in out.values())
+    assert out[3] > out[2]
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    from b_pdf_parser_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a"), (3, "c")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(0, "a"), (0, "c")], "qid long, term string")
+    out = [
+        (r.rank, r.doc_id, r.n_hit, r.bm25)
+        for r in bm25_topk(docs, qs, k=3).orderBy("rank").collect()
+    ]
+
+    def score(tf, dl, df, n=3, avgdl=5 / 3, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * (tf * 2.2) / (tf + k1 * (0.25 + b * (dl / avgdl))), 4)
+
+    # doc 3 matches the rarer term 'c' (idf ln(8/3)) and is short → wins;
+    # doc 2 beats doc 1 on tf of 'a'
+    assert out == [
+        (1, 3, 1, score(1, 1, 1)),
+        (2, 2, 1, score(2, 2, 2)),
+        (3, 1, 1, score(1, 2, 2)),
+    ]
 
 
 def test_per_host_cap_exact_and_partitioning_independent(spark):
