@@ -1737,6 +1737,51 @@ def q_bm25_retrieval(spark, sf):
     return bm25_topk(d, probes, k=3)
 
 
+def q_web_pipeline(spark, sf):
+    """End-to-end web-corpus curation funnel — the composition a production
+    training-data job materializes, declared as ONE Spark plan: exact dedup
+    (md5 min-id representative) → quality gate (quality_score ≥ 0.45) →
+    CCNet-style perplexity band (interpolated bigram LM trained on the raw
+    corpus's lang='en' subset; keep nll_bits ≤ 4.93) → stratified training
+    mix (en .9 / de .5 / es .25, default .1). Every stage reuses the
+    registered operator; the output is the per-stage survivor funnel
+    (docs + distinct langs), the table a pipeline report leads with.
+    Scale shape: dedup is a hash groupBy + semi-join, the quality gate is
+    codegen'd map-only, the LM adds vocabulary-sized model joins, the mix
+    is a map-only hash threshold; the funnel report itself is five 1-row
+    aggregates — at 100 TB you'd cache the curated frame once and the
+    funnel counts ride the same materialization."""
+    from b_pdf_parser_spark.operators.dedup import exact_dup_stats
+    from b_pdf_parser_spark.operators.sampling import stratified_sample
+    from b_pdf_parser_spark.operators.textstats import bigram_logprob, quality_score
+
+    d = _t(spark, sf, "documents")
+    reps = exact_dup_stats(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s1 = d.join(reps, "doc_id")
+    s2 = s1.filter(quality_score(F.col("text")) >= 0.45)
+    nll = bigram_logprob(d, F.col("lang") == "en").select("doc_id", "nll_bits")
+    s3 = s2.join(nll, "doc_id").filter(F.col("nll_bits") <= 4.93)
+    s4 = stratified_sample(
+        s3, "doc_id", "lang", {"en": 0.9, "de": 0.5, "es": 0.25}, default_rate=0.1
+    )
+    out = None
+    for i, (name, frame) in enumerate(
+        [("raw", d), ("exact_dedup", s1), ("quality", s2),
+         ("perplexity", s3), ("mix", s4)]
+    ):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+        ).select(
+            F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"),
+            "n_docs", "n_langs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_ivfpq_ann_topk(spark, sf):
     """The ANN capstone composition — IVF inverted-list pruning + PQ
     compressed-code ADC scan + exact re-rank (IVFADC, Jégou et al.
@@ -2360,6 +2405,7 @@ def extra_queries() -> dict[str, _T]:
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "bigram_perplexity": q_bigram_perplexity,
         "bm25_retrieval": q_bm25_retrieval,
+        "web_pipeline": q_web_pipeline,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2449,6 +2495,42 @@ _QUALITY_EXPR = f"""round(0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
                 ELSE CAST(length(regexp_replace(text,
                          '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                      / length(text) END)), 4)"""
+
+
+# Interpolated-bigram LM (CCNet shape): trained on the lang='en' target
+# subset, scoring EVERY document. Shared by the bigram_perplexity oracle and
+# the web_pipeline funnel (which filters on bnll.nll_bits). The
+# 0.30000000000000004 literal is EXACTLY the double Spark computes as
+# 1.0 - 0.7 (a bare 0.3 differs in the last ulp); round(,4) absorbs AVG
+# association order.
+_BIGRAM_NLL_CTES = """bt AS (SELECT doc_id, lang,
+                              string_split(lower(trim(text)), ' ') AS ts
+                       FROM documents),
+            bgrm AS (SELECT doc_id, lang = 'en' AS is_t,
+                         ts[i+1] AS w1, ts[i+2] AS w2
+                  FROM bt, unnest(range(greatest(len(ts) - 1, 0))) AS u(i)),
+            btoks AS (SELECT doc_id, lang = 'en' AS is_t, unnest(ts) AS tok
+                     FROM bt),
+            bbig AS (SELECT w1, w2, COUNT(*) AS cb FROM bgrm WHERE is_t
+                    GROUP BY 1, 2),
+            bw1 AS (SELECT w1, SUM(cb) AS cw1 FROM bbig GROUP BY 1),
+            buni AS (SELECT tok, COUNT(*) AS cu FROM btoks WHERE is_t
+                    GROUP BY 1),
+            bscal AS (SELECT SUM(cu) AS n_total, COUNT(*) AS v_size FROM buni),
+            bnll AS (SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(-AVG(log2(
+                       0.7 * coalesce(CAST(b.cb AS DOUBLE) / w.cw1, 0.0)
+                       + 0.30000000000000004
+                         * (coalesce(u.cu, 0) + 1)
+                         / (s.n_total + s.v_size)
+                   )), 4) AS nll_bits
+            FROM bgrm g
+            LEFT JOIN bbig b USING (w1, w2)
+            LEFT JOIN bw1 w USING (w1)
+            LEFT JOIN buni u ON u.tok = g.w2
+            CROSS JOIN bscal s
+            GROUP BY g.doc_id)"""
 
 
 _DOT64 = (
@@ -4532,39 +4614,43 @@ def _all_oracles() -> dict[str, str]:
         # lossless 5/3+MQ: the decoded samples ARE the generating
         # formula — no YCbCr restatement needed, unlike the JPEG twin
         "ivfpq_ann_topk": _ivfpq_ann_oracle(),
-        "bigram_perplexity": """
+        "bigram_perplexity": f"""
             -- interpolated bigram LM trained on the lang='en' target
-            -- subset; 0.30000000000000004 is EXACTLY the double the
-            -- Spark side computes as 1.0 - 0.7 (a bare 0.3 differs in
-            -- the last ulp); round(,4) absorbs AVG association
-            WITH t AS (SELECT doc_id, lang,
-                              string_split(lower(trim(text)), ' ') AS ts
-                       FROM documents),
-            g AS (SELECT doc_id, lang = 'en' AS is_t,
-                         ts[i+1] AS w1, ts[i+2] AS w2
-                  FROM t, unnest(range(greatest(len(ts) - 1, 0))) AS u(i)),
-            toks AS (SELECT doc_id, lang = 'en' AS is_t, unnest(ts) AS tok
-                     FROM t),
-            big AS (SELECT w1, w2, COUNT(*) AS cb FROM g WHERE is_t
-                    GROUP BY 1, 2),
-            w1tot AS (SELECT w1, SUM(cb) AS cw1 FROM big GROUP BY 1),
-            uni AS (SELECT tok, COUNT(*) AS cu FROM toks WHERE is_t
-                    GROUP BY 1),
-            scal AS (SELECT SUM(cu) AS n_total, COUNT(*) AS v_size FROM uni)
-            SELECT g.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                   round(-AVG(log2(
-                       0.7 * coalesce(CAST(b.cb AS DOUBLE) / w.cw1, 0.0)
-                       + 0.30000000000000004
-                         * (coalesce(u.cu, 0) + 1)
-                         / (s.n_total + s.v_size)
-                   )), 4) AS nll_bits
-            FROM g
-            LEFT JOIN big b USING (w1, w2)
-            LEFT JOIN w1tot w USING (w1)
-            LEFT JOIN uni u ON u.tok = g.w2
-            CROSS JOIN scal s
-            GROUP BY g.doc_id
+            -- subset (shared CTE block — web_pipeline embeds the same)
+            WITH {_BIGRAM_NLL_CTES}
+            SELECT doc_id, n_bigrams, nll_bits FROM bnll
+        """,
+        "web_pipeline": f"""
+            -- the full curation chain restated: each stage's predicate is
+            -- the same formula its standalone oracle uses (md5 min-id
+            -- dedup, quality >= 0.45, shared bigram-LM CTE block,
+            -- stratified hash thresholds from hash_threshold())
+            WITH {_BIGRAM_NLL_CTES},
+            reps AS (SELECT MIN(doc_id) AS doc_id
+                     FROM documents GROUP BY md5(text)),
+            s1 AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+            s2 AS (SELECT * FROM s1
+                   WHERE {_QUALITY_EXPR.format(toks=_TOKS)} >= 0.45),
+            s3 AS (SELECT s2.* FROM s2 JOIN bnll USING (doc_id)
+                   WHERE bnll.nll_bits <= 4.93),
+            s4 AS (SELECT * FROM s3
+                   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                         CASE lang WHEN 'en' THEN 'e6666666'
+                                   WHEN 'de' THEN '80000000'
+                                   WHEN 'es' THEN '40000000'
+                                   ELSE '19999999' END)
+            SELECT 0 AS stage_ord, 'raw' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+            UNION ALL SELECT 1, 'exact_dedup', COUNT(*),
+                             COUNT(DISTINCT lang) FROM s1
+            UNION ALL SELECT 2, 'quality', COUNT(*),
+                             COUNT(DISTINCT lang) FROM s2
+            UNION ALL SELECT 3, 'perplexity', COUNT(*),
+                             COUNT(DISTINCT lang) FROM s3
+            UNION ALL SELECT 4, 'mix', COUNT(*),
+                             COUNT(DISTINCT lang) FROM s4
         """,
         "bm25_retrieval": f"""
             -- BM25 (Lucene idf variant); every float literal is spelled as

@@ -86,6 +86,12 @@ SHOW = {
         "are DECIMAL(28,9) summed (partition-order-proof); per-query top-k "
         "is a window over the pruned set"
     ),
+    "web_pipeline": (
+        "curation-funnel capstone (round 6): dedup semi-join → codegen'd "
+        "quality CASE → bigram-LM joins → map-only hash-threshold mix, all "
+        "one declarative plan; the funnel is five 1-row aggregates unioned "
+        "— no driver-side counting"
+    ),
     "token_shards_bucketed": (
         "token-budget sharding re-priced in BPE tokens (round 6): encode is "
         "map-only Arrow, then the same bucket-partitioned running-sum window "
