@@ -120,14 +120,34 @@ def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
     """Rank centroids per row: broadcast-crossJoin the (tiny) centroid table
     and keep the ``n`` nearest by squared L2. Centroids travel as DATA, not
     as literal expression trees — the plan stays constant-size regardless of
-    k·dim, and the join is a broadcast nested loop over k rows."""
-    w = Window.partitionBy("id").orderBy("d", "cid")
-    return (
+    k·dim, and the join is a broadcast nested loop over k rows.
+
+    The ``n == 1`` case (every clustering/assignment pass; semantic_dedup
+    runs it at corpus-scaled k) is an argmin, NOT a ranking — expressed as
+    a map-side-combinable ``MIN(struct(d, cid, payload))`` so the shuffle
+    carries one partial row per id per partition instead of the full k-way
+    expansion (vector payload included) a window sort would ship; decisions
+    are identical to the window form (ties break on cid, then on the
+    payload columns — unreachable, cid is unique per centroid)."""
+    others = [c for c in df.columns if c != "id"]
+    scored = (
         df.crossJoin(F.broadcast(cdf))
         .withColumn("d", _sq_l2_cols(F.col("vec"), F.col("cvec")))
-        .withColumn("crank", F.row_number().over(w))
+        .drop("cvec")  # dead after d: never shuffle the centroid payload
+    )
+    if n == 1:
+        m = scored.groupBy("id").agg(
+            F.min(F.struct("d", "cid", *others)).alias("_m")
+        )
+        return m.select(
+            "id", *[F.col(f"_m.{c}").alias(c) for c in others],
+            F.col("_m.cid").alias("cid"),
+        )
+    w = Window.partitionBy("id").orderBy("d", "cid")
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n)
-        .drop("cvec", "d", "crank")
+        .drop("d", "crank")
     )
 
 
@@ -428,13 +448,28 @@ def ivfpq_ann_topk(
                       _pq_checked_vec(F.col(vec_col), dim).alias("vec"))
 
     def coarse_assign(df: DataFrame, idn: str, n: int) -> DataFrame:
-        w = Window.partitionBy(idn).orderBy("cd", "ccid")
-        return (
+        # same argmin-vs-ranking split as _assign: n == 1 is a map-side-
+        # combinable MIN over (cd, ccid, payload) structs, n > 1 a window —
+        # and the centroid payload never reaches either shuffle
+        others = [c for c in df.columns if c != idn]
+        scored = (
             df.crossJoin(F.broadcast(coarse))
             .withColumn("cd", _sq_l2_cols(F.col("vec"), F.col("ccvec")))
-            .withColumn("crank", F.row_number().over(w))
+            .drop("ccvec")
+        )
+        if n == 1:
+            m = scored.groupBy(idn).agg(
+                F.min(F.struct("cd", "ccid", *others)).alias("_m")
+            )
+            return m.select(
+                idn, *[F.col(f"_m.{c}").alias(c) for c in others],
+                F.col("_m.ccid").alias("ccid"),
+            )
+        w = Window.partitionBy(idn).orderBy("cd", "ccid")
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= n)
-            .drop("ccvec", "cd", "crank")
+            .drop("cd", "crank")
         )
 
     lists = coarse_assign(base, "id", 1)  # (id, vec, ccid)
