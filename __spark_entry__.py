@@ -1737,6 +1737,56 @@ def q_bm25_retrieval(spark, sf):
     return bm25_topk(d, probes, k=3)
 
 
+def q_html_structured_data(spark, sf):
+    """Structured-data harvest over 260 formula-driven article pages —
+    the head-metadata surface (OpenGraph, canonical link, JSON-LD) a web
+    crawler feeds to knowledge/training pipelines. The Spark path runs the
+    REAL generator → byte-level extractor roundtrip in Arrow batches;
+    hazards rotate exactly as the web serves them (attribute order
+    flipped, single/double/unquoted values, entity-encoded og:title,
+    missing og/canonical/JSON-LD strata, a truncated JSON-LD body that
+    must flag not throw, multi-block JSON-LD). The oracle recomputes
+    every extracted value from the generating formulas."""
+    import b_pdf_parser_spark
+
+    b_pdf_parser_spark.ship_package(spark)
+    base = spark.range(0, 260, 1, 8)
+
+    def gen(batches):
+        import pandas as pd
+
+        from b_pdf_parser_spark.htmlmodel import extract_structured_data
+        from b_pdf_parser_spark.sources.pages import structured_page
+
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                sd = extract_structured_data(structured_page(i))
+                first = next(
+                    (d for d in sd["jsonld"] if isinstance(d, dict)), {}
+                )
+                wc = first.get("wordCount")
+                rows.append({
+                    "doc_id": i,
+                    "title": sd["title"],
+                    "og_title": sd["og"].get("og:title"),
+                    "og_type": sd["og"].get("og:type"),
+                    "og_locale": sd["og"].get("og:locale"),
+                    "canonical": sd["canonical"],
+                    "jsonld_type": first.get("@type"),
+                    "word_count": None if wc is None else int(wc),
+                    "n_jsonld": len(sd["jsonld"]),
+                    "jsonld_ok": sd["jsonld_ok"],
+                })
+            yield pd.DataFrame(rows)
+
+    schema = ("doc_id LONG, title STRING, og_title STRING, og_type STRING, "
+              "og_locale STRING, canonical STRING, jsonld_type STRING, "
+              "word_count LONG, n_jsonld LONG, jsonld_ok BOOLEAN")
+    return base.mapInPandas(gen, schema).orderBy("doc_id")
+
+
 def q_web_pipeline(spark, sf):
     """End-to-end web-corpus curation funnel — the composition a production
     training-data job materializes, declared as ONE Spark plan: exact dedup
@@ -2406,6 +2456,7 @@ def extra_queries() -> dict[str, _T]:
         "bigram_perplexity": q_bigram_perplexity,
         "bm25_retrieval": q_bm25_retrieval,
         "web_pipeline": q_web_pipeline,
+        "html_structured_data": q_html_structured_data,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4619,6 +4670,51 @@ def _all_oracles() -> dict[str, str]:
             -- subset (shared CTE block — web_pipeline embeds the same)
             WITH {_BIGRAM_NLL_CTES}
             SELECT doc_id, n_bigrams, nll_bits FROM bnll
+        """,
+        "html_structured_data": """
+            -- generator-replay oracle: every extracted value is a pure
+            -- integer function of the doc id; the hazard strata (missing
+            -- og/canonical/JSON-LD, truncated JSON-LD, second block) are
+            -- the same modulus rotations the generator applies
+            WITH d AS (SELECT range AS i FROM range(0, 260))
+            SELECT i AS doc_id,
+                   'Structured Doc ' || CAST(i AS VARCHAR) AS title,
+                   CASE WHEN i % 6 = 0 THEN NULL
+                        ELSE 'Article ' || CAST((i * 7) % 1000 AS VARCHAR)
+                             || CASE WHEN i % 9 = 2 THEN ' & more' ELSE '' END
+                   END AS og_title,
+                   CASE WHEN i % 6 = 0 THEN NULL
+                        ELSE CASE i % 3 WHEN 0 THEN 'article'
+                                        WHEN 1 THEN 'video.movie'
+                                        ELSE 'website' END
+                   END AS og_type,
+                   CASE WHEN i % 6 = 0 THEN NULL
+                        ELSE CASE i % 5 WHEN 0 THEN 'en_US' WHEN 1 THEN 'de_DE'
+                                        WHEN 2 THEN 'fr_FR' WHEN 3 THEN 'es_ES'
+                                        ELSE 'id_ID' END
+                   END AS og_locale,
+                   CASE WHEN i % 13 = 4 THEN NULL
+                        ELSE 'https://site' || CAST(i % 13 AS VARCHAR)
+                             || '.example/posts/' || CAST(i AS VARCHAR)
+                   END AS canonical,
+                   CASE WHEN i % 7 = 3 THEN NULL
+                        WHEN i % 11 = 5 THEN
+                             CASE WHEN i % 8 = 1 THEN 'BreadcrumbList'
+                                  ELSE NULL END
+                        ELSE CASE i % 4 WHEN 0 THEN 'Article'
+                                        WHEN 1 THEN 'NewsArticle'
+                                        WHEN 2 THEN 'BlogPosting'
+                                        ELSE 'Report' END
+                   END AS jsonld_type,
+                   CASE WHEN i % 7 = 3 OR i % 11 = 5 THEN NULL
+                        ELSE CAST(100 + (i * 31) % 900 AS BIGINT)
+                   END AS word_count,
+                   CAST(CASE WHEN i % 7 = 3 THEN 0
+                             ELSE (CASE WHEN i % 11 = 5 THEN 0 ELSE 1 END)
+                                  + (CASE WHEN i % 8 = 1 THEN 1 ELSE 0 END)
+                        END AS BIGINT) AS n_jsonld,
+                   (i % 7 = 3 OR i % 11 != 5) AS jsonld_ok
+            FROM d
         """,
         "web_pipeline": f"""
             -- the full curation chain restated: each stage's predicate is

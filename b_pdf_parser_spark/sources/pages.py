@@ -37,6 +37,7 @@ __all__ = [
     "formula_statement_lines",
     "formula_statement_pdf",
     "formula_statement_html",
+    "structured_page",
     "html_page",
     "html_statement_page",
     "make_page_row",
@@ -422,6 +423,65 @@ def formula_statement_html(i: int) -> bytes:
         f"<article>\n{hdr}{tables}\n{tail}</article>\n"
         "<footer>Copyright 2026 Synth Bank <a href='/tos'>Terms</a></footer>\n"
         "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def structured_page(i: int) -> bytes:
+    """Head-metadata stratum for the structured-data harvest
+    (``html_structured_data`` extras row): an article page whose
+    OpenGraph tags, canonical link and JSON-LD block are pure integer
+    functions of ``i``, with the hazards the real web rotates —
+    attribute order flipped on odd ids (``content=`` first), single vs
+    double quoting, an unquoted canonical ``href`` (i%10==7), an
+    HTML-entity ``&amp;`` inside og:title (i%9==2), a MISSING OpenGraph
+    set (i%6==0), a missing canonical (i%13==4), no JSON-LD at all
+    (i%7==3), a TRUNCATED (unparseable) JSON-LD body (i%11==5), and a
+    second JSON-LD block (i%8==1). The DuckDB oracle recomputes every
+    extracted value from the same formulas."""
+    import json as _json
+
+    og_title = f"Article {(i * 7) % 1000}" + (" & more" if i % 9 == 2 else "")
+    og_type = ("article", "video.movie", "website")[i % 3]
+    locale = ("en_US", "de_DE", "fr_FR", "es_ES", "id_ID")[i % 5]
+    canonical = f"https://site{i % 13}.example/posts/{i}"
+    metas: List[str] = []
+    if i % 6 != 0:
+        title_attr = og_title.replace("&", "&amp;")
+        if i % 2 == 0:
+            metas += [
+                f'<meta property="og:title" content="{title_attr}">',
+                f'<meta property="og:type" content="{og_type}">',
+            ]
+        else:  # attribute order flipped + single quotes: parser must not care
+            metas += [
+                f"<meta content='{title_attr}' property='og:title'>",
+                f"<meta content='{og_type}' property='og:type'>",
+            ]
+        metas.append(f'<meta property="og:locale" content="{locale}">')
+    if i % 13 != 4:
+        if i % 10 == 7:
+            metas.append(f"<link rel=canonical href={canonical}>")
+        else:
+            metas.append(f'<link rel="canonical" href="{canonical}">')
+    if i % 7 != 3:
+        body = _json.dumps({
+            "@context": "https://schema.org",
+            "@type": ("Article", "NewsArticle", "BlogPosting", "Report")[i % 4],
+            "wordCount": 100 + (i * 31) % 900,
+        })
+        if i % 11 == 5:
+            body = body[:-1]  # truncated on purpose: must flag, not throw
+        metas.append(f'<script type="application/ld+json">{body}</script>')
+        if i % 8 == 1:
+            extra = _json.dumps({"@type": "BreadcrumbList", "numberOfItems": i % 5})
+            metas.append(f'<script type="application/ld+json">{extra}</script>')
+    html = (
+        f"<!DOCTYPE html><html><head><title>Structured Doc {i}</title>\n"
+        + "\n".join(metas)
+        + f"</head><body>\n<article><p>synthetic paragraph {i} for the "
+        "structured data stratum with enough words to look like an "
+        "article body.</p></article>\n</body></html>"
     )
     return html.encode("utf-8")
 
