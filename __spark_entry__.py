@@ -1832,6 +1832,38 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_perplexity_buckets(spark, sf):
+    """CCNet's final stage: bucket every document into head/middle/tail
+    by perplexity TERCILE WITHIN ITS LANGUAGE (Wenzek et al. 2020 §4.3 —
+    per-language thresholds, because perplexity scales differ across
+    languages; head feeds high-quality training mixes). ntile(3) over the
+    (lang) partition ordered by (nll_bits, doc_id) — the doc_id tie-break
+    makes the cut deterministic under equal scores, so DuckDB's ntile
+    places identical rows. Output: per-(lang, bucket) doc counts + mean
+    nll (decimal-summed so fold order can't move the hash)."""
+    from b_pdf_parser_spark.operators.textstats import bigram_logprob
+
+    d = _t(spark, sf, "documents")
+    nll = bigram_logprob(d, F.col("lang") == "en").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("nll_bits"), F.asc("doc_id"))
+    bucketed = nll.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                     F.col("tercile")),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("nll_bits").cast("decimal(18,4)")).cast("double")
+             / F.count(F.lit(1))).alias("_m"),
+        )
+        .select("lang", "bucket", "n_docs", F.round("_m", 4).alias("mean_nll"))
+    )
+
+
 def q_ivfpq_ann_topk(spark, sf):
     """The ANN capstone composition — IVF inverted-list pruning + PQ
     compressed-code ADC scan + exact re-rank (IVFADC, Jégou et al.
@@ -2457,6 +2489,7 @@ def extra_queries() -> dict[str, _T]:
         "bm25_retrieval": q_bm25_retrieval,
         "web_pipeline": q_web_pipeline,
         "html_structured_data": q_html_structured_data,
+        "perplexity_buckets": q_perplexity_buckets,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4670,6 +4703,24 @@ def _all_oracles() -> dict[str, str]:
             -- subset (shared CTE block — web_pipeline embeds the same)
             WITH {_BIGRAM_NLL_CTES}
             SELECT doc_id, n_bigrams, nll_bits FROM bnll
+        """,
+        "perplexity_buckets": f"""
+            -- CCNet head/middle/tail: per-language ntile(3) on the shared
+            -- bigram-LM scores; (nll_bits, doc_id) ordering makes tercile
+            -- boundaries deterministic; decimal-summed mean
+            WITH {_BIGRAM_NLL_CTES},
+            scored AS (
+                SELECT n.doc_id, d.lang, n.nll_bits,
+                       ntile(3) OVER (PARTITION BY d.lang
+                                      ORDER BY n.nll_bits, n.doc_id) AS t
+                FROM bnll n JOIN documents d USING (doc_id))
+            SELECT lang,
+                   CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   round(CAST(SUM(CAST(nll_bits AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(*), 4) AS mean_nll
+            FROM scored GROUP BY 1, 2
         """,
         "html_structured_data": """
             -- generator-replay oracle: every extracted value is a pure
