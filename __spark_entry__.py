@@ -1832,6 +1832,36 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_feed_items(spark, sf):
+    """RSS/Atom item harvest over 240 formula-driven feeds — crawl
+    freshness discovery (sitemaps say what exists; feeds say what just
+    changed). Feed XML is generated in Arrow batches; ALL parsing is
+    relational (`parse_feeds`: regexp_extract_all + posexplode, zero
+    Python in the parse path), with CDATA-raw titles, entity decode,
+    RFC-822 → ISO date normalization, attribute-carrying tags, missing
+    dates and a truncated trailing item that must drop cleanly. The
+    oracle replays the generator formulas for every surviving row."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import parse_feeds
+
+    b_pdf_parser_spark.ship_package(spark)
+    base = spark.range(0, 240, 1, 8)
+
+    def gen(batches):
+        import pandas as pd
+
+        from b_pdf_parser_spark.sources.pages import feed_page
+
+        for b in batches:
+            yield pd.DataFrame({
+                "feed_id": [int(i) for i in b["id"]],
+                "xml": [feed_page(int(i)).decode("utf-8") for i in b["id"]],
+            })
+
+    feeds = base.mapInPandas(gen, "feed_id LONG, xml STRING")
+    return parse_feeds(feeds).orderBy("feed_id", "item_ix")
+
+
 def q_perplexity_buckets(spark, sf):
     """CCNet's final stage: bucket every document into head/middle/tail
     by perplexity TERCILE WITHIN ITS LANGUAGE (Wenzek et al. 2020 §4.3 —
@@ -2490,6 +2520,7 @@ def extra_queries() -> dict[str, _T]:
         "web_pipeline": q_web_pipeline,
         "html_structured_data": q_html_structured_data,
         "perplexity_buckets": q_perplexity_buckets,
+        "feed_items": q_feed_items,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4703,6 +4734,33 @@ def _all_oracles() -> dict[str, str]:
             -- subset (shared CTE block — web_pipeline embeds the same)
             WITH {_BIGRAM_NLL_CTES}
             SELECT doc_id, n_bigrams, nll_bits FROM bnll
+        """,
+        "feed_items": """
+            -- generator-replay: every surviving item row is a pure integer
+            -- function of (feed id, item index); the truncated-final-item
+            -- stratum (i%11=6) drops its last row, the i%13=9 stratum
+            -- nulls the first item's date
+            WITH f AS (SELECT range AS i FROM range(0, 240)),
+            it AS (SELECT i, CAST(unnest(range(0, 3 + i % 5)) AS BIGINT) AS j
+                   FROM f),
+            kept AS (SELECT i, j,
+                            CASE WHEN i % 2 = 0 THEN 'rss' ELSE 'atom' END
+                                AS kind
+                     FROM it
+                     WHERE NOT (i % 11 = 6 AND j = 2 + i % 5))
+            SELECT i AS feed_id, kind, j AS item_ix,
+                   'Item ' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                   || CASE WHEN j % 3 = 1 THEN ' <raw>'
+                           WHEN j % 3 = 2 THEN ' & co' ELSE '' END AS title,
+                   'https://feed' || CAST(i % 9 AS VARCHAR) || '.example/'
+                   || kind || '/' || CAST(i AS VARCHAR) || '/'
+                   || CAST(j AS VARCHAR) AS link,
+                   CASE WHEN i % 13 = 9 AND j = 0 THEN NULL
+                        ELSE strftime(DATE '2024-01-01'
+                                      + ((i + 3 * j) % 400) * INTERVAL 1 DAY,
+                                      '%Y-%m-%d')
+                   END AS pub_date
+            FROM kept
         """,
         "perplexity_buckets": f"""
             -- CCNet head/middle/tail: per-language ntile(3) on the shared

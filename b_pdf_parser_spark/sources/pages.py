@@ -38,6 +38,7 @@ __all__ = [
     "formula_statement_pdf",
     "formula_statement_html",
     "structured_page",
+    "feed_page",
     "html_page",
     "html_statement_page",
     "make_page_row",
@@ -484,6 +485,59 @@ def structured_page(i: int) -> bytes:
         "article body.</p></article>\n</body></html>"
     )
     return html.encode("utf-8")
+
+
+def feed_page(i: int) -> bytes:
+    """Syndication-feed stratum (``feed_items`` extras row): an RSS 2.0
+    (even ``i``) or Atom 1.0 (odd ``i``) feed whose every item field is a
+    pure integer function of ``(i, j)``, rotating the real-web hazards —
+    ``<![CDATA[...]]>`` titles carrying raw markup (j%3==1),
+    entity-escaped ``&amp;`` titles (j%3==2), a missing date on the first
+    item (i%13==9), and a TRUNCATED final item missing its close tag
+    (i%11==6 — must be dropped, never parsed as garbage). The DuckDB
+    oracle recomputes every surviving row from the same formulas."""
+    import datetime as _dt
+
+    kind = "rss" if i % 2 == 0 else "atom"
+    n_items = 3 + i % 5
+    base = _dt.date(2024, 1, 1)
+    items: List[str] = []
+    for j in range(n_items):
+        if j % 3 == 1:
+            title_xml = f"<![CDATA[Item {i}-{j} <raw>]]>"
+        elif j % 3 == 2:
+            title_xml = f"Item {i}-{j} &amp; co"
+        else:
+            title_xml = f"Item {i}-{j}"
+        link = f"https://feed{i % 9}.example/{kind}/{i}/{j}"
+        d = base + _dt.timedelta(days=(i + 3 * j) % 400)
+        no_date = i % 13 == 9 and j == 0
+        if kind == "rss":
+            pd_tag = "" if no_date else (
+                "<pubDate>" + d.strftime("%a, %d %b %Y 08:00:00 GMT")
+                + "</pubDate>")
+            body = (f"<item>\n  <title>{title_xml}</title>\n"
+                    f"  <link>{link}</link>\n"
+                    f"  <guid>urn:feed:{i}:{j}</guid>\n  {pd_tag}\n</item>")
+        else:
+            upd_tag = "" if no_date else (
+                f"<updated>{d.isoformat()}T08:00:00Z</updated>")
+            body = (f'<entry xml:lang="en">\n'
+                    f'  <title type="text">{title_xml}</title>\n'
+                    f'  <link rel="alternate" href="{link}"/>\n'
+                    f"  <id>urn:feed:{i}:{j}</id>\n  {upd_tag}\n</entry>")
+        if i % 11 == 6 and j == n_items - 1:
+            body = body.rsplit("</", 1)[0]  # truncated on purpose
+        items.append(body)
+    if kind == "rss":
+        xml = ('<?xml version="1.0"?>\n<rss version="2.0"><channel>\n'
+               f"<title>Feed {i}</title>\n" + "\n".join(items)
+               + "\n</channel></rss>")
+    else:
+        xml = ('<?xml version="1.0"?>\n'
+               '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+               f"<title>Feed {i}</title>\n" + "\n".join(items) + "\n</feed>")
+    return xml.encode("utf-8")
 
 
 def report_pdf(rng: random.Random) -> bytes:

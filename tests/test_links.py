@@ -277,3 +277,47 @@ def test_unicode_case_change_does_not_desync_offsets():
             '<a href="/tr">İzmir</a></body></html>').encode("utf-8")
     links = extract_links(html)
     assert links == [{"href": "/tr", "anchor": "İzmir"}]
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feed parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_feeds_rss_and_atom_unify(spark):
+    from b_pdf_parser_spark.operators.links import parse_feeds
+
+    rss = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+           "<title>F</title>"
+           "<item><title>A &amp; B</title><link>https://x/1</link>"
+           "<pubDate>Tue, 02 Jan 2024 08:00:00 GMT</pubDate></item>"
+           "<item><title><![CDATA[Raw <b>]]></title><link>https://x/2</link>"
+           "</item></channel></rss>")
+    atom = ('<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+            '<title>F</title><entry xml:lang="en">'
+            '<title type="text">C</title>'
+            '<link rel="alternate" href="https://y/1"/>'
+            "<updated>2024-03-05T00:00:00Z</updated></entry>"
+            "<entry><title>cut off"  # truncated: dropped, not garbage
+            "</feed>")
+    df = spark.createDataFrame([(1, rss), (2, atom)], "feed_id long, xml string")
+    rows = {(r.feed_id, r.item_ix): r for r in parse_feeds(df).collect()}
+    assert len(rows) == 3
+    assert rows[(1, 0)].title == "A & B"            # entity-decoded
+    assert rows[(1, 0)].pub_date == "2024-01-02"    # RFC 822 -> ISO
+    assert rows[(1, 1)].title == "Raw <b>"          # CDATA passes raw
+    assert rows[(1, 1)].pub_date is None            # missing date -> null
+    assert rows[(2, 0)].kind == "atom"
+    assert rows[(2, 0)].link == "https://y/1"       # href attribute form
+    assert rows[(2, 0)].pub_date == "2024-03-05"
+    assert (2, 1) not in rows                       # truncated entry dropped
+
+
+def test_parse_feeds_non_feed_yields_no_rows(spark):
+    from b_pdf_parser_spark.operators.links import parse_feeds
+
+    df = spark.createDataFrame(
+        [(1, "<html><body>not a feed</body></html>")],
+        "feed_id long, xml string",
+    )
+    assert parse_feeds(df).count() == 0
