@@ -1832,6 +1832,30 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_quality_classifier(spark, sf):
+    """Trained quality classifier — the 'Wikipedia-likeness' filter stage
+    of LLaMA/GPT-3-style pipelines (public method): full-batch logistic
+    regression over four cheap text features, distilling a heuristic
+    curation rule (here the length filter n_chars >= 306) into a smooth
+    scorer — exactly how production pipelines turn hand rules into
+    classifiers. Corpus z-scored features (GD on raw bounded features is
+    ill-conditioned), 8 deterministic GD iterations at lr=2; each
+    iteration is ONE map-side-combined aggregation and only the 5-number
+    gradient reaches the driver (the k-means-centroid pattern). Per-row
+    gradient contributions are decimal(28,9)-summed, so the whole
+    optimization trajectory is bit-identical under any partitioning and
+    the oracle replays it as unrolled SQL CTEs. Output: final weights +
+    in-corpus accuracy (0.95 at the sf0.01 gate — the model genuinely
+    learns the rule; majority-class is 0.5)."""
+    from b_pdf_parser_spark.operators.classifier import logreg_report
+
+    d = _t(spark, sf, "documents")
+    _, report = logreg_report(
+        d, label=F.col("n_chars") >= 306, n_iter=8, lr=2.0
+    )
+    return report
+
+
 def q_feed_items(spark, sf):
     """RSS/Atom item harvest over 240 formula-driven feeds — crawl
     freshness discovery (sitemaps say what exists; feeds say what just
@@ -2521,6 +2545,7 @@ def extra_queries() -> dict[str, _T]:
         "html_structured_data": q_html_structured_data,
         "perplexity_buckets": q_perplexity_buckets,
         "feed_items": q_feed_items,
+        "quality_classifier": q_quality_classifier,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2748,6 +2773,92 @@ def _formula_txn_oracle() -> str:
                CASE WHEN b.is_cr THEN {fmt('b.cents')} ELSE '0,00' END AS credit,
                {fmt('b.bal_c')} AS balance
         FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % {len(_DESCS)}
+    """
+
+
+def _logreg_oracle(n_iter: int = 8, lr: str = "2.0") -> str:
+    """Unrolled-GD restatement of ``q_quality_classifier``: the features,
+    z-scoring, sigmoid, decimal-summed gradient and weight update are the
+    same fixed-shape IEEE expressions the Spark side evaluates, iteration
+    by iteration — built by a loop so the oracle can't drift from the
+    operator's iteration count."""
+    sw = "', '".join(("the", "and", "of", "to", "a"))
+    feats = f"""f0 AS MATERIALIZED (
+        SELECT CAST(n_chars >= 306 AS DOUBLE) AS y,
+               CASE WHEN len(ts) = 0 THEN 0.0
+                    ELSE round(CAST(len(list_filter(ts, t -> t IN ('{sw}')))
+                               AS DOUBLE) / len(ts), 4) END AS x1,
+               round(least((CASE WHEN len(ts) = 0 THEN 0.0
+                    ELSE CAST(length(replace(trim(text), ' ', ''))
+                         AS DOUBLE) / len(ts) END) / 8.0, 1.0), 4) AS x2,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE round(CAST(length(regexp_replace(text,
+                         '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / length(text), 4) END AS x3,
+               round(log2(1.0 + len(ts)) / 16.0, 4) AS x4
+        FROM (SELECT n_chars, text, {_TOKS} AS ts FROM documents))"""
+    means = ", ".join(
+        f"CAST(SUM(CAST(x{k} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS m{k}"
+        for k in range(1, 5)
+    )
+    devs = ", ".join(
+        f"sqrt(CAST(SUM(CAST(round((x{k} - m{k}) * (x{k} - m{k}), 9)"
+        f" AS DECIMAL(28,9))) AS DOUBLE) / MAX(n)) AS s{k}"
+        for k in range(1, 5)
+    )
+    zcols = ", ".join(
+        f"CASE WHEN s{k} = 0 THEN 0.0 ELSE (x{k} - m{k}) / s{k} END AS x{k}"
+        for k in range(1, 5)
+    )
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs per REFERENCE,
+    # and this dependency chain (each w_t -> g_t -> f -> f0, plus the
+    # w_{t-1} cross join) re-expands doubling per iteration — 4 minutes at
+    # T=8 inlined, ~1 s materialized
+    ctes = [
+        feats,
+        f"fm AS MATERIALIZED (SELECT COUNT(*) AS n, {means} FROM f0)",
+        f"fs AS MATERIALIZED (SELECT {devs} FROM f0 CROSS JOIN fm)",
+        f"f AS MATERIALIZED (SELECT y, {zcols}"
+        " FROM f0 CROSS JOIN fm CROSS JOIN fs)",
+    ]
+    wref = ["0.0"] * 5
+    xs = ["1.0", "x1", "x2", "x3", "x4"]
+    for t in range(1, n_iter + 1):
+        z = (f"{wref[0]} + {wref[1]} * x1 + {wref[2]} * x2"
+             f" + {wref[3]} * x3 + {wref[4]} * x4")
+        join = "" if t == 1 else f" CROSS JOIN w{t-1}"
+        gs = ",\n               ".join(
+            f"CAST(SUM(CAST(round((1.0 / (1.0 + exp(-({z}))) - y)"
+            f" * {xs[k]}, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g{k}"
+            for k in range(5)
+        )
+        ctes.append(
+            f"g{t} AS MATERIALIZED (SELECT COUNT(*) AS n,\n"
+            f"               {gs}\n        FROM f{join})"
+        )
+        prev_join = "" if t == 1 else f" CROSS JOIN w{t-1}"
+        ws = ", ".join(
+            f"{wref[k]} - {lr} * (g{k} / n) AS w{k}" for k in range(5)
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT {ws} FROM g{t}{prev_join})"
+        )
+        wref = [f"w{k}" for k in range(5)]
+    zf = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
+    joined = ",\n        ".join(ctes)  # py3.11: no backslash in f-expr
+    wsel = "".join(
+        f" UNION ALL SELECT 'w{k}', round(w{k}, 6) FROM w{n_iter}"
+        for k in range(5)
+    )
+    return f"""
+        WITH {joined}
+        SELECT 'accuracy' AS metric,
+               round(CAST(SUM(CASE WHEN (({zf}) >= 0) = (y = 1.0)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS value
+        FROM f CROSS JOIN w{n_iter}
+        UNION ALL SELECT 'n_docs', CAST(COUNT(*) AS DOUBLE) FROM f
+        {wsel}
     """
 
 
@@ -4735,6 +4846,7 @@ def _all_oracles() -> dict[str, str]:
             WITH {_BIGRAM_NLL_CTES}
             SELECT doc_id, n_bigrams, nll_bits FROM bnll
         """,
+        "quality_classifier": _logreg_oracle(),
         "feed_items": """
             -- generator-replay: every surviving item row is a pure integer
             -- function of (feed id, item index); the truncated-final-item
