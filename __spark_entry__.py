@@ -1832,6 +1832,31 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_host_hits(spark, sf):
+    """HITS hubs & authorities over the same REAL extracted edge table as
+    `host_pagerank` (markup walk → href host parse) — 3 iterations of the
+    mutual-reinforcement fixed point in BIGINT micro-units with L1
+    renormalization each half-step, so the oracle's unrolled recomputation
+    matches bit-for-bit."""
+    import b_pdf_parser_spark
+    from b_pdf_parser_spark.operators.links import (
+        _HOST_PATTERN,
+        extract_outlinks,
+        host_hits,
+        synth_linkdoc_df,
+    )
+
+    b_pdf_parser_spark.ship_package(spark)
+    links = extract_outlinks(synth_linkdoc_df(spark, 400))
+    edges = links.select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+        ).alias("src"),
+        F.regexp_extract("href", _HOST_PATTERN, 1).alias("dst"),
+    ).filter(F.col("dst") != "")
+    return host_hits(edges).orderBy(F.desc("authority"), F.asc("host"))
+
+
 def q_quality_classifier(spark, sf):
     """Trained quality classifier — the 'Wikipedia-likeness' filter stage
     of LLaMA/GPT-3-style pipelines (public method): full-batch logistic
@@ -2546,6 +2571,7 @@ def extra_queries() -> dict[str, _T]:
         "perplexity_buckets": q_perplexity_buckets,
         "feed_items": q_feed_items,
         "quality_classifier": q_quality_classifier,
+        "host_hits": q_host_hits,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2774,6 +2800,69 @@ def _formula_txn_oracle() -> str:
                {fmt('b.bal_c')} AS balance
         FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % {len(_DESCS)}
     """
+
+
+def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled HITS restatement on the same formula edge table as the
+    host_pagerank oracle; every half-step is an integer join/sum plus the
+    L1 renormalization `x * scale // total` — bit-exact by construction.
+    AS MATERIALIZED throughout (the a↔h dependency chain would otherwise
+    re-inline doubling per iteration, the _logreg_oracle lesson)."""
+    ctes = [
+        """d AS MATERIALIZED (SELECT range AS i FROM range(0, 400)),
+            ks AS MATERIALIZED (SELECT i AS doc_id,
+                          CAST(unnest(range(1, 1 + i % 5)) AS BIGINT) AS k
+                   FROM d),
+            e AS MATERIALIZED (SELECT DISTINCT
+                      'host' || (doc_id % 20) || '.example' AS src,
+                      'host' || ((doc_id * k) % 20) || '.example' AS dst
+                  FROM ks),
+            hosts AS MATERIALIZED (SELECT src AS host FROM e
+                                   UNION SELECT dst FROM e),
+            nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM hosts),
+            h0 AS MATERIALIZED (SELECT host,
+                        CAST({scale} // n AS BIGINT) AS hub
+                   FROM hosts CROSS JOIN nn)""".format(scale=scale)
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS host,"
+            f" CAST(SUM(h.hub) AS BIGINT) AS ar"
+            f" FROM e JOIN h{p} h ON h.host = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"at{t} AS MATERIALIZED (SELECT CAST(SUM(ar) AS BIGINT) AS at"
+            f" FROM ar{t})"
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT hs.host,"
+            f" CAST(coalesce(ar.ar, 0) * {scale} // at AS BIGINT) AS authority"
+            f" FROM hosts hs CROSS JOIN at{t}"
+            f" LEFT JOIN ar{t} ar ON ar.host = hs.host)"
+        )
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS host,"
+            f" CAST(SUM(a.authority) AS BIGINT) AS hr"
+            f" FROM e JOIN a{t} a ON a.host = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"ht{t} AS MATERIALIZED (SELECT CAST(SUM(hr) AS BIGINT) AS ht"
+            f" FROM hr{t})"
+        )
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT hs.host,"
+            f" CAST(coalesce(hr.hr, 0) * {scale} // ht AS BIGINT) AS hub"
+            f" FROM hosts hs CROSS JOIN ht{t}"
+            f" LEFT JOIN hr{t} hr ON hr.host = hs.host)"
+        )
+    joined = ",\n            ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT a{iters}.host, authority, hub\n"
+        f"FROM a{iters} JOIN h{iters} USING (host)\n"
+        f"ORDER BY authority DESC, host ASC"
+    )
 
 
 def _logreg_oracle(n_iter: int = 8, lr: str = "2.0") -> str:
@@ -4847,6 +4936,7 @@ def _all_oracles() -> dict[str, str]:
             SELECT doc_id, n_bigrams, nll_bits FROM bnll
         """,
         "quality_classifier": _logreg_oracle(),
+        "host_hits": _hits_oracle(),
         "feed_items": """
             -- generator-replay: every surviving item row is a pure integer
             -- function of (feed id, item index); the truncated-final-item

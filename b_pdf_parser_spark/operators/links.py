@@ -24,6 +24,7 @@ __all__ = [
     "anchor_texts",
     "host_degrees",
     "host_pagerank",
+    "host_hits",
     "parse_robots",
     "parse_sitemaps",
     "parse_feeds",
@@ -298,6 +299,66 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     return urls.join(best, "url", "left").select(
         "url", "host", "path", F.coalesce("allow", F.lit(True)).alias("allowed")
     )
+
+
+def host_hits(
+    edges: DataFrame, iters: int = 3, scale: int = 10**6
+) -> DataFrame:
+    """HITS hubs & authorities over ``(src, dst)`` edges (Kleinberg 1999 —
+    public) — PageRank's companion crawl signal: authorities are the pages
+    worth fetching, hubs the listings worth re-crawling for discovery.
+    Same fixed-point BIGINT discipline as :func:`host_pagerank` (integer
+    sums are partition-order-independent, so ranks are bit-identical on
+    any cluster size and the oracle checks exact values), with L1
+    normalization each half-step: ``x * scale DIV total`` (truncating
+    division, deterministic). ``scale`` = 10^6 keeps the worst-case
+    intermediate ``Σhub·outdeg·scale`` far inside BIGINT.
+
+    Plan per iteration: two equi-joins + two host-keyed groupBys, all
+    linear and map-side combined; the normalization totals are 1-row
+    broadcast crossJoins, never driver collects."""
+    e = edges.select("src", "dst").distinct()
+    e = e.localCheckpoint(eager=False)
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n1 = hosts.agg(F.count("*").alias("n"))
+    h = hosts.crossJoin(F.broadcast(n1)).select(
+        "host", F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("hub")
+    )
+    a = None
+    for _ in range(iters):
+        ar = (
+            e.join(h.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst").agg(F.sum("hub").alias("ar"))
+            .withColumnRenamed("dst", "host")
+        )
+        atot = ar.agg(F.sum("ar").alias("at"))
+        a = (
+            hosts.join(ar, "host", "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "host",
+                F.expr(f"coalesce(ar, 0) * {scale} DIV at").alias("authority"),
+            )
+        )
+        hr = (
+            e.join(a.withColumnRenamed("host", "dst"), "dst")
+            .groupBy("src").agg(F.sum("authority").alias("hr"))
+            .withColumnRenamed("src", "host")
+        )
+        htot = hr.agg(F.sum("hr").alias("ht"))
+        h = (
+            hosts.join(hr, "host", "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "host",
+                F.expr(f"coalesce(hr, 0) * {scale} DIV ht").alias("hub"),
+            )
+        )
+    return a.join(h, "host")
 
 
 def _xml_unescape(c: F.Column) -> F.Column:
