@@ -1832,6 +1832,49 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_cc_luhn_scrub(spark, sf):
+    """Luhn-validated credit-card scrubbing over 300 relational rows —
+    the precision step a real PII pass needs: a 13–19-digit run redacts
+    ONLY if its ISO 7812 mod-10 checksum holds, so each row's deliberate
+    decoy (same 15 digits, check digit shifted by 5) and order-id noise
+    survive. Everything is codegen'd SQL expressions end to end: the test
+    corpus CONSTRUCTS valid check digits with the same integer fold the
+    validator runs (zero Python anywhere), strata rotate digitless rows
+    (i%7==3) and two-valid-card rows (i%5==4), and the oracle replays the
+    construction to state the expected scrubbed text directly."""
+    from b_pdf_parser_spark.operators.textstats import with_cc_scrub
+
+    base = spark.range(0, 300).select(F.col("id").alias("i"))
+
+    def ccpair(iexpr):
+        b15 = (f"concat('4', lpad(CAST(({iexpr} * 2654435761) %"
+               " 100000000000000 AS STRING), 14, '0'))")
+        dig = f"(ascii(substr(reverse({b15}), p, 1)) - 48)"
+        s15 = ("aggregate(sequence(1, 15), 0, (acc, p) -> acc + "
+               f"(CASE WHEN p % 2 = 1 THEN CASE WHEN {dig} * 2 > 9 "
+               f"THEN {dig} * 2 - 9 ELSE {dig} * 2 END "
+               f"ELSE {dig} END))")
+        d = f"(10 - ({s15}) % 10) % 10"
+        return (f"concat({b15}, CAST({d} AS STRING))",
+                f"concat({b15}, CAST(({d} + 5) % 10 AS STRING))")
+
+    cc, bad = ccpair("i")
+    cc2, _ = ccpair("(i + 1000)")
+    text = (
+        "CASE WHEN i % 7 = 3 THEN"
+        " concat('no digits in row ', CAST(i AS STRING), ' at all')"
+        " WHEN i % 5 = 4 THEN"
+        f" concat('order ', CAST(i AS STRING), ' pay ', {cc},"
+        f" ' alt ', {cc2}, ' end')"
+        f" ELSE concat('order ', CAST(i AS STRING), ' card ', {cc},"
+        f" ' backup ', {bad}, ' done') END"
+    )
+    rows = base.select(F.col("i").alias("pii_id"), F.expr(text).alias("text"))
+    return with_cc_scrub(rows, "text").select(
+        "pii_id", "n_candidates", "n_valid", "scrubbed"
+    )
+
+
 def q_host_hits(spark, sf):
     """HITS hubs & authorities over the same REAL extracted edge table as
     `host_pagerank` (markup walk → href host parse) — 3 iterations of the
@@ -2572,6 +2615,7 @@ def extra_queries() -> dict[str, _T]:
         "feed_items": q_feed_items,
         "quality_classifier": q_quality_classifier,
         "host_hits": q_host_hits,
+        "cc_luhn_scrub": q_cc_luhn_scrub,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4937,6 +4981,59 @@ def _all_oracles() -> dict[str, str]:
         """,
         "quality_classifier": _logreg_oracle(),
         "host_hits": _hits_oracle(),
+        "cc_luhn_scrub": """
+            -- generator-replay: the oracle rebuilds each row's valid card
+            -- (same integer Luhn fold) and states the expected counts and
+            -- scrubbed text directly from the strata formulas
+            WITH d AS (SELECT range AS i FROM range(0, 300)),
+            c1 AS (SELECT i,
+                '4' || lpad(CAST((i * 2654435761) % 100000000000000
+                            AS VARCHAR), 14, '0') AS b15,
+                '4' || lpad(CAST(((i + 1000) * 2654435761) % 100000000000000
+                            AS VARCHAR), 14, '0') AS b15b
+              FROM d),
+            c2 AS (SELECT i, b15, b15b,
+                list_sum(list_transform(range(1, 16), p ->
+                  CASE WHEN p % 2 = 1 THEN
+                    CASE WHEN (ascii(substr(reverse(b15), CAST(p AS INT), 1))
+                               - 48) * 2 > 9
+                    THEN (ascii(substr(reverse(b15), CAST(p AS INT), 1))
+                          - 48) * 2 - 9
+                    ELSE (ascii(substr(reverse(b15), CAST(p AS INT), 1))
+                          - 48) * 2 END
+                  ELSE ascii(substr(reverse(b15), CAST(p AS INT), 1)) - 48
+                  END)) AS s15,
+                list_sum(list_transform(range(1, 16), p ->
+                  CASE WHEN p % 2 = 1 THEN
+                    CASE WHEN (ascii(substr(reverse(b15b), CAST(p AS INT), 1))
+                               - 48) * 2 > 9
+                    THEN (ascii(substr(reverse(b15b), CAST(p AS INT), 1))
+                          - 48) * 2 - 9
+                    ELSE (ascii(substr(reverse(b15b), CAST(p AS INT), 1))
+                          - 48) * 2 END
+                  ELSE ascii(substr(reverse(b15b), CAST(p AS INT), 1)) - 48
+                  END)) AS s15b
+              FROM c1),
+            c3 AS (SELECT i,
+                b15 || CAST((10 - s15 % 10) % 10 AS VARCHAR) AS cc,
+                b15 || CAST(((10 - s15 % 10) % 10 + 5) % 10 AS VARCHAR)
+                    AS bad,
+                b15b || CAST((10 - s15b % 10) % 10 AS VARCHAR) AS cc2
+              FROM c2)
+            SELECT i AS pii_id,
+                CASE WHEN i % 7 = 3 THEN 0 ELSE 2 END AS n_candidates,
+                CASE WHEN i % 7 = 3 THEN 0
+                     WHEN i % 5 = 4 THEN 2 ELSE 1 END AS n_valid,
+                CASE WHEN i % 7 = 3 THEN
+                       'no digits in row ' || CAST(i AS VARCHAR) || ' at all'
+                     WHEN i % 5 = 4 THEN
+                       'order ' || CAST(i AS VARCHAR)
+                       || ' pay <CC> alt <CC> end'
+                     ELSE 'order ' || CAST(i AS VARCHAR)
+                       || ' card <CC> backup ' || bad || ' done'
+                END AS scrubbed
+            FROM c3
+        """,
         "feed_items": """
             -- generator-replay: every surviving item row is a pure integer
             -- function of (feed id, item index); the truncated-final-item

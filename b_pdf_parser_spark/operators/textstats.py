@@ -31,6 +31,7 @@ __all__ = [
     "langid",
     "unigram_logprob",
     "bm25_topk",
+    "with_cc_scrub",
     "bigram_logprob",
     "word_ngrams",
     "intra_doc_repetition",
@@ -370,6 +371,51 @@ def bm25_topk(
             "n_hit",
             F.round(F.col("sc").cast("double"), 4).alias("bm25"),
         )
+    )
+
+
+# Luhn mod-10 checksum as a pure Spark-SQL expression over a digit-string
+# lambda variable `x` (ISO/IEC 7812 — public): double every 2nd digit from
+# the right, subtract 9 when the double exceeds 9, valid iff sum % 10 == 0.
+# Integer-only arithmetic → bit-exact in any engine; the DuckDB oracle
+# restates the identical formula with list_sum/list_transform.
+_LUHN_X = (
+    "aggregate(sequence(1, length(x)), 0, (acc, p) -> acc + "
+    "(CASE WHEN p % 2 = 0 THEN "
+    "CASE WHEN (ascii(substr(reverse(x), p, 1)) - 48) * 2 > 9 "
+    "THEN (ascii(substr(reverse(x), p, 1)) - 48) * 2 - 9 "
+    "ELSE (ascii(substr(reverse(x), p, 1)) - 48) * 2 END "
+    "ELSE ascii(substr(reverse(x), p, 1)) - 48 END)) % 10 = 0"
+)
+
+
+def with_cc_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Credit-card scrubbing with LUHN VALIDATION — the precision step a
+    real PII pass needs: a 13–19-digit run is only a card number if its
+    mod-10 checksum holds, so order ids, tracking numbers and timestamps
+    survive while genuine PANs redact. Appends ``n_candidates`` (digit
+    runs seen), ``n_valid`` (Luhn-passing) and ``scrubbed`` (only the
+    valid ones replaced by ``<CC>``). Entirely relational — the candidate
+    extraction, the checksum fold and the replacement fold are codegen'd
+    higher-order expressions, no UDF, no shuffle."""
+    out = (
+        df.withColumn(
+            "_cands",
+            F.expr(
+                f"regexp_extract_all({text_col},"
+                " '\\\\b\\\\d{13,19}\\\\b', 0)"
+            ),
+        )
+        .withColumn("_valid", F.expr(f"filter(_cands, x -> {_LUHN_X})"))
+    )
+    return out.select(
+        *df.columns,
+        F.size("_cands").alias("n_candidates"),
+        F.size("_valid").alias("n_valid"),
+        F.expr(
+            f"aggregate(_valid, {text_col},"
+            " (acc, x) -> replace(acc, x, '<CC>'))"
+        ).alias("scrubbed"),
     )
 
 

@@ -241,6 +241,23 @@ def test_bm25_topk_hand_computed(spark):
     ]
 
 
+def test_cc_luhn_scrub_validates_checksum(spark):
+    from b_pdf_parser_spark.operators.textstats import with_cc_scrub
+
+    df = spark.createDataFrame(
+        [(1, "pay 4539148803436467 or 4539148803436462 now"),
+         (2, "order 12345 plain")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in with_cc_scrub(df).collect()}
+    # the first number is a genuinely Luhn-valid PAN, the second differs
+    # only in the check digit — candidates 2, valid 1, only the real one
+    # redacts; short digit runs are never candidates
+    assert (out[1].n_candidates, out[1].n_valid) == (2, 1)
+    assert out[1].scrubbed == "pay <CC> or 4539148803436462 now"
+    assert (out[2].n_candidates, out[2].n_valid) == (0, 0)
+
+
 def test_per_host_cap_exact_and_partitioning_independent(spark):
     from b_pdf_parser_spark.operators.sampling import per_host_cap
 
