@@ -1832,6 +1832,81 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_gif_anim_frames(spark, sf):
+    """ANIMATED GIF with real inter-frame composition — 120 deterministic
+    animations whose strata rotate the four composition regimes of GIF89a:
+    disposal 1 (frames accumulate), disposal 2 (restore background over
+    the frame rect), disposal 3 (restore the pre-frame canvas), and
+    transparency + LOCAL color table (checkerboard indices where the
+    transparent half must leave the canvas untouched). The decoder
+    reconstructs every full-canvas frame a player would show; per-frame
+    per-channel pixel sums + GCE delays are checked against closed-form
+    expressions of the generator formulas — a wrong disposal, transparency
+    or palette-scope decision shifts a sum and breaks the hash."""
+    import b_pdf_parser_spark
+
+    b_pdf_parser_spark.ship_package(spark)
+    base = spark.range(0, 120, 1, 8)
+
+    def gen(batches):
+        import pandas as pd
+
+        from b_pdf_parser_spark.mediacodec import (
+            decode_gif_frames,
+            encode_gif_frames,
+        )
+
+        for batch in batches:
+            rows = []
+            for raw in batch["id"]:
+                i = int(raw)
+                W = 8 + (i % 5) * 2
+                H = 6 + (i % 4) * 2
+                nF = 2 + i % 3
+                s = i % 4
+                pal = [((17 * k + i) % 256, (29 * k + 2 * i) % 256,
+                        (41 * k + 3 * i) % 256) for k in range(8)]
+                lpal = [((23 * k + 5 * i) % 256, (31 * k + i) % 256,
+                         (47 * k + 7 * i) % 256) for k in range(8)]
+                frames = []
+                for j in range(nF):
+                    delay = (i + j) % 100
+                    if s == 3:
+                        tc = 1 + (i + j) % 7
+                        idx = bytes(0 if x % 2 == 0 else tc for x in range(W))
+                        frames.append(dict(
+                            left=0, top=j, w=W, h=1, indices=idx,
+                            disposal=2, delay_cs=delay, transparent=0,
+                            palette=lpal,
+                        ))
+                    else:
+                        c = (i + j + 1) % 8
+                        disp = {0: 1, 1: 2,
+                                2: (1 if j == 0 else 3)}[s]
+                        frames.append(dict(
+                            left=0, top=j, w=W, h=1,
+                            indices=bytes([c]) * W,
+                            disposal=disp, delay_cs=delay,
+                        ))
+                data = encode_gif_frames(W, H, pal, i % 8, frames)
+                sw, sh, decoded = decode_gif_frames(data)
+                for j, f in enumerate(decoded):
+                    rgb = f["rgb"]
+                    rows.append({
+                        "media_id": i, "frame_ix": j,
+                        "width": sw, "height": sh, "n_frames": len(decoded),
+                        "delay_cs": f["delay_cs"],
+                        "r_sum": sum(rgb[0::3]), "g_sum": sum(rgb[1::3]),
+                        "b_sum": sum(rgb[2::3]),
+                    })
+            yield pd.DataFrame(rows)
+
+    schema = ("media_id LONG, frame_ix LONG, width LONG, height LONG, "
+              "n_frames LONG, delay_cs LONG, r_sum LONG, g_sum LONG, "
+              "b_sum LONG")
+    return base.mapInPandas(gen, schema).orderBy("media_id", "frame_ix")
+
+
 def q_cc_luhn_scrub(spark, sf):
     """Luhn-validated credit-card scrubbing over 300 relational rows —
     the precision step a real PII pass needs: a 13–19-digit run redacts
@@ -2616,6 +2691,7 @@ def extra_queries() -> dict[str, _T]:
         "quality_classifier": q_quality_classifier,
         "host_hits": q_host_hits,
         "cc_luhn_scrub": q_cc_luhn_scrub,
+        "gif_anim_frames": q_gif_anim_frames,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -4981,6 +5057,73 @@ def _all_oracles() -> dict[str, str]:
         """,
         "quality_classifier": _logreg_oracle(),
         "host_hits": _hits_oracle(),
+        "gif_anim_frames": """
+            -- closed-form composition replay: per stratum, the visible
+            -- canvas of frame j is a known mix of background + painted
+            -- strips, so each channel sum is an exact integer expression
+            -- of the palette formulas (Rb = bg channel, Rc(k) = strip
+            -- color channel; s=0 accumulates strips 0..j, s=1 shows only
+            -- strip j, s=2 shows strip 0 + strip j, s=3 paints the odd
+            -- half of the strip from the LOCAL palette)
+            WITH d AS (SELECT range AS i FROM range(0, 120)),
+            fr AS (SELECT i, CAST(unnest(range(0, 2 + i % 3)) AS BIGINT)
+                          AS j
+                   FROM d),
+            base AS (SELECT i, j,
+                        CAST(8 + (i % 5) * 2 AS BIGINT) AS w,
+                        CAST(6 + (i % 4) * 2 AS BIGINT) AS h,
+                        CAST(2 + i % 3 AS BIGINT) AS nf,
+                        i % 4 AS s,
+                        (17 * (i % 8) + i) % 256 AS rb,
+                        (29 * (i % 8) + 2 * i) % 256 AS gb,
+                        (41 * (i % 8) + 3 * i) % 256 AS bb,
+                        (17 * ((i + j + 1) % 8) + i) % 256 AS rj,
+                        (29 * ((i + j + 1) % 8) + 2 * i) % 256 AS gj,
+                        (41 * ((i + j + 1) % 8) + 3 * i) % 256 AS bj,
+                        (17 * ((i + 1) % 8) + i) % 256 AS r0,
+                        (29 * ((i + 1) % 8) + 2 * i) % 256 AS g0,
+                        (41 * ((i + 1) % 8) + 3 * i) % 256 AS b0,
+                        (23 * (1 + (i + j) % 7) + 5 * i) % 256 AS rl,
+                        (31 * (1 + (i + j) % 7) + i) % 256 AS gl,
+                        (47 * (1 + (i + j) % 7) + 7 * i) % 256 AS bl
+                     FROM fr),
+            cum AS (SELECT b.i, b.j,
+                        SUM((17 * ((b.i + u.k + 1) % 8) + b.i) % 256) AS cr,
+                        SUM((29 * ((b.i + u.k + 1) % 8) + 2 * b.i) % 256)
+                            AS cg,
+                        SUM((41 * ((b.i + u.k + 1) % 8) + 3 * b.i) % 256)
+                            AS cb
+                    FROM base b, unnest(range(0, b.j + 1)) AS u(k)
+                    GROUP BY b.i, b.j)
+            SELECT base.i AS media_id, base.j AS frame_ix,
+                   w AS width, h AS height, nf AS n_frames,
+                   CAST((base.i + base.j) % 100 AS BIGINT) AS delay_cs,
+                   CAST(CASE s
+                     WHEN 0 THEN (h - (base.j + 1)) * w * rb + w * cum.cr
+                     WHEN 1 THEN (h - 1) * w * rb + w * rj
+                     WHEN 2 THEN CASE WHEN base.j = 0
+                          THEN (h - 1) * w * rb + w * r0
+                          ELSE (h - 2) * w * rb + w * r0 + w * rj END
+                     ELSE (w * h - w // 2) * rb + (w // 2) * rl
+                   END AS BIGINT) AS r_sum,
+                   CAST(CASE s
+                     WHEN 0 THEN (h - (base.j + 1)) * w * gb + w * cum.cg
+                     WHEN 1 THEN (h - 1) * w * gb + w * gj
+                     WHEN 2 THEN CASE WHEN base.j = 0
+                          THEN (h - 1) * w * gb + w * g0
+                          ELSE (h - 2) * w * gb + w * g0 + w * gj END
+                     ELSE (w * h - w // 2) * gb + (w // 2) * gl
+                   END AS BIGINT) AS g_sum,
+                   CAST(CASE s
+                     WHEN 0 THEN (h - (base.j + 1)) * w * bb + w * cum.cb
+                     WHEN 1 THEN (h - 1) * w * bb + w * bj
+                     WHEN 2 THEN CASE WHEN base.j = 0
+                          THEN (h - 1) * w * bb + w * b0
+                          ELSE (h - 2) * w * bb + w * b0 + w * bj END
+                     ELSE (w * h - w // 2) * bb + (w // 2) * bl
+                   END AS BIGINT) AS b_sum
+            FROM base JOIN cum ON cum.i = base.i AND cum.j = base.j
+        """,
         "cc_luhn_scrub": """
             -- generator-replay: the oracle rebuilds each row's valid card
             -- (same integer Luhn fold) and states the expected counts and
