@@ -92,6 +92,21 @@ SHOW = {
         "one declarative plan; the funnel is five 1-row aggregates unioned "
         "— no driver-side counting"
     ),
+    "cc_luhn_scrub": (
+        "Luhn-validated PII scrub (round 6): corpus construction, candidate "
+        "extraction, the mod-10 checksum fold and the replacement fold are "
+        "ONE map-only codegen'd projection — zero Exchanges, zero Python"
+    ),
+    "host_hits": (
+        "HITS fixed point (round 6): per iteration two equi-joins + two "
+        "host-keyed partial-aggregated groupBys; L1 totals enter as 1-row "
+        "broadcast crossJoins — integer arithmetic end to end"
+    ),
+    "feed_items": (
+        "RSS/Atom harvest (round 6): Arrow-batch XML generation, then the "
+        "whole parse is regexp_extract_all + posexplode + codegen'd "
+        "projections — no Python in the parse path"
+    ),
     "token_shards_bucketed": (
         "token-budget sharding re-priced in BPE tokens (round 6): encode is "
         "map-only Arrow, then the same bucket-partitioned running-sum window "
