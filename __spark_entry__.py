@@ -1832,6 +1832,41 @@ def q_web_pipeline(spark, sf):
     return out
 
 
+def q_hll_distinct(spark, sf):
+    """From-scratch HyperLogLog distinct-URL counting with an EXACT value
+    oracle — the upgrade over the opaque `approx_count_distinct` in
+    `url_audit_approx` (which the driver can only row-check): here the
+    sketch IS a DataFrame of (register, max-rho) rows, merge = groupBy
+    max (the property that makes a 10^12-row distinct count one
+    m-row-per-partition shuffle), and the estimate is deterministic —
+    integer register/rho extraction via a generated CASE chain (no
+    floating log2), harmonic denominator summed as exact DECIMAL(38,0)
+    powers of two. Two scenarios: 17,777 distinct urls (standard branch,
+    every register hit) and 97 (linear-counting small-range branch)."""
+    from b_pdf_parser_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    out = None
+    for name, mod in (("large", 17777), ("small", 97)):
+        keys = spark.range(0, 20000).select(
+            F.concat(
+                F.lit("https://u"), (F.col("id") % mod).cast("string")
+            ).alias("url")
+        )
+        row = (
+            hll_estimate(hll_registers(keys, "url"))
+            .crossJoin(keys.agg(F.count_distinct("url").alias("n_exact")))
+            .select(
+                F.lit(name).alias("scenario"), "n_exact",
+                "estimate", "v_zero",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_gif_anim_frames(spark, sf):
     """ANIMATED GIF with real inter-frame composition — 120 deterministic
     animations whose strata rotate the four composition regimes of GIF89a:
@@ -2692,6 +2727,7 @@ def extra_queries() -> dict[str, _T]:
         "host_hits": q_host_hits,
         "cc_luhn_scrub": q_cc_luhn_scrub,
         "gif_anim_frames": q_gif_anim_frames,
+        "hll_distinct": q_hll_distinct,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2920,6 +2956,53 @@ def _formula_txn_oracle() -> str:
                {fmt('b.bal_c')} AS balance
         FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % {len(_DESCS)}
     """
+
+
+def _hll_oracle(b: int = 8) -> str:
+    """DuckDB replay of the HLL pipeline — the rho CASE chain is imported
+    VERBATIM from the operator (single source), the hex→int conversion is
+    the engine-appropriate spelling of the same value, and the alpha·m²·2^90
+    constant is embedded as the exact double repr."""
+    from b_pdf_parser_spark.operators.sketches import (
+        HLL_REST_BITS,
+        _alpha_m2_pow90,
+        rho_case_sql,
+    )
+
+    m = 1 << b
+    c2 = repr(_alpha_m2_pow90(b))
+    h = "CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT)"
+    rest = f"({h} % {1 << HLL_REST_BITS})"
+    rho = rho_case_sql(rest)
+    parts = []
+    for name, mod in (("large", 17777), ("small", 97)):
+        parts.append(f"""
+            SELECT '{name}' AS scenario, n_exact, estimate, v_zero FROM (
+              WITH keys AS MATERIALIZED (
+                SELECT 'https://u' || CAST(range % {mod} AS VARCHAR) AS url
+                FROM range(0, 20000)),
+              regs AS MATERIALIZED (
+                SELECT CAST({h} // {1 << HLL_REST_BITS} AS BIGINT) % {m}
+                           AS reg,
+                       MAX({rho}) AS mx
+                FROM keys GROUP BY 1),
+              fl AS MATERIALIZED (
+                SELECT coalesce(mx, 0) AS mx
+                FROM range(0, {m}) r LEFT JOIN regs ON regs.reg = r.range),
+              agg AS (
+                SELECT SUM(CAST(power(2, 90 - mx) AS DECIMAL(38,0))) AS zs,
+                       SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS v_zero
+                FROM fl),
+              ex AS (SELECT COUNT(DISTINCT url) AS n_exact FROM keys)
+              SELECT ex.n_exact,
+                     round(CASE WHEN ({c2} / CAST(zs AS DOUBLE)) <= {2.5 * m}
+                                     AND v_zero > 0
+                                THEN {float(m)} * ln({float(m)} / v_zero)
+                                ELSE {c2} / CAST(zs AS DOUBLE) END,
+                           4) AS estimate,
+                     CAST(v_zero AS BIGINT) AS v_zero
+              FROM agg CROSS JOIN ex)""")
+    return " UNION ALL ".join(parts)
 
 
 def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
@@ -5057,6 +5140,7 @@ def _all_oracles() -> dict[str, str]:
         """,
         "quality_classifier": _logreg_oracle(),
         "host_hits": _hits_oracle(),
+        "hll_distinct": _hll_oracle(),
         "gif_anim_frames": """
             -- closed-form composition replay: per stratum, the visible
             -- canvas of frame j is a known mix of background + painted

@@ -41,3 +41,32 @@ def test_training_is_partitioning_independent(spark):
     w1 = train_logreg(standardize(base.repartition(1))[0], n_iter=5)
     w2 = train_logreg(standardize(base.repartition(13))[0], n_iter=5)
     assert w1 == w2  # decimal-exact sums: bit-identical trajectories
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (same file: the round-6 algorithmic operators)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sketches_merge_by_register_max(spark):
+    from b_pdf_parser_spark.operators.sketches import hll_estimate, hll_registers
+
+    keys = spark.range(0, 5000).select(
+        (F.col("id") % 3331).cast("string").alias("k")
+    )
+    whole = hll_registers(keys, "k")
+    a = hll_registers(keys.filter(F.col("id") < 2500), "k")
+    b = hll_registers(keys.filter(F.col("id") >= 2500), "k")
+    merged = a.unionByName(b).groupBy("reg").agg(F.max("mx").alias("mx"))
+    # merge = element-wise max: the merged sketch IS the whole-data sketch
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est = hll_estimate(merged).first()
+    assert abs(est.estimate - 3331) / 3331 < 0.15  # ~1.04/sqrt(256) regime
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from b_pdf_parser_spark.operators.sketches import hll_estimate, hll_registers
+
+    keys = spark.range(0, 1000).select((F.col("id") % 40).cast("string").alias("k"))
+    est = hll_estimate(hll_registers(keys, "k")).first()
+    assert est.v_zero > 0 and abs(est.estimate - 40) < 8
