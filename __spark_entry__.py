@@ -1867,6 +1867,34 @@ def q_hll_distinct(spark, sf):
     return out
 
 
+def q_cms_heavy_hitters(spark, sf):
+    """Count-Min heavy-hitter counting over the corpus token stream —
+    HLL's companion sketch, same DataFrame-native mergeability (cells
+    merge by groupBy sum; at most depth·width rows shuffle per partition
+    no matter the corpus size). The 10 most frequent tokens are point-
+    queried against the sketch next to their exact counts; everything is
+    integer arithmetic on salted md5 hashes, so the oracle replays exact
+    cell values — and the CMS guarantee (estimate ≥ truth) is visible in
+    the hashed rows themselves."""
+    from b_pdf_parser_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    )
+    counters = cms_counters(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("tok")).limit(10)
+    est = cms_estimate(counters, top.select("tok"), "tok")
+    return (
+        top.join(est, top["tok"] == est["key"])
+        .select("tok", "n_exact", "cms_count")
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+    )
+
+
 def q_gif_anim_frames(spark, sf):
     """ANIMATED GIF with real inter-frame composition — 120 deterministic
     animations whose strata rotate the four composition regimes of GIF89a:
@@ -2728,6 +2756,7 @@ def extra_queries() -> dict[str, _T]:
         "cc_luhn_scrub": q_cc_luhn_scrub,
         "gif_anim_frames": q_gif_anim_frames,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "tiff_media_decode": q_tiff_media_decode,
         # FAKE-container plumbing demo — retired round-5 for the
         # pdf_ccitt_decode slot (real decode carries the value checks now)
@@ -2955,6 +2984,43 @@ def _formula_txn_oracle() -> str:
                CASE WHEN b.is_cr THEN {fmt('b.cents')} ELSE '0,00' END AS credit,
                {fmt('b.bal_c')} AS balance
         FROM bal b JOIN descs ON descs.d_idx = (b.i + b.k) % {len(_DESCS)}
+    """
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    """DuckDB replay of the Count-Min pipeline: the salted-md5 cell hash
+    comes from the operator's own builder (single source); cells, the
+    top-10 probe set and the min-over-rows estimates are all integer."""
+    from b_pdf_parser_spark.operators.sketches import _cms_col_sql
+
+    def col_of(key_sql, r):
+        hx = _cms_col_sql(key_sql, r, width)
+        return f"CAST(('0x' || {hx}) AS BIGINT) % {width}"
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, n_exact, {r} AS row, {col_of('tok', r)} AS col FROM top"
+        for r in range(depth)
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {col_of('tok', r)} AS col FROM toks"
+        for r in range(depth)
+    )
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest({_TOKS}) AS tok FROM documents),
+        cells AS MATERIALIZED (
+            SELECT row, col, COUNT(*) AS cnt
+            FROM ({cell_rows}) GROUP BY 1, 2),
+        exact AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY 1),
+        top AS MATERIALIZED (
+            SELECT tok, n_exact FROM exact
+            ORDER BY n_exact DESC, tok LIMIT 10),
+        probes AS ({probe_rows})
+        SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
+               CAST(MIN(c.cnt) AS BIGINT) AS cms_count
+        FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+        GROUP BY 1, 2
+        ORDER BY n_exact DESC, tok
     """
 
 
@@ -5141,6 +5207,7 @@ def _all_oracles() -> dict[str, str]:
         "quality_classifier": _logreg_oracle(),
         "host_hits": _hits_oracle(),
         "hll_distinct": _hll_oracle(),
+        "cms_heavy_hitters": _cms_oracle(),
         "gif_anim_frames": """
             -- closed-form composition replay: per stratum, the visible
             -- canvas of frame j is a known mix of background + painted

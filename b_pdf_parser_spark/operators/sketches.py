@@ -29,6 +29,8 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "HLL_REST_BITS",
+    "cms_counters",
+    "cms_estimate",
 ]
 
 HLL_REST_BITS = 52  # 60-bit hash minus up to 8 register bits
@@ -97,4 +99,72 @@ def hll_estimate(regs: DataFrame, b: int = 8) -> DataFrame:
     ).otherwise(raw)
     return agg.select(
         F.round(est, 4).alias("estimate"), F.col("v_zero")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005, public) — heavy-hitter
+# counting with the same DataFrame-native mergeability story as HLL: the
+# sketch is (row, col, cnt) counter cells, merging two sketches is
+# groupBy(row, col).sum(cnt), and a point estimate is the MIN over the d
+# hash rows. Everything is integer arithmetic on md5-derived columns, so
+# the DuckDB oracle checks EXACT cell values and estimates — and the
+# defining guarantee (estimate >= true count, overestimate bounded by
+# collisions) is assertable per key.
+# ---------------------------------------------------------------------------
+
+
+def _cms_col_sql(key_sql: str, row: int, width: int) -> str:
+    """Hash row ``row``: an independent md5 per row (the key salted with
+    ``#row``), first 8 hex chars, reduced mod ``width`` by the caller —
+    the same text runs in Spark (via conv) and DuckDB (via the 0x cast),
+    value-identical."""
+    return f"substr(md5(CAST({key_sql} AS STRING) || '#{row}'), 1, 8)"
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """→ the mergeable sketch: ``(row, col, cnt)`` — one cell per touched
+    (hash-row, bucket). Map-side combined; at most ``depth·width`` rows
+    ever shuffle per partition regardless of input size."""
+    parts = None
+    for r in range(depth):
+        hx = _cms_col_sql(key_col, r, width)
+        p = df.select(
+            F.lit(r).alias("row"),
+            F.expr(
+                f"CAST(conv({hx}, 16, 10) AS BIGINT) % {width}"
+            ).alias("col"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return parts.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query ``keys`` against the sketch: estimate = MIN over the
+    ``depth`` cells the key hashes to. The probe side re-derives each
+    key's (row, col) pairs and equi-joins the counter cells — at scale the
+    sketch is broadcast (``depth·width`` cells), so queries are map-only."""
+    probes = None
+    for r in range(depth):
+        hx = _cms_col_sql(key_col, r, width)
+        p = keys.select(
+            F.col(key_col).alias("key"),
+            F.lit(r).alias("row"),
+            F.expr(
+                f"CAST(conv({hx}, 16, 10) AS BIGINT) % {width}"
+            ).alias("col"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("cms_count"))
     )

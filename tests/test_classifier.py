@@ -70,3 +70,22 @@ def test_hll_small_range_uses_linear_counting(spark):
     keys = spark.range(0, 1000).select((F.col("id") % 40).cast("string").alias("k"))
     est = hll_estimate(hll_registers(keys, "k")).first()
     assert est.v_zero > 0 and abs(est.estimate - 40) < 8
+
+
+def test_cms_merge_and_overestimate_guarantee(spark):
+    from b_pdf_parser_spark.operators.sketches import cms_counters, cms_estimate
+
+    keys = spark.range(0, 3000).select(
+        (F.col("id") % 50).cast("string").alias("k")
+    )
+    whole = cms_counters(keys, "k")
+    half_a = cms_counters(keys.filter(F.col("id") < 1500), "k")
+    half_b = cms_counters(keys.filter(F.col("id") >= 1500), "k")
+    merged = (half_a.unionByName(half_b)
+              .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    qs = spark.createDataFrame([(str(k),) for k in range(50)], "k string")
+    est = {r.key: r.cms_count for r in cms_estimate(whole, qs, "k").collect()}
+    # CMS never undercounts: every key appears exactly 60 times
+    assert all(v >= 60 for v in est.values())
+    assert min(est.values()) == 60  # some row is collision-free at this load
