@@ -38,23 +38,21 @@ __all__ = ["quality_features", "standardize", "train_logreg", "logreg_report"]
 
 def quality_features(text: Column, toks: Column) -> List[Column]:
     """The four bounded feature columns (each rounded to 4 decimals, so the
-    oracle's restatement starts from identical doubles): English stopword
-    ratio, normalized mean word length, punctuation ratio, log-scaled
-    length. All reuse the formula shapes the quality/Gopher oracles already
-    pin."""
-    from .textstats import STOPWORDS
+    oracle's restatement starts from identical doubles). x1 and x3 ARE the
+    shared textstats helpers (one formula source — a stopword-list or
+    punct-class change flows to the classifier and the quality/Gopher
+    oracles together); x2/x4 stay inline because their shapes differ from
+    the helpers (x2 normalizes the UNROUNDED mean word length, x4 is the
+    log-length scale only this model uses)."""
+    from .textstats import punct_ratio, stopword_ratio
 
     nt = F.size(toks)
-    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    x1 = F.when(nt == 0, F.lit(0.0)).otherwise(F.round(sw / nt, 4))
+    x1 = stopword_ratio(text)
     mwl = F.when(nt == 0, F.lit(0.0)).otherwise(
         F.length(F.replace(F.trim(text), F.lit(" "), F.lit(""))) / nt
     )
     x2 = F.round(F.least(mwl / F.lit(8.0), F.lit(1.0)), 4)
-    n = F.length(text)
-    x3 = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / n, 4)
-    )
+    x3 = punct_ratio(text)
     x4 = F.round(F.log2(F.lit(1.0) + nt) / F.lit(16.0), 4)
     return [x1, x2, x3, x4]
 

@@ -311,12 +311,20 @@ def host_hits(
     sums are partition-order-independent, so ranks are bit-identical on
     any cluster size and the oracle checks exact values), with L1
     normalization each half-step: ``x * scale DIV total`` (truncating
-    division, deterministic). ``scale`` = 10^6 keeps the worst-case
-    intermediate ``Σhub·outdeg·scale`` far inside BIGINT.
+    division, deterministic).
 
-    Plan per iteration: two equi-joins + two host-keyed groupBys, all
-    linear and map-side combined; the normalization totals are 1-row
-    broadcast crossJoins, never driver collects."""
+    Sizing contract: ``scale`` must comfortably exceed the HOST count
+    (initial hub = scale DIV n; at n ≥ scale it truncates to 0 and the
+    normalization divides by zero) and ``scale²`` must stay inside BIGINT
+    (the renormalization computes ``raw·scale`` with ``raw ≤ scale``), so
+    ``scale ≤ 3·10^9`` — the default 10^6 serves graphs up to ~10^5
+    hosts; a web-scale host graph (~10^8–10^9 hosts) runs at the 10^9
+    ceiling with proportionally coarser rank resolution. Plan per
+    iteration: two equi-joins + two host-keyed groupBys, all linear and
+    map-side combined; the normalization totals are 1-row broadcast
+    crossJoins, never driver collects."""
+    if iters < 1:
+        raise ValueError("host_hits needs at least one iteration")
     e = edges.select("src", "dst").distinct()
     e = e.localCheckpoint(eager=False)
     hosts = (
@@ -464,9 +472,14 @@ def parse_feeds(
         F.regexp_extract("entry", r"(?s)<link>\s*(.*?)\s*</link>", 1),
     ).otherwise(F.regexp_extract("entry", r'<link[^>]*href\s*=\s*"([^"]*)"', 1))
     rfc = F.regexp_extract(
-        "entry", r"(?s)<pubDate>\s*([A-Za-z]{3},[^<]*?)\s*</pubDate>", 1
+        "entry", r"(?s)<pubDate>\s*([^<]*?)\s*</pubDate>", 1
     )
-    mon = F.regexp_extract(rfc, r"^[A-Za-z]{3}, \d{2} ([A-Za-z]{3}) ", 1)
+    # RFC 822 allows a 1-or-2-digit day and makes the leading weekday
+    # OPTIONAL — real feeds use every combination
+    _d = r"^(?:[A-Za-z]{3},\s*)?(\d{1,2}) [A-Za-z]{3} \d{4}"
+    _m = r"^(?:[A-Za-z]{3},\s*)?\d{1,2} ([A-Za-z]{3}) \d{4}"
+    _y = r"^(?:[A-Za-z]{3},\s*)?\d{1,2} [A-Za-z]{3} (\d{4})"
+    mon = F.regexp_extract(rfc, _m, 1)
     mm = F.lit(None).cast("string")
     for k, name in enumerate(
         ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
@@ -474,9 +487,9 @@ def parse_feeds(
     ):
         mm = F.when(mon == name, F.lit(f"{k:02d}")).otherwise(mm)
     rss_date = F.concat(
-        F.regexp_extract(rfc, r"^[A-Za-z]{3}, \d{2} [A-Za-z]{3} (\d{4})", 1),
+        F.regexp_extract(rfc, _y, 1),
         F.lit("-"), mm, F.lit("-"),
-        F.regexp_extract(rfc, r"^[A-Za-z]{3}, (\d{2}) ", 1),
+        F.lpad(F.regexp_extract(rfc, _d, 1), 2, "0"),
     )
     atom_upd = F.regexp_extract(
         "entry", r"(?s)<updated>\s*(.*?)\s*</updated>", 1

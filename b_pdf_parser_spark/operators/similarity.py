@@ -124,11 +124,12 @@ def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
 
     The ``n == 1`` case (every clustering/assignment pass; semantic_dedup
     runs it at corpus-scaled k) is an argmin, NOT a ranking — expressed as
-    a map-side-combinable ``MIN(struct(d, cid, payload))`` so the shuffle
-    carries one partial row per id per partition instead of the full k-way
-    expansion (vector payload included) a window sort would ship; decisions
-    are identical to the window form (ties break on cid, then on the
-    payload columns — unreachable, cid is unique per centroid)."""
+    a map-side-combinable ``MIN_BY(payload-struct, (d, cid))`` so the
+    shuffle carries one partial row per id per partition instead of the
+    full k-way expansion (vector payload included) a window sort would
+    ship; decisions are identical to the window form (the ORDERING struct
+    is only (d, cid) — ties break on cid, which is unique per centroid —
+    so payload columns never need to be orderable)."""
     others = [c for c in df.columns if c != "id"]
     scored = (
         df.crossJoin(F.broadcast(cdf))
@@ -137,7 +138,9 @@ def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
     )
     if n == 1:
         m = scored.groupBy("id").agg(
-            F.min(F.struct("d", "cid", *others)).alias("_m")
+            F.min_by(
+                F.struct("cid", *others), F.struct("d", "cid")
+            ).alias("_m")
         )
         return m.select(
             "id", *[F.col(f"_m.{c}").alias(c) for c in others],
@@ -449,7 +452,7 @@ def ivfpq_ann_topk(
 
     def coarse_assign(df: DataFrame, idn: str, n: int) -> DataFrame:
         # same argmin-vs-ranking split as _assign: n == 1 is a map-side-
-        # combinable MIN over (cd, ccid, payload) structs, n > 1 a window —
+        # combinable MIN_BY ordered on (cd, ccid) only, n > 1 a window —
         # and the centroid payload never reaches either shuffle
         others = [c for c in df.columns if c != idn]
         scored = (
@@ -459,7 +462,9 @@ def ivfpq_ann_topk(
         )
         if n == 1:
             m = scored.groupBy(idn).agg(
-                F.min(F.struct("cd", "ccid", *others)).alias("_m")
+                F.min_by(
+                    F.struct("ccid", *others), F.struct("cd", "ccid")
+                ).alias("_m")
             )
             return m.select(
                 idn, *[F.col(f"_m.{c}").alias(c) for c in others],

@@ -122,23 +122,35 @@ def _cms_col_sql(key_sql: str, row: int, width: int) -> str:
     return f"substr(md5(CAST({key_sql} AS STRING) || '#{row}'), 1, 8)"
 
 
+def _cms_cells(df: DataFrame, key_col: str, depth: int, width: int):
+    """All ``depth`` (row, col) cells per input row in ONE pass — an
+    explode over an inline struct array, so the corpus scans once however
+    deep the sketch is (a unioned per-row form would re-scan it ``depth``
+    times)."""
+    structs = ", ".join(
+        f"named_struct('row', {r}, 'col',"
+        f" CAST(conv({_cms_col_sql(key_col, r, width)}, 16, 10)"
+        f" AS BIGINT) % {width})"
+        for r in range(depth)
+    )
+    return df.select(
+        "*", F.explode(F.expr(f"array({structs})")).alias("_c")
+    ).select(*df.columns, F.col("_c.row").alias("row"),
+             F.col("_c.col").alias("col"))
+
+
 def cms_counters(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
     """→ the mergeable sketch: ``(row, col, cnt)`` — one cell per touched
-    (hash-row, bucket). Map-side combined; at most ``depth·width`` rows
-    ever shuffle per partition regardless of input size."""
-    parts = None
-    for r in range(depth):
-        hx = _cms_col_sql(key_col, r, width)
-        p = df.select(
-            F.lit(r).alias("row"),
-            F.expr(
-                f"CAST(conv({hx}, 16, 10) AS BIGINT) % {width}"
-            ).alias("col"),
-        )
-        parts = p if parts is None else parts.unionByName(p)
-    return parts.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    (hash-row, bucket). One corpus pass, map-side combined; at most
+    ``depth·width`` rows ever shuffle per partition regardless of input
+    size."""
+    return (
+        _cms_cells(df.select(key_col), key_col, depth, width)
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_estimate(
@@ -150,21 +162,15 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query ``keys`` against the sketch: estimate = MIN over the
     ``depth`` cells the key hashes to. The probe side re-derives each
-    key's (row, col) pairs and equi-joins the counter cells — at scale the
-    sketch is broadcast (``depth·width`` cells), so queries are map-only."""
-    probes = None
-    for r in range(depth):
-        hx = _cms_col_sql(key_col, r, width)
-        p = keys.select(
-            F.col(key_col).alias("key"),
-            F.lit(r).alias("row"),
-            F.expr(
-                f"CAST(conv({hx}, 16, 10) AS BIGINT) % {width}"
-            ).alias("col"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    key's (row, col) pairs in one pass and LEFT-joins the counter cells
+    (an untouched cell counts 0 — an inner join would silently drop it
+    and overestimate or lose never-seen keys); at scale the sketch is
+    broadcast (``depth·width`` cells), so queries are map-only."""
+    probes = _cms_cells(
+        keys.select(F.col(key_col).alias("key")), "key", depth, width
+    )
     return (
-        probes.join(F.broadcast(counters), ["row", "col"])
+        probes.join(F.broadcast(counters), ["row", "col"], "left")
         .groupBy("key")
-        .agg(F.min("cnt").alias("cms_count"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )

@@ -412,9 +412,12 @@ def with_cc_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         *df.columns,
         F.size("_cands").alias("n_candidates"),
         F.size("_valid").alias("n_valid"),
+        # boundary-anchored per-candidate replace: a bare replace() would
+        # also rewrite the same digits INSIDE a longer (non-candidate or
+        # invalid) run — '...9<PAN>9...' must survive intact
         F.expr(
-            f"aggregate(_valid, {text_col},"
-            " (acc, x) -> replace(acc, x, '<CC>'))"
+            f"aggregate(_valid, {text_col}, (acc, x) ->"
+            " regexp_replace(acc, concat('\\\\b', x, '\\\\b'), '<CC>'))"
         ).alias("scrubbed"),
     )
 

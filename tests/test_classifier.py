@@ -89,3 +89,18 @@ def test_cms_merge_and_overestimate_guarantee(spark):
     # CMS never undercounts: every key appears exactly 60 times
     assert all(v >= 60 for v in est.values())
     assert min(est.values()) == 60  # some row is collision-free at this load
+
+
+def test_cms_unseen_key_counts_zero(spark):
+    from b_pdf_parser_spark.operators.sketches import cms_counters, cms_estimate
+
+    keys = spark.range(0, 200).select((F.col("id") % 5).cast("string").alias("k"))
+    sketch = cms_counters(keys, "k")
+    probes = spark.createDataFrame(
+        [("0",), ("never-ingested-key",)], "k string"
+    )
+    est = {r.key: r.cms_count for r in cms_estimate(sketch, probes, "k").collect()}
+    assert est["0"] == 40
+    # an untouched cell is a ZERO, not a dropped join row: a never-seen
+    # key must answer 0 (and must not vanish from the output)
+    assert est["never-ingested-key"] == 0

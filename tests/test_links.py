@@ -313,6 +313,22 @@ def test_parse_feeds_rss_and_atom_unify(spark):
     assert (2, 1) not in rows                       # truncated entry dropped
 
 
+def test_parse_feeds_tolerates_rfc822_day_and_weekday_variants(spark):
+    from b_pdf_parser_spark.operators.links import parse_feeds
+
+    rss = ('<rss version="2.0"><channel>'
+           "<item><title>A</title><link>https://x/1</link>"
+           "<pubDate>Tue, 2 Jan 2024 08:00:00 GMT</pubDate></item>"   # 1-digit day
+           "<item><title>B</title><link>https://x/2</link>"
+           "<pubDate>14 Feb 2024 08:00:00 GMT</pubDate></item>"       # no weekday
+           "<item><title>C</title><link>https://x/3</link>"
+           "<pubDate>not a date</pubDate></item>"                     # garbage -> null
+           "</channel></rss>")
+    df = spark.createDataFrame([(1, rss)], "feed_id long, xml string")
+    dates = {r.item_ix: r.pub_date for r in parse_feeds(df).collect()}
+    assert dates == {0: "2024-01-02", 1: "2024-02-14", 2: None}
+
+
 def test_parse_feeds_non_feed_yields_no_rows(spark):
     from b_pdf_parser_spark.operators.links import parse_feeds
 

@@ -486,3 +486,18 @@ def test_dsir_select_semantics_and_partition_invariance(spark):
     out13 = dsir_select(df.repartition(13), F.col("lang") == "en", k=35).collect()
     assert {(r["doc_id"], r["score"]) for r in out} == \
         {(r["doc_id"], r["score"]) for r in out13}
+
+
+def test_cc_scrub_does_not_rewrite_digits_inside_longer_runs(spark):
+    from b_pdf_parser_spark.operators.textstats import with_cc_scrub
+
+    # the valid PAN appears standalone AND embedded in a 20-digit
+    # reference that is not even a candidate — only the standalone
+    # occurrence may redact
+    df = spark.createDataFrame(
+        [(1, "pay 4539148803436467 ref 94539148803436467919 end")],
+        "id long, text string",
+    )
+    r = with_cc_scrub(df).first()
+    assert (r.n_candidates, r.n_valid) == (1, 1)
+    assert r.scrubbed == "pay <CC> ref 94539148803436467919 end"
