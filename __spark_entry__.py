@@ -2660,8 +2660,14 @@ def queries() -> dict[str, _T]:
         "gopher_quality": q_gopher_quality,
         "quality_decisions": q_quality_decisions,
         "intra_doc_repetition": q_intra_doc_repetition,
-        "repeated_lines": q_repeated_lines,
+        # (repeated_lines — the boilerplate DETECTOR — retired to extras
+        # round-6 close for the quality_classifier slot: strip_boilerplate
+        # covers the same footer model end-to-end, and parity coverage for
+        # repeated_lines continues in test_entry_oracle)
         "strip_boilerplate": q_strip_boilerplate,
+        # round-6: the trained 'target-likeness' model — the whole GD
+        # trajectory is driver-hash-checked against the unrolled oracle
+        "quality_classifier": q_quality_classifier,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
         # -- tokenization (real BPE units — round-6) ----------------------
@@ -2746,12 +2752,12 @@ def extra_queries() -> dict[str, _T]:
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "bigram_perplexity": q_bigram_perplexity,
+        "repeated_lines": q_repeated_lines,
         "bm25_retrieval": q_bm25_retrieval,
         "web_pipeline": q_web_pipeline,
         "html_structured_data": q_html_structured_data,
         "perplexity_buckets": q_perplexity_buckets,
         "feed_items": q_feed_items,
-        "quality_classifier": q_quality_classifier,
         "host_hits": q_host_hits,
         "cc_luhn_scrub": q_cc_luhn_scrub,
         "gif_anim_frames": q_gif_anim_frames,
