@@ -1029,7 +1029,11 @@ def q_url_audit_approx(spark, sf):  # rows-only: HLL sketch is engine-specific
     uses a different sketch — equal inputs give different estimates).
     Pinned by: `tests/test_entry_oracle.py`'s rows-only check plus the
     exact twin `url_audit`-style count_distinct queries in the driver
-    window, against which the 1%-rsd bound is asserted in tests."""
+    window, against which the 1%-rsd bound is asserted in tests. The
+    EXACT-oracle-able counterpart is the round-6 from-scratch sketch row
+    `hll_distinct` (operators/sketches.py): same algorithm family, but
+    its registers are a DataFrame the DuckDB oracle replays bit-for-bit
+    — use it when the sketch itself must be auditable."""
     d = _t(spark, sf, "documents")
     return d.agg(
         F.approx_count_distinct("doc_id", rsd=0.01).alias("n_approx_distinct"),
