@@ -107,6 +107,25 @@ SHOW = {
         "whole parse is regexp_extract_all + posexplode + codegen'd "
         "projections — no Python in the parse path"
     ),
+    "quality_classifier": (
+        "trained LR quality filter (round 6, board): the shown plan is the "
+        "final REPORT (weights union + accuracy agg); the 8 GD iterations "
+        "and 2 standardize passes each ran as their own map-side-combined "
+        "aggregation collecting <= 6 numbers — no data ever reaches the "
+        "driver"
+    ),
+    "hll_distinct": (
+        "from-scratch HyperLogLog (round 6): register extraction is a "
+        "codegen'd integer CASE chain in the scan stage; the sketch "
+        "aggregate partial-combines to <= m rows per partition; the "
+        "estimate is one decimal-summed agg + a 1-row join"
+    ),
+    "cms_heavy_hitters": (
+        "Count-Min sketch (round 6): ONE corpus pass builds all depth "
+        "cells (explode over an inline struct array); the cell table "
+        "broadcasts to the probe side, so point queries are map-only + "
+        "one tiny groupBy"
+    ),
     "token_shards_bucketed": (
         "token-budget sharding re-priced in BPE tokens (round 6): encode is "
         "map-only Arrow, then the same bucket-partitioned running-sum window "
