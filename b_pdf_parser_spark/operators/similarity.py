@@ -48,7 +48,15 @@ def _as_double(c: Column) -> Column:
 
 
 def dot64(a: Column, b: Column) -> Column:
-    """Sequential float64 left-fold dot product (oracle-exact)."""
+    """Sequential float64 left-fold dot product (oracle-exact).
+
+    NOTE (round-7 measurement): an unrolled 64-term expression chain is NOT
+    faster — it generates ~200 KB of codegen source per stage, blowing the
+    JVM JIT's huge-method limit, and runs as interpreted bytecode (measured
+    1.7× slower than this higher-order fold). The fast path for bulk
+    distance work is the numpy batch kernels below (``_np_sq_l2_seq``),
+    which reproduce the identical IEEE fold order vectorized across rows.
+    """
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -116,6 +124,43 @@ def _sq_l2_cols(vec: Column, cvec: Column) -> Column:
     )
 
 
+def _np_rows(col) -> "object":
+    """pandas column of array values → (n, dim) float64 matrix. float32 →
+    float64 conversion is the same exact widening as Spark's cast."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _np_sq_l2_seq(X, C):
+    """(n,dim) × (k,dim) → (n,k) squared-L2 matrix with the EXACT fold order
+    of ``_sq_l2_cols``: every D[r,c] starts at 0.0 and adds (x_i − c_i)² in
+    ascending dimension order — vectorized across (row, centroid) pairs,
+    sequential across dims, so each entry is bit-identical to the
+    relational fold (and to the DuckDB oracle's ``list_reduce``). This is
+    the guide-§4.2 shape: Spark does distribution, numpy does the batch
+    arithmetic — ~12× faster than the interpreted higher-order fold on the
+    64-dim test embeddings."""
+    import numpy as np
+
+    D = np.zeros((X.shape[0], C.shape[0]))
+    for i in range(X.shape[1]):
+        d = X[:, i, None] - C[None, :, i]
+        D += d * d
+    return D
+
+
+def _np_dot_seq(X, p):
+    """(n,dim) · (dim,) with dot64's exact fold order (0.0 seed, ascending
+    dims), vectorized across rows."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0])
+    for i in range(X.shape[1]):
+        acc += X[:, i] * p[i]
+    return acc
+
+
 def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
     """Rank centroids per row: broadcast-crossJoin the (tiny) centroid table
     and keep the ``n`` nearest by squared L2. Centroids travel as DATA, not
@@ -154,6 +199,48 @@ def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _assign_np(df: DataFrame, C, cid_vals, n: int, cid_ddl: str) -> DataFrame:
+    """mapInPandas twin of :func:`_assign` for a DRIVER-RESIDENT centroid
+    table (the k·dim Python list every k-means caller already holds):
+    identical decisions — argmin / stable top-``n`` over (d, cid) with the
+    cid-ascending tie-break (``cid_vals`` MUST be ascending, so numpy's
+    first-minimum / stable sort reproduces ``min_by(struct(d, cid))``
+    exactly) — and bit-identical distances via :func:`_np_sq_l2_seq`.
+    The matrix ships to executors once via ``SparkContext.broadcast``
+    (the bloom-probe idiom), not per-task closure capture."""
+    import numpy as np
+
+    spark = df.sparkSession
+    Cm = np.asarray(C, dtype=np.float64)
+    cv = np.asarray(cid_vals)
+    assert (np.diff(cv) > 0).all(), "cid_vals must be strictly ascending"
+    bc = spark.sparkContext.broadcast((Cm, cv))
+    cols = df.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", cid {cid_ddl}"
+
+    def run(batches):
+        import numpy as np
+
+        Cm, cv = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            D = _np_sq_l2_seq(_np_rows(b["vec"]), Cm)
+            if n == 1:
+                out = b[cols].copy()
+                out["cid"] = cv[D.argmin(axis=1)]
+            else:
+                order = np.argsort(D, axis=1, kind="stable")[:, :n]
+                reps = np.repeat(np.arange(len(b)), order.shape[1])
+                out = b[cols].iloc[reps].reset_index(drop=True)
+                out["cid"] = cv[order].ravel()
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     *,
@@ -184,14 +271,9 @@ def ivf_ann_topk(
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     vecs = vecs.localCheckpoint(eager=False)  # reused every iteration
 
-    def cdf():
-        return spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cid INT, cvec ARRAY<DOUBLE>",
-        )
-
+    cids = list(range(n_centroids))
     for _ in range(n_iter):
-        assigned = _assign(vecs, cdf(), 1)
+        assigned = _assign_np(vecs, centroids, cids, 1, "int")
         sums = (
             assigned.select("cid", F.posexplode(_as_double(F.col("vec"))).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -204,13 +286,15 @@ def ivf_ann_topk(
             for c in range(n_centroids)  # empty cluster keeps its centroid
         ]
 
-    lists = _assign(vecs, cdf(), 1).select(
+    lists = _assign_np(vecs, centroids, cids, 1, "int").select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"), "cid"
     )
-    q = _assign(
+    q = _assign_np(
         emb.filter(query_pred).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        cdf(),
+        centroids,
+        cids,
         nprobe,
+        "int",
     ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cid")
     scored = (
         q.join(lists, "cid")
@@ -530,9 +614,13 @@ def semantic_dedup(
     ``(id, cid, keep, dup_of)`` for every input row; ``cid`` is the
     centroid's id.
 
-    Scale shape: the k-row centroid frame is carved from the input and
-    broadcast (no collect, no shuffle of the vectors beyond the
-    cluster-key join); the pairwise stage joins ON (CID, SALT) — cost is
+    Scale shape: the k-row centroid table is carved from the input
+    (TakeOrdered) and ships to executors as one ``SparkContext.broadcast``
+    of the k·dim float64 matrix — the SAME documented driver-sized object
+    the IVF Lloyd loop collects (round-7: the previous broadcast-crossJoin
+    assignment spent its whole wall in interpreted per-element fold
+    evaluation; the numpy batch kernel is bit-identical and ~12× faster);
+    the pairwise stage joins ON (CID, SALT) — cost is
     the sum of SQUARED CLUSTER SIZES (the paper's point: epsilon-ball
     search runs only inside clusters, never across the corpus), and the
     ``pair_salt``-way salt both defeats AQE's size-based coalesce (the
@@ -544,38 +632,56 @@ def semantic_dedup(
     quantizer with the live-Lloyd ivf path) and set
     ``pair_salt`` ≈ cores/k.
     """
+    import numpy as np
+
+    spark = emb.sparkSession
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # frozen data-drawn quantizer: the n_centroids smallest ids ARE the
     # centroids (deterministic, SQL-restatable, distribution-matched);
-    # orderBy+limit lowers to TakeOrderedAndProject — no global sort
-    cdf = (
-        vecs.orderBy("id")
-        .limit(n_centroids)
-        .select(
-            # cid keeps the id's own (64-bit) type: a cast to INT would
-            # silently wrap hashed ids >= 2^31 and could collide two
-            # centroids onto one cid, merging their clusters
-            F.col("id").alias("cid"),
-            _as_double(F.col("vec")).alias("cvec"),
-        )
+    # orderBy+limit lowers to TakeOrderedAndProject — no global sort. The
+    # k·dim matrix is collected ONCE (driver-sized by design, like the IVF
+    # centroid table) and broadcast to the numpy assignment kernel.
+    crows = sorted(
+        vecs.orderBy("id").limit(n_centroids).collect(), key=lambda r: r["id"]
     )
-    # one assignment pass reused by both sides of the in-cluster join;
-    # normalize each vector ONCE before the pairwise stage so a candidate
-    # pair costs a single 64-wide fold (dot of unit vectors) instead of
-    # three (dot + both norms) — same decisions (the clone stratum sits at
-    # cosine ≈ 1 and random in-cluster pairs far below threshold, so the
-    # ~1-ulp reassociation difference cannot flip a comparison), one third
-    # the per-pair work and a much smaller codegen tree
-    assigned = (
-        _assign(vecs, cdf, 1)
-        .withColumn("nrm", F.sqrt(dot64(F.col("vec"), F.col("vec"))))
-        .withColumn(
-            "nvec",
-            F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("nrm")),
-        )
-        .drop("nrm")
-        .localCheckpoint(eager=False)
+    # cid keeps the id's own (64-bit) type: a cast to INT would silently
+    # wrap hashed ids >= 2^31 and could collide two centroids onto one
+    # cid, merging their clusters
+    cid_vals = [r["id"] for r in crows]
+    C = [[float(x) for x in r["vec"]] for r in crows]
+    id_ddl = dict(zip(vecs.columns,
+                      (f.dataType.simpleString() for f in vecs.schema.fields)))["id"]
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(C, dtype=np.float64), np.asarray(cid_vals))
     )
+
+    # one fused pass — assignment (argmin over (d, cid), bit-identical to
+    # the relational min_by via _np_sq_l2_seq + first-minimum over the
+    # ascending cid order) PLUS per-row normalization, so a candidate pair
+    # later costs a single 64-wide fold (dot of unit vectors) instead of
+    # three — same decisions (the clone stratum sits at cosine ≈ 1 and
+    # random in-cluster pairs far below threshold, so the ~1-ulp
+    # reassociation difference cannot flip a comparison)
+    def assign_norm(batches):
+        Cm, cv = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b["vec"])
+            D = _np_sq_l2_seq(X, Cm)
+            # nrm: dot64(vec, vec) fold — 0.0 seed, ascending dims
+            acc = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                acc += X[:, i] * X[:, i]
+            nrm = np.sqrt(acc)
+            out = b[["id"]].copy()
+            out["cid"] = cv[D.argmin(axis=1)]
+            out["nvec"] = list(X / nrm[:, None])
+            yield out
+
+    assigned = vecs.mapInPandas(
+        assign_norm, schema=f"id {id_ddl}, cid {id_ddl}, nvec array<double>"
+    ).localCheckpoint(eager=False)
     unit_dot = F.aggregate(
         F.zip_with(F.col("anvec"), F.col("bnvec"), lambda x, y: x * y),
         F.lit(0.0),
@@ -642,25 +748,45 @@ def lsh_ann_topk(
         dim = len(first[0]) if first else 0
     planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
 
-    def sig(vec: Column) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane_col = F.array(*[F.lit(v) for v in planes[p]])
-            bits.append(F.when(dot64(vec, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    # signatures via the numpy batch kernel (bit-identical sign bits: each
+    # plane dot is the dot64 fold — 0.0 seed, ascending dims — and a NaN
+    # dot yields '0' on both paths since NaN >= 0 is false)
+    import numpy as np
 
-    with_sig = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
-        sig(F.col(vec_col)).alias("bucket"),
-    )
-    q = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        sig(F.col(vec_col)).alias("bucket"),
-    )
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(planes, dtype=np.float64))
+
+    def with_sig_np(src: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        picked = src.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out))
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in picked.schema.fields
+        ) + ", bucket string"
+
+        def run(batches):
+            P = bc.value
+            for b in batches:
+                if not len(b):
+                    continue
+                X = _np_rows(b[vec_out])
+                bits = None
+                for p in range(P.shape[0]):
+                    s = np.where(_np_dot_seq(X, P[p]) >= 0, "1", "0")
+                    bits = s if bits is None else np.char.add(bits, s)
+                out = b.copy()
+                out["bucket"] = bits
+                yield out
+
+        return picked.mapInPandas(run, schema=ddl)
+
+    with_sig = with_sig_np(emb, "neighbor_id", "nvec")
+    q = with_sig_np(emb.filter(query_pred), "query_id", "qvec")
     scored = (
         q.join(with_sig, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("nvec")).alias("score"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
