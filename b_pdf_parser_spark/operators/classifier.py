@@ -151,10 +151,17 @@ def logreg_report(
     text = F.col(text_col)
     toks = F.split(F.lower(F.trim(text)), " ")
     x1, x2, x3, x4 = quality_features(text, toks)
+    # checkpoint the 5-double feature rows: standardize + every GD
+    # iteration + the accuracy pass re-scan this frame (11 sequential
+    # aggregation jobs), and without the checkpoint each pass re-runs the
+    # full text-feature extraction (regex scans over every document).
+    # Values are unchanged — only the recomputation is cut; at scale this
+    # turns T passes over the corpus text into ONE text pass plus T
+    # passes over n·5 doubles.
     raw = docs.select(
         label.cast("double").alias("y"),
         x1.alias("x1"), x2.alias("x2"), x3.alias("x3"), x4.alias("x4"),
-    )
+    ).localCheckpoint(eager=False)
     feats, _, _ = standardize(raw)
     w = train_logreg(feats, n_iter=n_iter, lr=lr)
 
