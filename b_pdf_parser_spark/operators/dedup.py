@@ -1,7 +1,6 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Five families, all expressed as pure DataFrame plans (shuffle-conscious,
-no Python in the hot path), each with a DuckDB-oracle-compatible formula:
+Five families, each with a DuckDB-oracle-compatible formula:
 
 * **exact**          — content-hash groupBy (one shuffle on a 16-byte key,
   map-side partial agg; at 10^12 docs this is the cheapest possible dedup)
@@ -9,20 +8,32 @@ no Python in the hot path), each with a DuckDB-oracle-compatible formula:
   candidate pairs via a self-equi-join on band keys (shuffle keyed on the
   *band*, so only colliding docs ever meet — the scale path)
 * **n-gram Jaccard** — exact similarity for candidate pairs (shingle-set
-  intersection via join; used to confirm LSH candidates)
+  intersection attached per pair via ``array_intersect``; confirms LSH
+  candidates)
 * **SimHash**        — 16-bit bit-vote signature; band-bucket (bit-sampling
   LSH) candidates confirmed by exact hamming distance
 * **Winnowing**      — rolling n-gram-hash window minima (Schleimer et al.
   2003): position-robust fingerprint sets for partial-overlap detection
 
+Round-7 execution shape: all PER-DOCUMENT work (shingling, seeded
+minhashes, band keys, simhash votes, winnowing minima) runs in Arrow batch
+kernels — one Python dispatch per batch, md5 in C — so the subtrees below
+every join/aggregate are map-only. The old all-relational forms paid a
+lead-window Exchange plus one or two keyed aggregations per doc-local
+step, and their per-element expressions (higher-order lambdas) execute
+interpreted, which measured several times slower than the kernels.
+Cross-document steps (band self-join, duplicate-window build, connected
+components) stay relational.
+
 Portability notes (these choices make the DuckDB oracle byte-equal):
 hashes are md5 hex *strings* (both engines agree); min/aggregation over
-strings is lexicographic in both; shingles come from a ``lead()`` window
-over ``posexplode``\\ ed single-space tokens.
+strings is lexicographic in both engines and in Python (ASCII); the
+kernels mirror ``split(lower(trim(text)), ' ')`` tokenization exactly.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -46,6 +57,108 @@ DEFAULT_K = 8  # minhash permutations
 DEFAULT_BANDS = 4  # → rows-per-band = K / BANDS = 2
 
 
+# ---------------------------------------------------------------------------
+# round-7: the per-document shingle/minhash/band work moved into ONE Arrow
+# batch kernel (mapInPandas + hashlib). The old plan exploded every
+# (shingle, seed) pair through a lead window + two keyed aggregations —
+# three Exchanges and millions of tiny rows before the LSH self-join even
+# started. Everything below the self-join is now map-only; md5 runs in C.
+#
+# Exactness: the kernel is a string-for-string twin of the relational
+# expressions — tokens are split(lower(trim(text)), ' ') (ASCII-safe:
+# Python and the JVM agree on lower/trim/split for the corpus alphabet,
+# and every value is re-checked against the DuckDB oracles, which are the
+# actual referee), minhash = min md5('<seed>:'||gram)[:16] with
+# lexicographic string MIN ≡ Python min() on ASCII hex, and band keys are
+# the sorted 'seed=hash' joins the old collect_list+array_sort built.
+# ---------------------------------------------------------------------------
+
+
+def _py_grams(text: str, n: int) -> list:
+    """Exact twin of the relational shingle construction: tokens =
+    split(lower(trim(text)), ' ') (empty tokens KEPT, as the old window
+    form kept them), grams = every run of ``n`` consecutive tokens joined
+    by one space."""
+    ws = text.strip(" ").lower().split(" ")
+    return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+
+def _doc_signature_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    k: int | None = None, bands: int | None = None, with_grams: bool = False,
+) -> DataFrame:
+    """One row per document that has ≥ 1 full ``n``-gram:
+
+    ``(id[, grams][, mhs][, band_keys])``
+
+    * ``grams``     — DISTINCT shingles, first-occurrence order
+    * ``mhs``       — k minhashes, ``mhs[seed] = min md5(seed:gram)[:16]``
+    * ``band_keys`` — per band, ','-joined SORTED 'seed=hash' parts
+
+    Computed in one Arrow batch pass (hashlib md5 in C); documents with
+    null text or no full gram emit nothing, exactly like the old
+    explode-based frames which simply had no rows for them."""
+    import hashlib
+
+    from typing import Iterator
+
+    per_band = (k // bands) if (k is not None and bands is not None) else None
+    want_mh = k is not None
+    cols = ["id"] + (["grams"] if with_grams else []) \
+        + (["mhs"] if want_mh else []) \
+        + (["band_keys"] if per_band is not None else [])
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+    ddl = f"id {id_ddl}" + (", grams array<string>" if with_grams else "") \
+        + (", mhs array<string>" if want_mh else "") \
+        + (", band_keys array<string>" if per_band is not None else "")
+
+    def run(batches: Iterator) -> Iterator:
+        md5 = hashlib.md5
+        for b in batches:
+            ids, grams_col, mhs_col, bk_col = [], [], [], []
+            for i, s in zip(b["id"], b["text"]):
+                if s is None:
+                    continue
+                grams = _py_grams(s, n)
+                if not grams:
+                    continue
+                gset = list(dict.fromkeys(grams))  # distinct, stable order
+                ids.append(i)
+                if with_grams:
+                    grams_col.append(gset)
+                if want_mh:
+                    mhs = [
+                        min(
+                            md5(f"{seed}:{g}".encode()).hexdigest()[:16]
+                            for g in gset
+                        )
+                        for seed in range(k)
+                    ]
+                    mhs_col.append(mhs)
+                    if per_band is not None:
+                        bk_col.append([
+                            ",".join(sorted(
+                                f"{s_}={mhs[s_]}"
+                                for s_ in range(bnd * per_band,
+                                                (bnd + 1) * per_band)
+                            ))
+                            for bnd in range(bands)
+                        ])
+            if not ids:
+                continue
+            data = {"id": ids}
+            if with_grams:
+                data["grams"] = grams_col
+            if want_mh:
+                data["mhs"] = mhs_col
+                if per_band is not None:
+                    data["band_keys"] = bk_col
+            yield pd.DataFrame(data, columns=cols)
+
+    return src.mapInPandas(run, schema=ddl)
+
+
 def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per content-hash group: size and representative (min id)."""
     return (
@@ -57,76 +170,91 @@ def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingles_with_pos(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Positional word n-gram shingles (id, pos, shingle) — duplicates kept,
-    one row per gram start position (winnowing needs positions)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("pos", "w"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    grams = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    return (
-        toks.select("id", "pos", F.concat_ws(" ", *grams).alias("shingle"),
-                    F.lead("w", n - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("id", "pos", "shingle")
-    )
+    one row per gram start position (winnowing needs positions). Map-only
+    (round-7): the gram at array index p of the batch kernel's gram list
+    starts at token p — identical (pos, shingle) pairs to the old per-id
+    lead-window form, without its Exchange."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+
+    def run(batches):
+        for b in batches:
+            ids, poss, shs = [], [], []
+            for i, s in zip(b["id"], b["text"]):
+                if s is None:
+                    continue
+                for p, g in enumerate(_py_grams(s, n)):
+                    ids.append(i)
+                    poss.append(p)
+                    shs.append(g)
+            if ids:
+                yield pd.DataFrame({"id": ids, "pos": poss, "shingle": shs})
+
+    return src.mapInPandas(run, schema=f"id {id_ddl}, pos int, shingle string")
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Word n-gram shingle *set* via posexplode + lead window (W1/W3 pattern)."""
-    return shingles_with_pos(df, id_col, text_col, n).select("id", "shingle").distinct()
+    """Word n-gram shingle *set* rows (id, shingle) — map-only explode of
+    the batch kernel's per-doc distinct gram arrays (they cannot collide
+    across docs, so no global distinct Exchange is needed)."""
+    return _doc_signature_frame(df, id_col, text_col, n, with_grams=True).select(
+        "id", F.explode("grams").alias("shingle")
+    )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, n: int = 3,
-    shingles_df: DataFrame | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, seed, minhash) — minhash = min md5('<seed>:'||shingle) prefix.
 
-    ``shingles_df`` (an (id, shingle) frame, typically checkpointed) lets a
-    caller that also needs the shingle sets for a confirm join compute the
-    explode+window subtree once instead of once per consumer.
-    """
-    sh = shingles(df, id_col, text_col, n) if shingles_df is None else shingles_df
-    seeded = sh.select(
-        "id", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed"), "shingle"
+    Map-only (round-7): one batch-kernel row per doc, posexploded — the
+    old path exploded every (shingle, seed) pair and paid an (id, seed)
+    Exchange. Same rows: every doc with ≥ 1 shingle gets exactly k
+    (seed, minhash) rows. ``sets_df`` shares a prebuilt kernel frame
+    (must carry ``mhs``)."""
+    sets = (
+        _doc_signature_frame(df, id_col, text_col, n, k=k)
+        if sets_df is None else sets_df
     )
-    h = F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))), 1, 16)
-    return seeded.groupBy("id", "seed").agg(F.min(h).alias("minhash"))
+    return sets.select("id", F.posexplode("mhs").alias("seed", "minhash"))
 
 
 def minhash_signature_string(
     df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, n: int = 3
 ) -> DataFrame:
-    """One row per doc: 'seed=hash,...' signature string (oracle-friendly)."""
-    sig = minhash_signatures(df, id_col, text_col, k, n)
-    part = F.concat_ws("=", F.col("seed"), F.col("minhash"))
-    return sig.groupBy("id").agg(
-        F.array_join(F.array_sort(F.collect_list(part)), ",").alias("signature")
+    """One row per doc: 'seed=hash,...' signature string (oracle-friendly).
+    array_sort over the seed-ordered parts equals the old sorted
+    collect_list exactly; assembled map-side from the kernel's mhs."""
+    sets = _doc_signature_frame(df, id_col, text_col, n, k=k)
+    parts = [
+        F.concat_ws("=", F.lit(i), F.get("mhs", i)) for i in range(k)
+    ]
+    return sets.select(
+        "id", F.array_join(F.array_sort(F.array(*parts)), ",").alias("signature")
     )
 
 
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = DEFAULT_K, bands: int = DEFAULT_BANDS, n: int = 3,
-    shingles_df: DataFrame | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal band-key ⇒ candidate. Returns (id_a, id_b).
 
     The self-join shuffles on (band, band_key) — only hash-colliding docs
     co-locate, so the join stays linear-ish at 10^12 docs instead of the
-    quadratic all-pairs. ``shingles_df`` forwards to `minhash_signatures`.
-    """
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n, shingles_df=shingles_df)
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    keys = banded.groupBy("id", "band").agg(
-        F.array_join(F.array_sort(F.collect_list(F.concat_ws("=", "seed", "minhash"))), ",")
-        .alias("band_key")
+    quadratic all-pairs. Round-7: everything below the self-join is the
+    map-only batch kernel (the old path paid three Exchanges — shingle
+    window, (id, seed) groupBy, (id, band) groupBy — before the join even
+    started), and both join sides reuse ONE Exchange (ReuseExchange over
+    the identical subplan). ``sets_df`` shares a prebuilt kernel frame
+    (must carry ``band_keys``)."""
+    sets = (
+        _doc_signature_frame(df, id_col, text_col, n, k=k, bands=bands)
+        if sets_df is None else sets_df
     )
-    # the self-join references `keys` twice; checkpoint so the whole
-    # shingle→minhash subtree (4 shuffles) is computed once, not twice
-    keys = keys.localCheckpoint(eager=False)
+    keys = sets.select("id", F.posexplode("band_keys").alias("band", "band_key"))
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -140,41 +268,32 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.0,
-    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidate pairs: (id_a, id_b, jaccard).
 
-    The shingle subtree (explode + lead window + distinct — the most
-    expensive piece of the whole near-dup path) is computed ONCE behind a
-    lazy checkpoint and shared by the minhash signatures, the intersection
-    probe, and the set sizes; previously the LSH candidates recomputed it.
-    """
-    sh = (
-        shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
-        if shingles_df is None else shingles_df
-    )  # used 4×: minhash, intersection a-side, b-side, sizes
-    cands = lsh_candidate_pairs(df, id_col, text_col, n=n, shingles_df=sh)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
-    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cands.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    Round-7 shape: ONE batch-kernel pass per doc (grams + minhashes + band
+    keys, checkpointed) feeds both the LSH bands and the confirm stage;
+    the confirm attaches the per-doc gram ARRAYS to each candidate pair
+    (two id-keyed joins) and intersects them map-side with
+    ``array_intersect`` (codegen, not a lambda HOF) — the old path
+    exploded shingle rows into an (id_b, shingle)-keyed join and
+    re-aggregated. Values identical: |A∩B| over distinct arrays equals
+    the old distinct-row intersection count, the sizes are the array
+    sizes, and the int/int → round(…, 4) arithmetic is unchanged."""
+    sets = _doc_signature_frame(
+        df, id_col, text_col, n, k=DEFAULT_K, bands=DEFAULT_BANDS, with_grams=True
+    ).localCheckpoint(eager=False)  # shared: band subtree + both confirm sides
+    cands = lsh_candidate_pairs(df, id_col, text_col, n=n, sets_df=sets)
+    ga = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
     return (
-        cands.join(inter, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
             "id_a", "id_b",
             F.round(
-                F.coalesce("n_inter", F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))),
-                4,
+                inter / (F.size("_ga") + F.size("_gb") - inter), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -323,21 +442,40 @@ def winnow_fingerprints(
     (id, fp) — the fingerprint set is position-robust: local edits perturb
     only nearby windows, so shared content still collides.
 
-    Pure window + aggregate plan (one shuffle on id); md5-prefix hashes make
-    the selection portable to the DuckDB oracle (ties are lexicographic and
-    astronomically unlikely)."""
-    g = shingles_with_pos(df, id_col, text_col, n)
-    h = F.substring(F.md5("shingle"), 1, 16)
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    hashed = g.select("id", "pos", h.alias("h"))
-    m = hashed.select("id", "pos", F.min("h").over(win).alias("wmin"))
-    sizes = hashed.groupBy("id").agg(F.max("pos").alias("maxp"))
-    return (
-        m.join(sizes, "id")
-        .filter(F.col("pos") <= F.col("maxp") - (w - 1))  # full windows only
-        .select("id", F.col("wmin").alias("fp"))
-        .distinct()
-    )
+    Round-7: the whole selection is per-document, so it runs inside the
+    Arrow batch kernel — md5 in C, the rolling minima as one in-doc loop —
+    with ZERO Exchanges (the old plan paid a per-id window shuffle plus a
+    global distinct). Values identical: same gram strings, same
+    md5[:16] hashes, min over a window of ASCII hex strings is the same
+    lexicographic min, full windows only, per-doc distinct."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+
+    def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for b in batches:
+            ids, fps = [], []
+            for i, s in zip(b["id"], b["text"]):
+                if s is None:
+                    continue
+                hs = [
+                    md5(g.encode()).hexdigest()[:16] for g in _py_grams(s, n)
+                ]
+                if len(hs) < w:
+                    continue
+                seen = set()
+                for p in range(len(hs) - w + 1):
+                    m = min(hs[p:p + w])
+                    if m not in seen:
+                        seen.add(m)
+                        ids.append(i)
+                        fps.append(m)
+            if ids:
+                yield pd.DataFrame({"id": ids, "fp": fps})
+
+    return src.mapInPandas(run, schema=f"id {id_ddl}, fp string")
 
 
 def duplicate_spans(
@@ -364,21 +502,46 @@ def duplicate_spans(
     No driver state, no all-pairs. ``dup_frac`` is an unrounded int/int
     IEEE double, so the DuckDB oracle is bit-identical.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    arr = F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - w + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = df.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("h"))
-    # referenced twice (dup-set build + probe); checkpoint so the scan+hash
-    # subtree runs once
+    # Round-7: window hashes come from the Arrow batch kernel (md5 in C —
+    # the old ``transform`` lambda was interpreted per element), PRE-REDUCED
+    # to one (doc_id, h, cnt) row per distinct hash per doc, which both
+    # shrinks the build shuffle and turns the old count_distinct into a
+    # plain count. Totals are identical: Σcnt = window count, dup windows =
+    # Σcnt over hashes seen in ≥ 2 docs.
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+
+    def run(batches):
+        import hashlib
+        from collections import Counter
+
+        md5 = hashlib.md5
+        for b in batches:
+            ids, hs, cs = [], [], []
+            for i, s in zip(b["doc_id"], b["text"]):
+                if s is None:
+                    continue
+                ws_ = s.strip(" ").lower().split(" ")
+                if len(ws_) < w:
+                    continue
+                counts = Counter(
+                    md5(" ".join(ws_[p:p + w]).encode()).hexdigest()
+                    for p in range(len(ws_) - w + 1)
+                )
+                for h, c in counts.items():
+                    ids.append(i)
+                    hs.append(h)
+                    cs.append(c)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "h": hs, "cnt": cs})
+
+    wins = src.mapInPandas(run, schema=f"doc_id {id_ddl}, h string, cnt long")
+    # referenced twice (dup-set build + probe); checkpoint so the kernel
+    # pass runs once
     wins = wins.localCheckpoint(eager=False)
     dup = (
         wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))  # rows are per-doc distinct
         .filter(F.col("nd") >= 2)
         .select("h", F.lit(True).alias("dup"))
     )
@@ -386,8 +549,8 @@ def duplicate_spans(
         wins.join(dup, "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("dup"), F.lit(1)).otherwise(F.lit(0))).alias("dup_windows"),
+            F.sum("cnt").alias("n_windows"),
+            F.sum(F.when(F.col("dup"), F.col("cnt")).otherwise(F.lit(0))).alias("dup_windows"),
         )
         .select(
             "doc_id",
@@ -402,23 +565,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """16-bit SimHash by bit voting over token md5s (portable hex-digit bits).
 
     Bit j of token t = parity of hex digit j of md5(t); the doc bit is the
-    sign of the vote sum; value = Σ bit_j · 2^j. One explode + one groupBy.
-    """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("w"),
-    ).filter(F.col("w") != "")
-    h = F.md5(F.col("w"))
-    votes = [
-        F.sum(
-            F.when(F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    voted = toks.groupBy("id").agg(*votes)
-    value = sum(
-        (F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** j))
-        for j in range(bits)
-    )
-    return voted.select("id", value.cast("long").alias("simhash"))
+    sign of the vote sum; value = Σ bit_j · 2^j. Round-7: the vote is
+    per-document, so it runs inside the Arrow batch kernel (md5 in C,
+    integer votes) with zero Exchanges — the old plan exploded every token
+    and paid an id-keyed 16-aggregate shuffle. Values identical: same
+    tokens (empty ones dropped), same hex-digit parity votes, same sign
+    rule; docs with no non-empty token emit nothing (the old groupBy had
+    no rows for them)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+    odd = set("13579bdf")
+
+    def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for b in batches:
+            ids, vals = [], []
+            for i, s in zip(b["id"], b["text"]):
+                if s is None:
+                    continue
+                ws_ = [w for w in s.strip(" ").lower().split(" ") if w != ""]
+                if not ws_:
+                    continue
+                votes = [0] * bits
+                for w in ws_:
+                    h = md5(w.encode()).hexdigest()
+                    for j in range(bits):
+                        votes[j] += 1 if h[j] in odd else -1
+                ids.append(i)
+                vals.append(
+                    sum((1 << j) for j in range(bits) if votes[j] > 0)
+                )
+            if ids:
+                yield pd.DataFrame({"id": ids, "simhash": vals})
+
+    return src.mapInPandas(run, schema=f"id {id_ddl}, simhash long")
