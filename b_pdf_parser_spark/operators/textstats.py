@@ -451,28 +451,45 @@ def intra_doc_repetition(
 
     Documents with fewer than 3 tokens have no 3-grams and are dropped.
 
-    Scale shape: per n, one explode + one ``(doc, gram)`` groupBy + one
-    ``(doc)`` groupBy — all map-side combined, linear in corpus size, no
-    self-join and no window over the whole document set. The fractions are
-    unrounded int/int IEEE doubles, so the DuckDB oracle is bit-identical.
+    Scale shape (round-7): both signals are PER-DOCUMENT, so the whole
+    operator is one Arrow batch kernel — map-only, zero Exchanges (the old
+    plan paid two (doc, gram) groupBys + two (doc) groupBys + a join, and
+    its ``word_ngrams`` lambda evaluated interpreted). The fractions stay
+    unrounded int/int IEEE doubles (Python and JVM divide identical exact
+    integers), so the DuckDB oracle remains bit-identical.
     """
-    def gram_counts(n: int) -> DataFrame:
-        grams = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        return grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    import pandas as pd
 
-    top2 = gram_counts(2).groupBy("doc_id").agg(
-        (F.max("c") / F.sum("c")).alias("top_2gram_frac")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+
+    def run(batches):
+        from collections import Counter
+
+        for b in batches:
+            ids, t2s, d3s = [], [], []
+            for i, s in zip(b["doc_id"], b["text"]):
+                if s is None:
+                    continue
+                ws = s.strip(" ").lower().split(" ")
+                if len(ws) < 3:
+                    continue
+                c2 = Counter(" ".join(ws[p:p + 2]) for p in range(len(ws) - 1))
+                c3 = Counter(" ".join(ws[p:p + 3]) for p in range(len(ws) - 2))
+                n2 = len(ws) - 1
+                n3 = len(ws) - 2
+                ids.append(i)
+                t2s.append(max(c2.values()) / n2)
+                d3s.append(sum(c for c in c3.values() if c >= 2) / n3)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "top_2gram_frac": t2s, "dup_3gram_frac": d3s}
+                )
+
+    return src.mapInPandas(
+        run,
+        schema=f"doc_id {id_ddl}, top_2gram_frac double, dup_3gram_frac double",
     )
-    dup3 = gram_counts(3).groupBy("doc_id").agg(
-        (
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
-            / F.sum("c")
-        ).alias("dup_3gram_frac")
-    )
-    return top2.join(dup3, "doc_id")
 
 
 def quality_decisions(
@@ -490,39 +507,64 @@ def quality_decisions(
     4. ``stopwords``      — fewer than 2 English stopword hits
     5. ``ok``             — keep
 
-    Plan: the scalar rules are map-only codegen; the repetition signal
-    joins in via one explode + groupBy (left join — docs too short for
-    2-grams already failed rule 1, so a missing fraction is benign). The
-    CASE is mirrored verbatim in the DuckDB oracle; ``mean_word_len`` uses
-    the round-4 idiom already proven hash-identical by ``text_stats``.
+    Round-7: every rule is per-document, so the whole decision table is
+    one Arrow batch kernel — map-only, zero Exchanges (the old plan paid a
+    (doc, gram) groupBy + (doc) groupBy + join for the repetition signal,
+    and its token filters evaluated interpreted). The kernel is a
+    value-exact twin of the old expressions: same tokenization, Spark's
+    HALF_UP round for ``mean_word_len`` (``Decimal(repr(x))`` matches the
+    JVM's shortest-decimal double conversion), identical null fall-through
+    (a null text satisfies no rule and lands on 'ok'). The CASE is
+    mirrored verbatim in the DuckDB oracle, which stays the referee.
     """
-    c = F.col(text_col)
-    nt = token_count(c)
-    grams = df.select(
-        F.col(id_col).alias(id_col),
-        F.explode(word_ngrams(c, 2)).alias("gram"),
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+    stop = set(STOPWORDS["en"])
+
+    def run(batches):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q4 = Decimal("0.0001")
+
+        def reason_for(s):
+            if s is None:
+                return "ok"  # every rule's condition is null → fall through
+            t = s.strip(" ")
+            nt = 0 if t == "" else len(t.split(" "))
+            if nt < min_tokens:
+                return "word_count"
+            toks = t.lower().split(" ")
+            chars = len(t.replace(" ", ""))
+            mwl = float(
+                Decimal(repr(chars / nt)).quantize(q4, rounding=ROUND_HALF_UP)
+            )
+            if mwl < 3.0 or mwl > 10.0:
+                return "mean_word_len"
+            if nt >= 2:
+                c2 = Counter(
+                    toks[p] + " " + toks[p + 1] for p in range(nt - 1)
+                )
+                if max(c2.values()) / (nt - 1) > top2_max:
+                    return "repetition"
+            if sum(1 for w in toks if w in stop) < 2:
+                return "stopwords"
+            return "ok"
+
+        for b in batches:
+            reasons = [reason_for(s) for s in b["text"]]
+            yield pd.DataFrame({
+                "doc_id": list(b["doc_id"]),
+                "keep": [r == "ok" for r in reasons],
+                "reason": reasons,
+            })
+
+    out = src.mapInPandas(
+        run, schema=f"doc_id {id_ddl}, keep boolean, reason string"
     )
-    top2 = (
-        grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg((F.max("cnt") / F.sum("cnt")).alias("top2"))
-    )
-    base = df.select(
-        F.col(id_col),
-        nt.alias("nt"),
-        mean_word_len(c).alias("mwl"),
-        F.size(F.filter(_toks(c), lambda t: t.isin(*STOPWORDS["en"]))).alias("n_stop"),
-    )
-    reason = (
-        F.when(F.col("nt") < min_tokens, F.lit("word_count"))
-        .when((F.col("mwl") < 3.0) | (F.col("mwl") > 10.0), F.lit("mean_word_len"))
-        .when(F.coalesce(F.col("top2"), F.lit(0.0)) > top2_max, F.lit("repetition"))
-        .when(F.col("n_stop") < 2, F.lit("stopwords"))
-        .otherwise(F.lit("ok"))
-    )
-    return base.join(top2, id_col, "left").select(
-        id_col, (reason == "ok").alias("keep"), reason.alias("reason")
-    )
+    return out.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else out
 
 
 def strip_boilerplate_lines(
