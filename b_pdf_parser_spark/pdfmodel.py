@@ -1146,16 +1146,34 @@ _CTOK_RE = re.compile(
     # fully fused "a b c d e f Tm (text) Tj" — the single dominant idiom of
     # Tm-positioned text (one match replaces the tm6+tjs pair); falls back
     # to tm6 via ordinary alternation when no escape-free show follows
-    rb"(?:(?P<tmtj>(?:" + _NUM_WS + rb"){6})Tm[\x00\t\n\x0c\r ]*"
-    rb"\((?P<tmtjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
-    rb"|(?P<tm6>(?:" + _NUM_WS + rb"){6}Tm(?![A-Za-z0-9'\"*]))"
+    # one alternative covers ALL "a b c d e f Tm" forms, with the show
+    # fused in as an OPTIONAL suffix — the 6 numbers are parsed exactly
+    # once whether the Tm stands alone, precedes an escape-free "(text)
+    # Tj", or precedes a "<hex> Tj" (Type0/CID). The previous shape
+    # (separate tmtj | tm6 alternatives) re-parsed the 6 numbers on every
+    # Type0 show and on every failed first alternative
+    rb"(?:(?P<tm6>(?:" + _NUM_WS + rb"){6})Tm(?![A-Za-z0-9'\"*])"
+    rb"(?:[\x00\t\n\x0c\r ]*"
+    rb"(?:\((?P<tmtjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
+    rb"|<(?P<tmhs>[0-9A-Fa-f\x00\t\n\x0c\r ]*)>[\x00\t\n\x0c\r ]*"
+    rb"Tj(?![A-Za-z0-9'\"*])))?"
     rb"|\((?P<tjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
     # fused "<hex> Tj" show (the dominant idiom of Type0/CID text streams)
     rb"|<(?P<tjh>[0-9A-Fa-f\x00\t\n\x0c\r ]*)>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*])"
     # fused "(text) '" next-line-show and "x y Td" text-move (the remaining
-    # high-frequency idioms after Tm/Tj: 3 and 2 generic iterations → 1)
-    rb"|\((?P<tqs>[^()\\]*)\)[\x00\t\n\x0c\r ]*'(?![A-Za-z0-9'\"*])"
-    rb"|(?P<td2>(?:" + _NUM_WS + rb"){2}Td(?![A-Za-z0-9'\"*]))"
+    # high-frequency idioms after Tm/Tj: 3 and 2 generic iterations → 1);
+    # Td takes the same optional fused-show suffix as Tm
+    # tqs accepts ESCAPED strings too (unrolled-loop pattern, no nested
+    # bare parens): the corpus's next-line shows are exactly where escape
+    # sequences occur, and the two-match lit+op path cost ~2× per show
+    rb"|\((?P<tqs>[^()\\]*(?:\\.[^()\\]*)*)\)[\x00\t\n\x0c\r ]*'(?![A-Za-z0-9'\"*])"
+    rb"|(?P<td2>(?:" + _NUM_WS + rb"){2})Td(?![A-Za-z0-9'\"*])"
+    rb"(?:[\x00\t\n\x0c\r ]*"
+    rb"\((?P<tdjs>[^()\\]*)\)[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9'\"*]))?"
+    # fused "a b c d e f cm" and "/F n Tf" (each otherwise 7 / 3 matches)
+    rb"|(?P<cm6>(?:" + _NUM_WS + rb"){6})cm(?![A-Za-z0-9'\"*])"
+    rb"|/(?P<tfn>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)[\x00\t\n\x0c\r ]+"
+    + _NUM_WS + rb"Tf(?![A-Za-z0-9'\"*])"
     rb"|%[^\r\n]*"
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
@@ -1196,11 +1214,27 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
         if kind is None:  # whitespace / comment / stray byte
             continue
         if kind == "tmtjs":
-            parts = m.group("tmtj").split()
+            parts = m.group("tm6").split()
             yield ("tmtj",
                    (float(parts[0]), float(parts[1]), float(parts[2]),
                     float(parts[3]), float(parts[4]), float(parts[5])),
                    m.group("tmtjs"))
+            continue
+        if kind == "tmhs":  # fused "Tm <hex> Tj" (Type0 shows)
+            parts = m.group("tm6").split()
+            mat = (float(parts[0]), float(parts[1]), float(parts[2]),
+                   float(parts[3]), float(parts[4]), float(parts[5]))
+            h = m.group("tmhs").translate(None, _WS)
+            if len(h) % 2:
+                h += b"0"
+            try:
+                shown = bytes.fromhex(h.decode("ascii"))
+            except ValueError:
+                # bad hex: matrix still applies, the show is dropped —
+                # exactly the old tm6-then-failed-tjh sequence
+                yield ("tm6", mat)
+            else:
+                yield ("tmtj", mat, shown)
             continue
         if kind == "tm6":
             parts = m.group("tm6").split()
@@ -1211,11 +1245,38 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
             yield ("tj", m.group("tjs"))
             continue
         if kind == "tqs":
-            yield ("tq", m.group("tqs"))
+            s = m.group("tqs")
+            if b"\\" in s:
+                # escaped show: decode with the one true string parser
+                # (same value the old lit+op path pushed; a regex-matched
+                # span cannot be unterminated, so this cannot raise)
+                try:
+                    s, _ = _parse_literal_string(buf, m.start("tqs"))
+                except PdfError:
+                    continue
+            yield ("tq", s)
+            continue
+        if kind == "tdjs":  # fused "x y Td (text) Tj"
+            parts = m.group("td2").split()
+            yield ("tdtj", (float(parts[0]), float(parts[1])),
+                   m.group("tdjs"))
             continue
         if kind == "td2":
             parts = m.group("td2").split()
             yield ("td2", (float(parts[0]), float(parts[1])))
+            continue
+        if kind == "cm6":  # fused "a b c d e f cm"
+            parts = m.group("cm6").split()
+            yield ("cm6", (float(parts[0]), float(parts[1]), float(parts[2]),
+                           float(parts[3]), float(parts[4]), float(parts[5])))
+            continue
+        if kind == "tfn":  # fused "/Name size Tf"
+            raw = m.group("tfn")
+            if b"#" in raw:
+                v, _ = _parse_name(buf, m.start("tfn"))
+            else:
+                v = Name(raw.decode("latin-1"))
+            yield ("tf", v)
             continue
         if kind == "tjh":
             h = m.group("tjh").translate(None, _WS)
@@ -1561,9 +1622,20 @@ def _extract_spans(
                 tm = tlm
                 if in_text:
                     emit(tok[1])
-            else:  # ("td2", (x, y))
+            elif k0 == "td2":
                 tlm = _pre_translate(tlm, tok[1][0], tok[1][1])
                 tm = tlm
+            elif k0 == "tdtj":  # move + show in one event
+                tlm = _pre_translate(tlm, tok[1][0], tok[1][1])
+                tm = tlm
+                if in_text:
+                    emit(tok[2])
+            elif k0 == "cm6":
+                ctm = _mat_mul(tok[1], ctm)
+            else:  # ("tf", name)
+                if fonts:
+                    fname = tok[1]
+                    cur_dec = fonts.get(fname) if isinstance(fname, Name) else None
             stack.clear()
             continue
         if not isinstance(tok, _Op):
