@@ -257,7 +257,7 @@ def q_langid(spark, sf):
     from b_pdf_parser_spark.operators import textstats as ts
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    return ts.with_langid(d).select("doc_id", "lang_guess")
+    return ts.langid_frame(d)
 
 
 # ---------------------------------------------------------------------------
@@ -909,21 +909,9 @@ def q_extract_verify_relational(spark, sf):
 def q_gopher_quality(spark, sf):
     """Gopher-style quality rules (Rae et al. 2021) per document, plus the
     conjunction — the standard web-text pre-filter."""
-    from b_pdf_parser_spark.operators.textstats import gopher_rules
+    from b_pdf_parser_spark.operators.textstats import gopher_quality_frame
 
-    d = _t(spark, sf, "documents")
-    g = gopher_rules(F.col("text")).alias("g")
-    return d.select("doc_id", g).select(
-        "doc_id",
-        F.col("g.word_count_ok").alias("word_count_ok"),
-        F.col("g.mean_word_len_ok").alias("mean_word_len_ok"),
-        F.col("g.symbol_ratio_ok").alias("symbol_ratio_ok"),
-        F.col("g.alpha_ratio_ok").alias("alpha_ratio_ok"),
-        F.col("g.stopwords_ok").alias("stopwords_ok"),
-        (F.col("g.word_count_ok") & F.col("g.mean_word_len_ok")
-         & F.col("g.symbol_ratio_ok") & F.col("g.alpha_ratio_ok")
-         & F.col("g.stopwords_ok")).alias("passes"),
-    )
+    return gopher_quality_frame(_t(spark, sf, "documents"))
 
 
 def q_extract_txn_crosscheck(spark, sf):

@@ -184,6 +184,121 @@ def gopher_rules(c: Column) -> Column:
     )
 
 
+def gopher_quality_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DataFrame form of :func:`gopher_rules` + the conjunction, as one
+    Arrow batch kernel (round-7): every rule is per-document and the old
+    column expressions evaluated three interpreted per-token filter
+    lambdas per doc. Value-exact twin — same tokenization, unrounded
+    mean-word-length bounds, rlike('[#…]') ≡ contains-any, null text →
+    all-null rules and null conjunction, exactly like the old
+    null-propagating expressions."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+    stop = set(STOPWORDS["en"])
+
+    def run(batches):
+        sym = set("#…")
+
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "word_count_ok", "mean_word_len_ok",
+                                    "symbol_ratio_ok", "alpha_ratio_ok",
+                                    "stopwords_ok", "passes")}
+            for i, s in zip(b["doc_id"], b["text"]):
+                rows["doc_id"].append(i)
+                if s is None:
+                    for k in ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+                              "alpha_ratio_ok", "stopwords_ok", "passes"):
+                        rows[k].append(None)
+                    continue
+                t = s.strip(" ")
+                if t == "":
+                    nt = 0
+                    toks = []
+                else:
+                    toks = t.lower().split(" ")
+                    nt = len(toks)
+                wc_ok = 50 <= nt <= 100_000
+                if nt == 0:
+                    mwl_ok = False  # mwl 0.0 is outside [3, 10]
+                    sym_ok = False
+                    alpha_ok = False
+                else:
+                    mwl = len(t.replace(" ", "")) / nt
+                    mwl_ok = 3.0 <= mwl <= 10.0
+                    n_sym = sum(1 for w in toks if any(c in sym for c in w))
+                    sym_ok = n_sym / nt <= 0.1
+                    n_alpha = sum(
+                        1 for w in toks if any("a" <= c <= "z" for c in w)
+                    )
+                    alpha_ok = n_alpha / nt >= 0.8
+                stop_ok = sum(1 for w in toks if w in stop) >= 2
+                rows["word_count_ok"].append(wc_ok)
+                rows["mean_word_len_ok"].append(mwl_ok)
+                rows["symbol_ratio_ok"].append(sym_ok)
+                rows["alpha_ratio_ok"].append(alpha_ok)
+                rows["stopwords_ok"].append(stop_ok)
+                rows["passes"].append(
+                    wc_ok and mwl_ok and sym_ok and alpha_ok and stop_ok
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"doc_id {id_ddl}, word_count_ok boolean, mean_word_len_ok boolean,"
+            " symbol_ratio_ok boolean, alpha_ratio_ok boolean,"
+            " stopwords_ok boolean, passes boolean"
+        ),
+    )
+
+
+def langid_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "lang_guess",
+) -> DataFrame:
+    """DataFrame form of :func:`langid` as one Arrow batch kernel
+    (round-7): the stopword votes ran five interpreted filter lambdas per
+    document. Decision-exact twin of ``with_langid``'s nested CASE: a
+    language wins if its vote is > 0 and ≥ every LOWER-priority
+    language's vote, checked in the fixed en > de > fr > es > id order;
+    zero votes everywhere (or null text) → 'und'."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_ddl = src.schema.fields[0].dataType.simpleString()
+    stop_sets = {lang: set(words) for lang, words in STOPWORDS.items()}
+
+    def run(batches):
+        for b in batches:
+            ids, langs = [], []
+            for i, s in zip(b["doc_id"], b["text"]):
+                ids.append(i)
+                if s is None:
+                    langs.append("und")
+                    continue
+                toks = s.strip(" ").lower().split(" ")
+                votes = {
+                    lang: sum(1 for w in toks if w in ws)
+                    for lang, ws in stop_sets.items()
+                }
+                guess = "und"
+                for k, lang in enumerate(_LANG_ORDER):
+                    v = votes[lang]
+                    if v > 0 and all(
+                        v >= votes[later] for later in _LANG_ORDER[k + 1:]
+                    ):
+                        guess = lang
+                        break
+                langs.append(guess)
+            yield pd.DataFrame({"doc_id": ids, out_col: langs})
+
+    return src.mapInPandas(run, schema=f"doc_id {id_ddl}, {out_col} string")
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
