@@ -287,18 +287,54 @@ def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
 
 def aes_cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC without padding (exact multiple of 16 — the §7.6.4.3.4 KDF uses
-    this shape)."""
+    this shape).
+
+    Round-7: the round loop is inlined with the CBC chain kept as four
+    32-bit words — the per-block form paid a function call plus four
+    128-bit int↔bytes conversions per block, which profiled as the whole
+    cost of writing the AES-encrypted corpus strata (the R6 KDF runs ≥ 64
+    CBC passes over a multi-KB buffer per document). Identical bytes: the
+    chain XOR folds into AddRoundKey word-wise (XOR is associative), and
+    the rounds are the same T-table lookups ``_encrypt_block_w`` does.
+    """
     if len(data) % 16:
         raise ValueError("nopad CBC needs a 16-byte multiple")
+    import struct
+
     kw = _enc_words(_expand_key(key))
-    out = bytearray()
-    prev = int.from_bytes(iv, "big")
     n = len(data)
+    out = bytearray(n)
+    c0, c1, c2, c3 = struct.unpack(">4L", iv)
+    T0, T1, T2, T3 = _TE0, _TE1, _TE2, _TE3
+    S = _SBOX
+    nr = len(kw) - 1
+    k0 = kw[0]
+    k00, k01, k02, k03 = k0
+    klast = kw[nr]
+    mid = kw[1:nr]
+    unpack_from = struct.unpack_from
+    pack_into = struct.pack_into
     for i in range(0, n, 16):
-        blk = (int.from_bytes(data[i : i + 16], "big") ^ prev).to_bytes(16, "big")
-        cip = _encrypt_block_w(kw, blk)
-        prev = int.from_bytes(cip, "big")
-        out += cip
+        p0, p1, p2, p3 = unpack_from(">4L", data, i)
+        s0 = p0 ^ c0 ^ k00
+        s1 = p1 ^ c1 ^ k01
+        s2 = p2 ^ c2 ^ k02
+        s3 = p3 ^ c3 ^ k03
+        for k in mid:
+            t0 = T0[s0 >> 24] ^ T1[(s1 >> 16) & 255] ^ T2[(s2 >> 8) & 255] ^ T3[s3 & 255] ^ k[0]
+            t1 = T0[s1 >> 24] ^ T1[(s2 >> 16) & 255] ^ T2[(s3 >> 8) & 255] ^ T3[s0 & 255] ^ k[1]
+            t2 = T0[s2 >> 24] ^ T1[(s3 >> 16) & 255] ^ T2[(s0 >> 8) & 255] ^ T3[s1 & 255] ^ k[2]
+            t3 = T0[s3 >> 24] ^ T1[(s0 >> 16) & 255] ^ T2[(s1 >> 8) & 255] ^ T3[s2 & 255] ^ k[3]
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        c0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 255] << 16)
+              | (S[(s2 >> 8) & 255] << 8) | S[s3 & 255]) ^ klast[0]
+        c1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 255] << 16)
+              | (S[(s3 >> 8) & 255] << 8) | S[s0 & 255]) ^ klast[1]
+        c2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 255] << 16)
+              | (S[(s0 >> 8) & 255] << 8) | S[s1 & 255]) ^ klast[2]
+        c3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 255] << 16)
+              | (S[(s1 >> 8) & 255] << 8) | S[s2 & 255]) ^ klast[3]
+        pack_into(">4L", out, i, c0, c1, c2, c3)
     return bytes(out)
 
 
