@@ -687,13 +687,18 @@ def q_extract_corpus_audit(spark, sf):
     echo their bugs; a parity test pins replay == real pipeline). An
     error-rate spike, a kind-misclassification, or a generator drift at
     full scale breaks this hash."""
-    from b_pdf_parser_spark.operators.extract import extract_pages
+    from b_pdf_parser_spark.operators.extract import extract_kind_audit
 
     import b_pdf_parser_spark
 
     b_pdf_parser_spark.ship_package(spark)
     pages = spark.read.parquet(_audit_corpus_path(spark))
-    ext = extract_pages(pages, num_partitions=32)
+    # round-7: the audit projection — the IDENTICAL per-doc walk (kind and
+    # error are decided inside _extract_one, untouched by the field layer)
+    # without shipping every text/transaction/metadata column through
+    # Arrow just to drop it; counts-parity vs extract_pages is pinned by
+    # tests/test_corpus_audit.py
+    ext = extract_kind_audit(pages, num_partitions=32)
     return ext.groupBy("kind").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("error").isNotNull().cast("long")).alias("n_error_docs"),

@@ -54,6 +54,7 @@ from ..pdfmodel import PdfError, extract_pdf_pages_and_tables
 __all__ = [
     "EXTRACTED_SCHEMA",
     "extract_pages",
+    "extract_kind_audit",
     "extract_partition_walls",
     "make_extract_batch",
     "DEFAULT_SKEW_THRESHOLD",
@@ -303,6 +304,42 @@ def _shuffled(
         part_key.alias("_pkey"),
     )
     return tagged.repartition(p_phys, F.col("_pkey")).drop("_pkey")
+
+
+def extract_kind_audit(
+    pages: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    checkpoint_partitions: int = 64,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+) -> DataFrame:
+    """Corpus-audit projection of the extraction: one ``(kind, error)`` row
+    per document, from the IDENTICAL per-document walk (``_extract_one`` —
+    the full PDF/HTML parse with its whole error-capture surface; kind and
+    error are decided there and never touched by the field layer).
+
+    Round-7: the audit aggregations only read these two columns, but the
+    full operator shipped every parsed text, transaction array and
+    metadata struct back through Arrow just to drop them — hand-done
+    column pruning for an opaque UDF stage (the optimizer cannot see
+    inside ``mapInPandas``). A parity test pins per-kind/error counts
+    equal to :func:`extract_pages` on the same corpus."""
+
+    def audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            per_doc = [
+                _extract_one(u, p) for u, p in zip(b["url"].tolist(), b["html"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "kind": [d["kind"] for d in per_doc],
+                    "error": [d["error"] for d in per_doc],
+                }
+            )
+
+    return _shuffled(
+        pages, num_partitions, checkpoint_partitions, skew_threshold
+    ).mapInPandas(audit_batch, schema="kind string, error string")
 
 
 def extract_partition_walls(

@@ -46,3 +46,25 @@ def test_replay_matches_pipeline_bench_seed(spark):
 
 def test_replay_matches_pipeline_other_seed(spark):
     assert _real_counts(spark, 1200, 7) == _replay_counts(1200, 7)
+
+
+def test_audit_projection_matches_full_extraction(spark):
+    # round-7: extract_kind_audit is the audit-only projection of
+    # extract_pages (same _extract_one walk, no field layer, no wide
+    # Arrow row) — its per-kind/error counts must equal the full
+    # operator's on the same corpus
+    from b_pdf_parser_spark.operators.extract import extract_kind_audit
+
+    b_pdf_parser_spark.ship_package(spark)
+    pages = synth_pages_df(spark, 1500, seed=42, num_partitions=8)
+    audit = {
+        r["kind"]: (r["n"], r["e"])
+        for r in extract_kind_audit(pages, num_partitions=8)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("e"),
+        )
+        .collect()
+    }
+    assert audit == _real_counts(spark, 1500, 42)
