@@ -37,6 +37,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from . import spread
+
 __all__ = [
     "exact_dup_stats",
     "shingles",
@@ -107,7 +109,7 @@ def _doc_signature_frame(
     cols = ["id"] + (["grams"] if with_grams else []) \
         + (["mhs"] if want_mh else []) \
         + (["band_keys"] if per_band is not None else [])
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
     id_ddl = src.schema.fields[0].dataType.simpleString()
     ddl = f"id {id_ddl}" + (", grams array<string>" if with_grams else "") \
         + (", mhs array<string>" if want_mh else "") \
@@ -174,7 +176,7 @@ def shingles_with_pos(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     (round-7): the gram at array index p of the batch kernel's gram list
     starts at token p — identical (pos, shingle) pairs to the old per-id
     lead-window form, without its Exchange."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
     id_ddl = src.schema.fields[0].dataType.simpleString()
 
     def run(batches):
@@ -448,7 +450,7 @@ def winnow_fingerprints(
     global distinct). Values identical: same gram strings, same
     md5[:16] hashes, min over a window of ASCII hex strings is the same
     lexicographic min, full windows only, per-doc distinct."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
     id_ddl = src.schema.fields[0].dataType.simpleString()
 
     def run(batches):
@@ -572,7 +574,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     tokens (empty ones dropped), same hex-digit parity votes, same sign
     rule; docs with no non-empty token emit nothing (the old groupBy had
     no rows for them)."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
     id_ddl = src.schema.fields[0].dataType.simpleString()
     odd = set("13579bdf")
 

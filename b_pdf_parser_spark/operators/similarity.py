@@ -31,6 +31,8 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from . import spread
+
 __all__ = [
     "dot64",
     "cosine",
@@ -268,7 +270,7 @@ def ivf_ann_topk(
     """
     spark = emb.sparkSession
     centroids = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vecs = spread(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
     vecs = vecs.localCheckpoint(eager=False)  # reused every iteration
 
     cids = list(range(n_centroids))
@@ -635,7 +637,7 @@ def semantic_dedup(
     import numpy as np
 
     spark = emb.sparkSession
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vecs = spread(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
     # frozen data-drawn quantizer: the n_centroids smallest ids ARE the
     # centroids (deterministic, SQL-restatable, distribution-matched);
     # orderBy+limit lowers to TakeOrderedAndProject — no global sort. The
