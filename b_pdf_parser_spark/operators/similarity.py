@@ -163,6 +163,41 @@ def _np_dot_seq(X, p):
     return acc
 
 
+def _np_cosine_score(pairs: DataFrame, qv: str, nv: str) -> DataFrame:
+    """Append ``score`` = cosine(qv, nv) to a candidate-pair frame via the
+    batch kernels — the same dot64 fold sequence per pair (dot and both
+    norms accumulate per-dimension from 0.0 in ascending order), then the
+    identical ``dot / (sqrt · sqrt)`` IEEE ops. Replaces three interpreted
+    HOF folds per pair; the vector columns are dropped from the output
+    (the re-rank reads only score + ids)."""
+    import numpy as np
+
+    keep = [c for c in pairs.columns if c not in (qv, nv)]
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields if f.name in keep
+    ) + ", score double"
+
+    def run(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            Q = _np_rows(b[qv])
+            N = _np_rows(b[nv])
+            dot = np.zeros(len(b))
+            nq = np.zeros(len(b))
+            nn = np.zeros(len(b))
+            for i in range(Q.shape[1]):
+                dot += Q[:, i] * N[:, i]
+                nq += Q[:, i] * Q[:, i]
+                nn += N[:, i] * N[:, i]
+            out = b[keep].copy()
+            out["score"] = dot / (np.sqrt(nq) * np.sqrt(nn))
+            yield out
+
+    return pairs.mapInPandas(run, schema=ddl)
+
+
 def _assign(df: DataFrame, cdf: DataFrame, n: int) -> DataFrame:
     """Rank centroids per row: broadcast-crossJoin the (tiny) centroid table
     and keep the ``n`` nearest by squared L2. Centroids travel as DATA, not
@@ -298,11 +333,11 @@ def ivf_ann_topk(
         nprobe,
         "int",
     ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cid")
-    scored = (
+    scored = _np_cosine_score(
         q.join(lists, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("qvec"), F.col("nvec")).alias("score"))
+        .select("query_id", "qvec", "neighbor_id", "nvec"),
+        "qvec", "nvec",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -782,13 +817,11 @@ def lsh_ann_topk(
 
     with_sig = with_sig_np(emb, "neighbor_id", "nvec")
     q = with_sig_np(emb.filter(query_pred), "query_id", "qvec")
-    scored = (
+    scored = _np_cosine_score(
         q.join(with_sig, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            cosine(F.col("qvec"), F.col("nvec")).alias("score"),
-        )
+        .select("query_id", "qvec", "neighbor_id", "nvec"),
+        "qvec", "nvec",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
