@@ -104,7 +104,11 @@ def _decode_entity(m: re.Match) -> str:
 
 
 def _clean_text(raw: str) -> str:
-    return _WS_RUN_RE.sub(" ", _ENTITY_RE.sub(_decode_entity, raw))
+    # entity decode only when an ampersand exists (a sub with no matches is
+    # the identity; the containment check is a C scan, the regex pass isn't)
+    if "&" in raw:
+        raw = _ENTITY_RE.sub(_decode_entity, raw)
+    return _WS_RUN_RE.sub(" ", raw)
 
 
 class _BlockBuilder:
